@@ -1,0 +1,121 @@
+"""Adaptive step-size controller with reference-exact semantics.
+
+Reimplements the accept/reject + step-size logic of the reference's
+``AdaptiveODESolver::handle_step_adaptive`` (``/root/reference/src/base/ode.rs:311-334``)
+as a pure, branchless function suitable for ``lax.while_loop`` bodies and
+``vmap`` batching:
+
+    f       = rtol / ||err||                       (ode.rs:320)
+    fp_lim  = clip(alpha * f**(1/order), 0.3, 2.0) (ode.rs:321-323, 133-136)
+    new_h   = clip(fp_lim * h, min_dt, max_dt)     (ode.rs:324)
+    accept  = f > 1                                (ode.rs:328-330)
+
+Reference quirks preserved (SURVEY.md §2.3):
+  * ``atol`` is stored but **ignored** by the accept test (ode.rs:320) — the
+    decision is purely rtol vs the unscaled error norm. An opt-in
+    ``scaled_error=True`` mode adds the standard err/(atol+rtol*|x|) norm as an
+    extension.
+  * every reference solver constructs the controller with order=3.0, i.e.
+    exponent 1/3 — including RK45 (rk.rs:258-260, magnus.rs:183-184,
+    cfm.rs:150-151). ``StepControl.order`` defaults to 3.0 accordingly.
+  * ``new_h`` is computed from the *unclipped* current h on every attempted
+    step, accepted or rejected, and ``prev_h`` tracking/checkpoint restoration
+    is handled by the driver (ode.rs:192-205).
+
+Defaults mirror ``ODEAdaptiveData::new_with_defaults`` (ode.rs:114-128):
+atol=1e-6, rtol=1e-4, alpha=0.9, min_dt=1e-6, max_dt=1.0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class StepControl:
+    """Static controller configuration (a jit-static argument).
+
+    Mirrors the reference builder methods: ``with_tolerance`` -> rtol/atol,
+    ``with_step_range`` -> min_dt/max_dt (ode.rs:267-306), ``with_alpha``
+    (ode.rs:129-131).
+    """
+
+    rtol: float = 1.0e-4
+    atol: float = 1.0e-6
+    alpha: float = 0.9
+    order: float = 3.0
+    min_factor: float = 0.3
+    max_factor: float = 2.0
+    min_dt: float = 1.0e-6
+    max_dt: float = 1.0
+    scaled_error: bool = False   # extension: use err/(atol + rtol*|x|) norm
+    max_steps: int = 1_000_000
+
+    def __post_init__(self):
+        if self.rtol <= 0 or self.atol <= 0:
+            raise ValueError(
+                f"Invalid tolerances: atol={self.atol}, rtol={self.rtol}"
+            )
+        if self.min_dt <= 0 or self.max_dt <= 0 or self.max_dt <= self.min_dt:
+            raise ValueError(
+                f"Invalid step range: ({self.min_dt}, {self.max_dt})"
+            )
+
+    def init_h(self) -> float:
+        """Default initial step: sqrt(min_dt*max_dt), as the reference's
+        ``with_step_range`` (ode.rs:273)."""
+        import math
+
+        return math.sqrt(self.min_dt * self.max_dt)
+
+
+def controller_update(h, err_norm, ctl: StepControl):
+    """One controller decision. Returns (new_h, accept).
+
+    Pure elementwise math in the dtype of ``h`` — works per-trajectory under
+    vmap. NaN error norms reject the step and shrink by min_factor (the
+    reference would propagate NaN; we make divergence recoverable).
+    """
+    dtype = jnp.asarray(h).dtype
+    rtol = jnp.asarray(ctl.rtol, dtype)
+    f = rtol / err_norm  # err_norm == 0 -> inf -> accept, factor clipped to max
+    pw = jnp.asarray(1.0 / ctl.order, dtype)
+    fp = jnp.asarray(ctl.alpha, dtype) * jnp.power(f, pw)
+    fp_lim = jnp.clip(fp, ctl.min_factor, ctl.max_factor)
+    bad = jnp.isnan(f)
+    fp_lim = jnp.where(bad, jnp.asarray(ctl.min_factor, dtype), fp_lim)
+    new_h = jnp.clip(fp_lim * h, ctl.min_dt, ctl.max_dt)
+    accept = jnp.logical_and(jnp.logical_not(bad), f > 1.0)
+    return new_h, accept
+
+
+def error_measure(err_norm_fn, x, x_next, err, ctl: StepControl):
+    """The scalar the controller compares against rtol.
+
+    Reference mode (default): plain ``||err||`` (rk.rs:312-315).
+    ``scaled_error`` mode: ``||err / (atol + rtol*max(|x|,|x_next|))||`` times
+    rtol, so the same f = rtol/measure accept test realizes the standard
+    mixed-tolerance criterion.
+    """
+    import jax
+
+    if not ctl.scaled_error:
+        return err_norm_fn(err)
+    def scale(e, a, b):
+        s = ctl.atol + ctl.rtol * jnp.maximum(jnp.abs(a), jnp.abs(b))
+        return e / s
+    scaled = jax.tree_util.tree_map(scale, err, x, x_next)
+    return err_norm_fn(scaled) * ctl.rtol
+
+
+def end_tolerance(t_ref):
+    """Absolute tolerance for 'remaining time is zero' tests.
+
+    The reference uses approx::relative_eq(rem, 0) with f64 machine epsilon
+    (ode.rs:389-399), which is an absolute eps test against 0. That deadlocks
+    for |t| >> 1, so we scale by max(1, |t_ref|)."""
+    t_ref = jnp.asarray(t_ref)
+    eps = jnp.finfo(t_ref.dtype).eps
+    return 4.0 * eps * jnp.maximum(1.0, jnp.abs(t_ref))

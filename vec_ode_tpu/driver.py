@@ -1,0 +1,285 @@
+"""Core integration driver: the reference's step-control state machine
+(``/root/reference/src/base/ode.rs``) as a branchless ``lax.while_loop``.
+
+Mapping from the reference (SURVEY.md §7):
+  * ``ODEData``/``ODEAdaptiveData`` (ode.rs:79-137)  ->  ``IntState`` pytree
+    carried through the loop (t, x, h, prev_h, save-grid cursor, counters).
+  * ``ODEStep`` enum {Step, Chkpt, Reject, End} (ode.rs:42-48)  ->  masked
+    arithmetic: each loop iteration computes boolean masks (stepping /
+    at-checkpoint / at-end / accept) and applies ``where``-selected updates.
+    ``last_event`` records the taken branch for parity tests.
+  * ``step_size_of`` + ``check_step`` truncation (ode.rs:165-176, 389-399)  ->
+    ``dt = min(h, t_grid[tgt] - t)``; "remaining ~ 0" via an absolute-eps test.
+  * ``advance`` (swap x/next_x, ode.rs:184-188)  ->  functional ``where``
+    select; XLA reuses buffers (donation) so no copies materialize.
+  * ``checkpoint_update`` (tgt+=1, h=prev_h, ode.rs:192-195)  ->  masked update
+    on the checkpoint iteration; the save grid is hit exactly and the
+    pre-truncation step size is restored.
+  * rejected steps (ode.rs:412-419)  ->  mask out the state advance, keep the
+    shrunk h; the loop retries.
+
+Every trajectory's loop state is a flat pytree of scalars+arrays, so the whole
+driver vmaps: ``jax.vmap(integrate)`` yields a batched while_loop in which each
+trajectory carries its own (t, h, cursor, status) and the loop runs until all
+are done. That is the ensemble execution model (see vec_ode_tpu/parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import lc
+from .controller import StepControl, controller_update, end_tolerance, error_measure
+
+Pytree = Any
+
+# Status codes (terminal loop states).
+RUNNING = 0
+DONE = 1
+ERR_MAX_STEPS = 2
+
+# Event codes: which ODEStep branch the last iteration took (ode.rs:42-48).
+EVT_NONE = 0
+EVT_STEP = 1     # ODEStep::Step — accepted
+EVT_CHKPT = 2    # ODEStep::Chkpt
+EVT_REJECT = 3   # ODEStep::Reject
+EVT_END = 4      # ODEStep::End
+
+
+class IntState(NamedTuple):
+    """Loop carry. The functional counterpart of ODEData + ODEAdaptiveData."""
+
+    t: jax.Array
+    x: Pytree
+    h: jax.Array          # current trial step size (ODEData.h)
+    prev_h: jax.Array     # last step size before update (ODEData.prev_h)
+    tgt_idx: jax.Array    # cursor into the save grid (ODEData.tgt_t)
+    status: jax.Array     # RUNNING / DONE / ERR_MAX_STEPS
+    last_event: jax.Array
+    err_norm: jax.Array   # most recent error measure (ODEAdaptiveData.dx_norm)
+    n_accept: jax.Array
+    n_reject: jax.Array
+    n_iters: jax.Array
+    ys: Pytree            # (n_grid, ...) recorded states at the save grid
+    ts_grid: jax.Array    # (n_grid,) save grid, ts_grid[0]=t0, [-1]=tf
+
+
+def make_grid(t0, tf, save_at=None, dtype=None):
+    """Build the save grid (the reference's t_list, default [t0, tf],
+    ode.rs:144). ``save_at`` holds interior times (strictly inside (t0,tf))."""
+    if dtype is None:
+        dtype = jnp.result_type(float)
+    t0 = jnp.asarray(t0, dtype)
+    tf = jnp.asarray(tf, dtype)
+    if save_at is None:
+        return jnp.stack([t0, tf])
+    save_at = jnp.asarray(save_at, dtype)
+    return jnp.concatenate([t0[None], save_at, tf[None]])
+
+
+def init_state(
+    x0: Pytree,
+    t_grid: jax.Array,
+    h0,
+) -> IntState:
+    """Initialize the loop carry (the ODEData::new analog, ode.rs:141-150)."""
+    tdt = t_grid.dtype
+    t0 = t_grid[0]
+    h0 = jnp.asarray(h0, tdt)
+    n_grid = t_grid.shape[0]
+    ys = jax.tree_util.tree_map(
+        lambda a: jnp.zeros((n_grid,) + jnp.shape(a), jnp.asarray(a).dtype), x0
+    )
+    zero_i = jnp.zeros((), jnp.int32)
+    return IntState(
+        t=t0,
+        x=x0,
+        h=h0,
+        prev_h=h0,
+        tgt_idx=zero_i,
+        status=jnp.zeros((), jnp.int32),
+        last_event=zero_i,
+        err_norm=jnp.zeros((), tdt),
+        n_accept=zero_i,
+        n_reject=zero_i,
+        n_iters=zero_i,
+        ys=ys,
+        ts_grid=t_grid,
+    )
+
+
+def step_once(
+    state: IntState,
+    step_fn: Callable,
+    *,
+    adaptive: bool,
+    ctl: StepControl,
+    error_norm: Callable = lc.norm_l2,
+) -> IntState:
+    """One driver iteration = one ``ODESolver::step()`` /
+    ``step_adaptive()`` (ode.rs:249-253, 337-341), fully branchless.
+
+    ``step_fn(t, x, dt) -> (x_next, err)`` is the stepper kernel; ``err`` may
+    be None for fixed-only steppers. ``adaptive`` and ``ctl`` are static.
+    """
+    t_grid = state.ts_grid
+    n_grid = t_grid.shape[0]
+    running = state.status == RUNNING
+
+    # --- step_size_of (ode.rs:165-176): consult the save grid ---------------
+    idx = jnp.minimum(state.tgt_idx, n_grid - 1)
+    chk_t = jnp.take(t_grid, idx, axis=0)
+    rem = chk_t - state.t
+    at_grid = jnp.abs(rem) <= end_tolerance(chk_t)
+    past_end = state.tgt_idx >= n_grid - 1
+    is_end = running & at_grid & past_end
+    is_chkpt = running & at_grid & ~past_end
+    stepping = running & ~at_grid
+    dt = jnp.where(stepping, jnp.minimum(state.h, rem), state.h)
+
+    # --- try_step: run the stepper kernel (masked-out when not stepping) ----
+    x_next, err = step_fn(state.t, state.x, dt)
+
+    # --- handle_step_adaptive (ode.rs:311-334) -------------------------------
+    if adaptive:
+        if err is None:
+            raise ValueError("adaptive integration requires an error estimate")
+        measure = error_measure(error_norm, state.x, x_next, err, ctl)
+        new_h, accept = controller_update(state.h, measure, ctl)
+    else:
+        measure = state.err_norm
+        new_h, accept = state.h, jnp.asarray(True)
+
+    do_advance = stepping & accept
+    do_reject = stepping & ~accept
+
+    # --- apply_step (ode.rs:402-428), masked ----------------------------------
+    t = jnp.where(do_advance, state.t + dt, state.t)
+    x = lc.tree_where(do_advance, x_next, state.x)
+
+    # update_step_size on every attempted step (ode.rs:202-205, 326)
+    prev_h = jnp.where(stepping & jnp.asarray(adaptive), state.h, state.prev_h)
+    h = jnp.where(stepping & jnp.asarray(adaptive), new_h, state.h)
+    # checkpoint_update (ode.rs:192-195): restore pre-truncation h
+    h = jnp.where(at_grid & running, prev_h, h)
+    tgt_idx = jnp.where(at_grid & running, state.tgt_idx + 1, state.tgt_idx)
+
+    # record (t, x) on grid-hit iterations (Chkpt/End emission points)
+    def record(buf, leaf):
+        return jax.lax.cond(
+            at_grid & running,
+            lambda b: jax.lax.dynamic_update_index_in_dim(b, leaf, idx, 0),
+            lambda b: b,
+            buf,
+        )
+
+    ys = jax.tree_util.tree_map(record, state.ys, state.x)
+
+    status = jnp.where(is_end, DONE, state.status)
+    n_iters = state.n_iters + jnp.where(running, 1, 0).astype(jnp.int32)
+    status = jnp.where(
+        (status == RUNNING) & (n_iters >= ctl.max_steps), ERR_MAX_STEPS, status
+    )
+
+    event = jnp.where(
+        is_end,
+        EVT_END,
+        jnp.where(
+            is_chkpt,
+            EVT_CHKPT,
+            jnp.where(do_reject, EVT_REJECT,
+                      jnp.where(do_advance, EVT_STEP, EVT_NONE)),
+        ),
+    ).astype(jnp.int32)
+
+    return IntState(
+        t=t,
+        x=x,
+        h=h,
+        prev_h=prev_h,
+        tgt_idx=tgt_idx,
+        status=status,
+        last_event=event,
+        err_norm=jnp.where(stepping, jnp.asarray(measure, state.err_norm.dtype),
+                           state.err_norm),
+        n_accept=state.n_accept + do_advance.astype(jnp.int32),
+        n_reject=state.n_reject + do_reject.astype(jnp.int32),
+        n_iters=n_iters,
+        ys=ys,
+        ts_grid=state.ts_grid,
+    )
+
+
+@dataclasses.dataclass
+class Solution:
+    """Integration result. ``ts``/``ys`` follow the save grid."""
+
+    ts: jax.Array
+    ys: Pytree
+    t_final: jax.Array
+    y_final: Pytree
+    status: jax.Array
+    n_accept: jax.Array
+    n_reject: jax.Array
+    n_iters: jax.Array
+    h_final: jax.Array
+
+    @property
+    def success(self):
+        return self.status == DONE
+
+
+jax.tree_util.register_pytree_node(
+    Solution,
+    lambda s: (
+        (s.ts, s.ys, s.t_final, s.y_final, s.status, s.n_accept, s.n_reject,
+         s.n_iters, s.h_final),
+        None,
+    ),
+    lambda aux, ch: Solution(*ch),
+)
+
+
+def integrate(
+    step_fn: Callable,
+    x0: Pytree,
+    t_grid: jax.Array,
+    h0,
+    *,
+    adaptive: bool = True,
+    ctl: StepControl = StepControl(),
+    error_norm: Callable = lc.norm_l2,
+) -> Solution:
+    """Run the full while_loop integration over [t_grid[0], t_grid[-1]].
+
+    The user-loop pattern of the reference
+    (``while let ODEState::Ok(_) = solver.step()``, impls/nalgebra.rs:61-64)
+    becomes a single compiled ``lax.while_loop``; use ``init_state`` +
+    ``step_once`` directly for a step-by-step (debugger/parity) view.
+    """
+    state = init_state(x0, t_grid, h0)
+    body = partial(
+        step_once, step_fn=step_fn, adaptive=adaptive, ctl=ctl,
+        error_norm=error_norm,
+    )
+
+    def cond(s: IntState):
+        return jnp.any(s.status == RUNNING)
+
+    final = jax.lax.while_loop(cond, body, state)
+    return Solution(
+        ts=final.ts_grid,
+        ys=final.ys,
+        t_final=final.t,
+        y_final=final.x,
+        status=final.status,
+        n_accept=final.n_accept,
+        n_reject=final.n_reject,
+        n_iters=final.n_iters,
+        h_final=final.h,
+    )

@@ -1,0 +1,141 @@
+"""Pytree vector-space layer: linear-combination primitives over arbitrary pytrees.
+
+This is the TPU-native counterpart of the reference's vector-space abstraction
+(``/root/reference/src/lc.rs:7-118``). The reference makes steppers generic over
+storage types via the ``LinearCombination`` / ``LinearCombinationSpace`` traits
+(five primitive ops: scale, scalar_multiply_to, add_scalar_mul, add_assign_ref,
+delta, plus derived ``linear_combination``). In JAX the pytree system already
+provides that genericity, so here every op is a pure function over pytrees of
+arrays; any pytree whose leaves are JAX arrays is a valid state. In-place /
+scratch-register discipline (``rk.rs:104-115``) is replaced by XLA buffer reuse
+and donation — all functions are pure.
+
+Norms: the reference ships ``Normed`` impls only for real scalars (abs) and
+complex scalars (modulus) (``base/rk.rs:204-214``); vector norms are
+user-supplied. We provide the natural extensions (L2 over all leaves, max-abs,
+RMS) with L2 as the framework default error norm.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Pytree = Any
+
+
+def _match_scalar(k, leaf):
+    """Cast a scalar coefficient to the leaf dtype.
+
+    Python scalars are weakly typed (no promotion hazard). Traced scalars are
+    cast so that e.g. an f64 time-step never promotes an f32/c64 state leaf to
+    a wider dtype: state math stays in the state dtype, time math in the time
+    dtype.
+    """
+    if isinstance(k, (int, float, complex)):
+        return k
+    k = jnp.asarray(k)
+    ld = jnp.asarray(leaf).dtype
+    if k.dtype == ld:
+        return k
+    return k.astype(ld)
+
+
+def scale(v: Pytree, k) -> Pytree:
+    """k * v  (reference ``LC::scale``, lc.rs:10)."""
+    return jax.tree_util.tree_map(lambda a: a * _match_scalar(k, a), v)
+
+
+def add(v: Pytree, u: Pytree) -> Pytree:
+    """v + u  (reference ``LC::add_assign_ref``, lc.rs:16)."""
+    return jax.tree_util.tree_map(jnp.add, v, u)
+
+
+def sub(v: Pytree, u: Pytree) -> Pytree:
+    """v - u  (reference ``LC::delta``, lc.rs:18)."""
+    return jax.tree_util.tree_map(jnp.subtract, v, u)
+
+
+def axpy(k, u: Pytree, v: Pytree) -> Pytree:
+    """v + k * u  (reference ``LC::add_scalar_mul``, lc.rs:14)."""
+    return jax.tree_util.tree_map(
+        lambda a, b: a + _match_scalar(k, b) * b, v, u
+    )
+
+
+def lincomb(vs: Sequence[Pytree], ks: Sequence) -> Pytree:
+    """sum_i ks[i] * vs[i]  (reference ``LC::linear_combination``, lc.rs:20-35).
+
+    ``vs`` is a Python sequence of same-structure pytrees with static length
+    (Butcher stages are statically unrolled), so XLA fuses the whole sum into
+    one elementwise pass per leaf.
+    """
+    if len(vs) == 0 or len(ks) == 0:
+        raise ValueError("lincomb: sequences cannot be empty")
+    if len(vs) != len(ks):
+        raise ValueError("lincomb: sequences must be the same length")
+
+    def leaf_comb(*leaves):
+        acc = leaves[0] * _match_scalar(ks[0], leaves[0])
+        for k, leaf in zip(ks[1:], leaves[1:]):
+            acc = acc + _match_scalar(k, leaf) * leaf
+        return acc
+
+    return jax.tree_util.tree_map(leaf_comb, *vs)
+
+
+def zeros_like(v: Pytree) -> Pytree:
+    return jax.tree_util.tree_map(jnp.zeros_like, v)
+
+
+def _reduce_leaves(v: Pytree, leaf_fn: Callable, combine: Callable):
+    leaves = jax.tree_util.tree_leaves(v)
+    vals = [leaf_fn(a) for a in leaves]
+    acc = vals[0]
+    for x in vals[1:]:
+        acc = combine(acc, x)
+    return acc
+
+
+def norm_l2(v: Pytree):
+    """Flat L2 norm over all leaves (real result, even for complex leaves)."""
+    sq = _reduce_leaves(
+        v, lambda a: jnp.sum(jnp.real(a * jnp.conj(a))), jnp.add
+    )
+    return jnp.sqrt(sq)
+
+
+def norm_max(v: Pytree):
+    """max |v_i| over all leaves."""
+    return _reduce_leaves(v, lambda a: jnp.max(jnp.abs(a)), jnp.maximum)
+
+
+def norm_rms(v: Pytree):
+    """RMS norm: L2 / sqrt(n)."""
+    n = sum(a.size for a in jax.tree_util.tree_leaves(v))
+    return norm_l2(v) / jnp.sqrt(jnp.asarray(float(n), dtype=norm_l2(v).dtype))
+
+
+def vdot(u: Pytree, v: Pytree):
+    """<u, v> with conjugation on u, summed over all leaves."""
+    return _reduce_leaves(
+        jax.tree_util.tree_map(lambda a, b: jnp.sum(jnp.conj(a) * b), u, v),
+        lambda a: a,
+        jnp.add,
+    )
+
+
+def tree_where(mask, a: Pytree, b: Pytree) -> Pytree:
+    """Select a where mask else b, broadcasting the (scalar or batched) mask
+    against each leaf's leading axes. Used for branchless accept/reject."""
+
+    def sel(x, y):
+        m = mask
+        extra = x.ndim - m.ndim
+        if extra > 0:
+            m = m.reshape(m.shape + (1,) * extra)
+        return jnp.where(m, x, y)
+
+    return jax.tree_util.tree_map(sel, a, b)
