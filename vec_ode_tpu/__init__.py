@@ -8,7 +8,8 @@ states), re-designed TPU-first: pytree vector spaces, branchless
 """
 
 from . import lc, tableaus
-from .api import solve_ivp
+from . import exp, models
+from .api import solve_ivp, solve_linear
 from .controller import StepControl
 from .driver import (
     DONE,
@@ -46,7 +47,10 @@ __version__ = "0.1.0"
 __all__ = [
     "lc",
     "tableaus",
+    "exp",
+    "models",
     "solve_ivp",
+    "solve_linear",
     "StepControl",
     "Solution",
     "IntState",

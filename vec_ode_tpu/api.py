@@ -41,6 +41,7 @@ def solve_ivp(
     save_at=None,
     error_norm: Callable = lc.norm_l2,
     time_dtype=None,
+    method: str = "while",
 ) -> Solution:
     """Integrate dx/dt = f(t, y) from t0 to tf.
 
@@ -65,4 +66,46 @@ def solve_ivp(
         adaptive=adaptive,
         ctl=ctl,
         error_norm=error_norm,
+        method=method,
+    )
+
+
+def solve_linear(
+    op_fn: Callable,
+    t0,
+    tf,
+    y0: Pytree,
+    *,
+    stepper,
+    h0: Optional[float] = None,
+    adaptive: bool = False,
+    ctl: StepControl = StepControl(),
+    save_at=None,
+    error_norm: Callable = lc.norm_l2,
+    time_dtype=None,
+    method: str = "while",
+) -> Solution:
+    """Integrate the linear system dx/dt = A(t) x with an exponential stepper.
+
+    ``op_fn(t) -> L`` assembles the operator at scalar time t (the reference's
+    Fun callbacks, magnus.rs:12/32, cfm.rs:54 — multi-sample solvers vmap it).
+    ``stepper`` is an exp stepper (ExpMidpoint / Magnus4 / CFM... from
+    :mod:`vec_ode_tpu.exp`) or a split solver (SplitMidpoint / SplitCFM, whose
+    ``op_fn(t)`` returns the (La, Lb) pair).
+    """
+    if time_dtype is None:
+        time_dtype = jnp.result_type(jnp.asarray(t0), jnp.asarray(tf), float)
+    t_grid = make_grid(t0, tf, save_at, dtype=time_dtype)
+    if h0 is None:
+        h0 = ctl.init_h()
+    step_fn = stepper.make_step_fn(op_fn)
+    return integrate(
+        step_fn,
+        y0,
+        t_grid,
+        h0,
+        adaptive=adaptive,
+        ctl=ctl,
+        error_norm=error_norm,
+        method=method,
     )

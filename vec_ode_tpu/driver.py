@@ -254,13 +254,23 @@ def integrate(
     adaptive: bool = True,
     ctl: StepControl = StepControl(),
     error_norm: Callable = lc.norm_l2,
+    method: str = "while",
 ) -> Solution:
-    """Run the full while_loop integration over [t_grid[0], t_grid[-1]].
+    """Run the full integration loop over [t_grid[0], t_grid[-1]].
 
     The user-loop pattern of the reference
     (``while let ODEState::Ok(_) = solver.step()``, impls/nalgebra.rs:61-64)
-    becomes a single compiled ``lax.while_loop``; use ``init_state`` +
-    ``step_once`` directly for a step-by-step (debugger/parity) view.
+    becomes a single compiled loop; use ``init_state`` + ``step_once``
+    directly for a step-by-step (debugger/parity) view.
+
+    method:
+      * ``"while"`` (default) — ``lax.while_loop``; terminates as soon as all
+        trajectories finish. Not reverse-mode differentiable (XLA while).
+      * ``"scan"`` — exactly ``ctl.max_steps`` iterations of the self-masking
+        body under ``lax.scan``: reverse-mode differentiable (the capability
+        the reference's empty ``diff`` module only declared, lib.rs:12) and
+        rematerialization-friendly via ``jax.checkpoint``. Pick a tight
+        ``ctl.max_steps`` — every iteration costs a stepper evaluation.
     """
     state = init_state(x0, t_grid, h0)
     body = partial(
@@ -268,10 +278,17 @@ def integrate(
         error_norm=error_norm,
     )
 
-    def cond(s: IntState):
-        return jnp.any(s.status == RUNNING)
+    if method == "while":
+        def cond(s: IntState):
+            return jnp.any(s.status == RUNNING)
 
-    final = jax.lax.while_loop(cond, body, state)
+        final = jax.lax.while_loop(cond, body, state)
+    elif method == "scan":
+        final, _ = jax.lax.scan(
+            lambda s, _: (body(s), None), state, None, length=ctl.max_steps
+        )
+    else:
+        raise ValueError(f"unknown integrate method: {method!r}")
     return Solution(
         ts=final.ts_grid,
         ys=final.ys,

@@ -1,0 +1,49 @@
+"""Exponential / geometric integrators for linear systems dx/dt = A(t) x.
+
+Counterpart of the reference's ``src/exp`` module tree, plus the concrete
+operator leaves the reference never shipped (SURVEY.md §1).
+"""
+
+from .cfm import CFM, CFM4, CFM4_BLANES17, cfm_exp, cfm_step
+from .leaves import AntiHermitianSplit, DenseSplit, DiagonalSplit
+from .magnus import ExpMidpoint, Magnus4, magnus4_step, midpoint_step
+from .protocol import ExponentialSplit, index_u
+from .split_solvers import (
+    SplitCFM,
+    SplitMidpoint,
+    split_cfm_step,
+    split_midpoint_step,
+)
+from .splits import (
+    CommutativeSplit,
+    RKNR4Split,
+    SemiComplexO4Split,
+    StrangSplit,
+    TripleJumpSplit,
+)
+
+__all__ = [
+    "ExponentialSplit",
+    "index_u",
+    "DenseSplit",
+    "DiagonalSplit",
+    "AntiHermitianSplit",
+    "CommutativeSplit",
+    "StrangSplit",
+    "SemiComplexO4Split",
+    "TripleJumpSplit",
+    "RKNR4Split",
+    "ExpMidpoint",
+    "Magnus4",
+    "midpoint_step",
+    "magnus4_step",
+    "CFM",
+    "CFM4",
+    "CFM4_BLANES17",
+    "cfm_exp",
+    "cfm_step",
+    "SplitMidpoint",
+    "SplitCFM",
+    "split_midpoint_step",
+    "split_cfm_step",
+]

@@ -1,0 +1,102 @@
+"""Exponential midpoint (Magnus-2) and adaptive Magnus-4 steppers.
+
+TPU-native counterpart of ``/root/reference/src/exp/magnus.rs``. Both solve
+the linear system dx/dt = A(t) x where the user supplies an operator-assembly
+function ``op_fn(t) -> L`` (scalar time in, operator pytree out); solvers that
+need several time samples ``vmap`` it over the quadrature nodes, turning the
+reference's Vec-of-operators callback (magnus.rs:32) into one batched
+assembly.
+
+Reference-bug fix (SURVEY.md §2.3(6)): the reference's adaptive Magnus-4 norms
+a stale buffer (``adaptive_dat.dx`` initialized to x0 and never updated,
+magnus.rs:180-184 vs 274-276) so its step control is keyed off a constant. We
+return the actual error vector xe = e^{Ω1} x0 - e^{Ω} x0 (magnus.rs:76-79) to
+the driver, which norms it — the *intended* behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable
+
+import jax
+
+from .protocol import ExponentialSplit
+
+# Gauss-Legendre 2-node half-offset: 1/(2 sqrt(3)) (magnus.rs:42).
+_C_MID = 0.5 / math.sqrt(3.0)
+# Magnus-4 commutator weight: -sqrt(3)/12 (magnus.rs:44-45).
+_B2 = -math.sqrt(3.0) / 12.0
+
+
+def midpoint_step(op_fn, split: ExponentialSplit, t, x, dt):
+    """xf = exp(dt * A(t + dt/2)) x — magnus.rs:10-26."""
+    l_mid = op_fn(t + 0.5 * dt)
+    u = split.exp(split.scale_l(l_mid, dt))
+    return split.map_exp(u, x), None
+
+
+def magnus4_step(op_fn, split: ExponentialSplit, t, x, dt):
+    """4th-order Magnus with 2-node GL quadrature — magnus.rs:28-83.
+
+    Ω  = (A1 + A2) dt/2 - (sqrt(3)/12) dt^2 [A1, A2]
+    xf = e^{Ω} x0 ;  err = e^{Ω1} x0 - xf with Ω1 the order-2 part.
+    """
+    t_mid = t + 0.5 * dt
+    t_nodes = jax.numpy.stack(
+        [t_mid - _C_MID * dt, t_mid + _C_MID * dt]
+    )
+    l_nodes = jax.vmap(op_fn)(t_nodes)
+    l1 = jax.tree_util.tree_map(lambda a: a[0], l_nodes)
+    l2 = jax.tree_util.tree_map(lambda a: a[1], l_nodes)
+
+    w2 = split.scale_l(split.commutator(l1, l2), _B2 * dt * dt)
+    w1 = split.scale_l(split.add_l(l1, l2), 0.5 * dt)
+
+    u1 = split.exp(w1)                      # order-2 propagator
+    u = split.exp(split.add_l(w1, w2))      # order-4 propagator
+
+    xf = split.map_exp(u, x)
+    from .. import lc
+
+    err = lc.sub(split.map_exp(u1, x), xf)
+    return xf, err
+
+
+@dataclasses.dataclass(frozen=True)
+class ExpMidpoint:
+    """Fixed-step exponential midpoint (MidpointExpLinearSolver,
+    magnus.rs:85-148). Order 2, no error estimate."""
+
+    split: ExponentialSplit
+    op_fn: Callable = None  # set via make_step_fn argument instead if None
+
+    nfev_per_step: int = 1
+
+    def make_step_fn(self, op_fn=None):
+        fn = op_fn if op_fn is not None else self.op_fn
+
+        def step_fn(t, x, dt):
+            return midpoint_step(fn, self.split, t, x, dt)
+
+        return step_fn
+
+
+@dataclasses.dataclass(frozen=True)
+class Magnus4:
+    """Adaptive Magnus-4 (MagnusExpLinearSolver, magnus.rs:151-285), with the
+    error norm wired correctly (see module docstring)."""
+
+    split: ExponentialSplit
+    op_fn: Callable = None
+
+    nfev_per_step: int = 2
+
+    def make_step_fn(self, op_fn=None):
+        fn = op_fn if op_fn is not None else self.op_fn
+
+        def step_fn(t, x, dt):
+            return magnus4_step(fn, self.split, t, x, dt)
+
+        return step_fn

@@ -1,0 +1,16 @@
+"""Problem/model library backing the parity and benchmark configs."""
+
+from .linear import DecayDiag, LinearConstant, stable_dense_matrix
+from .nonlinear import Brusselator, LotkaVolterra, VanDerPol
+from .quantum import DrivenDense, LandauZener
+
+__all__ = [
+    "LinearConstant",
+    "DecayDiag",
+    "stable_dense_matrix",
+    "VanDerPol",
+    "LotkaVolterra",
+    "Brusselator",
+    "LandauZener",
+    "DrivenDense",
+]

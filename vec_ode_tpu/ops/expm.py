@@ -1,0 +1,160 @@
+"""Batched matrix exponential for TPU.
+
+The reference ships *no* exponential-map implementation — its
+``ExponentialSplit::exp`` is entirely user-supplied (``exp/mod.rs:11-35``,
+SURVEY.md §1 "crucial architectural fact"). This module provides the missing
+leaves: a batch-uniform scaling-and-squaring expm that jits, vmaps and runs on
+TPU for real and complex matrices.
+
+TPU-first design notes:
+  * Padé-13 with a **batch-uniform squaring count**: the number of squarings
+    is computed from the max 1-norm over the whole batch (one scalar), so the
+    squaring loop has static-friendly uniform control flow instead of
+    per-matrix dynamic loop trips (SURVEY §7 hard-part #2). For known operator
+    classes (e.g. dt*H with bounded ||H||) a static ``max_squarings`` keeps
+    everything fully static.
+  * All matmuls batch over leading axes via ``jnp.matmul`` — XLA tiles them
+    onto the MXU; for d<=128 batched small matrices XLA lowers to efficient
+    batched GEMMs.
+  * Complex support: JAX complex dtypes lower to real/imag pairs on TPU; all
+    arithmetic below is dtype-generic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# Padé-13 coefficients (Higham 2005, "The scaling and squaring method for the
+# matrix exponential revisited") — standard published constants.
+_PADE13_B = (
+    64764752532480000.0,
+    32382376266240000.0,
+    7771770303897600.0,
+    1187353796428800.0,
+    129060195264000.0,
+    10559470521600.0,
+    670442572800.0,
+    33522128640.0,
+    1323241920.0,
+    40840800.0,
+    960960.0,
+    16380.0,
+    182.0,
+    1.0,
+)
+
+# theta_13: 1-norm threshold below which Padé-13 is accurate at unit scaling.
+_THETA13 = 5.371920351148152
+_THETA13_F32 = 4.25  # f32 analog (Higham tab. for single precision, m=13)
+
+
+def _pade13(A, A2, A4, A6, ident):
+    b = _PADE13_B
+    U = A @ (
+        A6 @ (b[13] * A6 + b[11] * A4 + b[9] * A2)
+        + b[7] * A6 + b[5] * A4 + b[3] * A2 + b[1] * ident
+    )
+    V = (
+        A6 @ (b[12] * A6 + b[10] * A4 + b[8] * A2)
+        + b[6] * A6 + b[4] * A4 + b[2] * A2 + b[0] * ident
+    )
+    return U, V
+
+
+def _expm_impl(A: jax.Array, max_squarings: int) -> jax.Array:
+    A = jnp.asarray(A)
+    d = A.shape[-1]
+    if A.shape[-2] != d:
+        raise ValueError(f"expm expects (..., d, d), got {A.shape}")
+    real_dtype = jnp.finfo(A.dtype).dtype  # float32 for complex64, etc.
+    theta = _THETA13 if jnp.finfo(real_dtype).bits >= 64 else _THETA13_F32
+
+    # max 1-norm over the batch (scalar) -> uniform squaring count s
+    one_norm = jnp.max(
+        jnp.sum(jnp.abs(A), axis=-2), axis=-1
+    )  # (...,) per-matrix 1-norm
+    max_norm = jnp.max(one_norm)
+    # s = max(0, ceil(log2(max_norm / theta)))
+    s_f = jnp.ceil(jnp.log2(jnp.maximum(max_norm / theta, 1.0)))
+    s = jnp.clip(s_f, 0, max_squarings).astype(jnp.int32)
+    scale = jnp.asarray(2.0, real_dtype) ** (-s.astype(real_dtype))
+    As = A * scale.astype(A.dtype)
+
+    ident = jnp.broadcast_to(jnp.eye(d, dtype=A.dtype), A.shape)
+    A2 = As @ As
+    A4 = A2 @ A2
+    A6 = A4 @ A2
+    U, V = _pade13(As, A2, A4, A6, ident)
+    P = V + U
+    Q = V - U
+    R = jnp.linalg.solve(Q, P)
+
+    # uniform squaring: R <- R^2, s times. s is one scalar for the whole
+    # batch, so this while_loop has uniform trip count across the ensemble.
+    def cond(c):
+        i, _ = c
+        return i < s
+
+    def body(c):
+        i, Rc = c
+        return i + 1, Rc @ Rc
+
+    _, R = jax.lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), R))
+    return R
+
+
+def expm_frechet(A: jax.Array, E: jax.Array, *,
+                 max_squarings: int = 16) -> jax.Array:
+    """Fréchet derivative L(A, E) = d/ds expm(A + sE)|_0 via the block
+    identity expm([[A, E], [0, A]]) = [[expm(A), L(A, E)], [0, expm(A)]]."""
+    d = A.shape[-1]
+    E = jnp.asarray(E, A.dtype)
+    top = jnp.concatenate([A, E], axis=-1)
+    bot = jnp.concatenate([jnp.zeros_like(A), A], axis=-1)
+    F = _expm_impl(jnp.concatenate([top, bot], axis=-2), max_squarings)
+    return F[..., :d, d:]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _expm_core(A: jax.Array, max_squarings: int) -> jax.Array:
+    return _expm_impl(A, max_squarings)
+
+
+def _expm_fwd(A, max_squarings):
+    return _expm_impl(A, max_squarings), A
+
+
+def _expm_bwd(max_squarings, A, G):
+    # adjoint of the Fréchet derivative: L*(A, G) = L(A^H, G) — exp has real
+    # Taylor coefficients, so the adjoint is the Fréchet derivative at the
+    # conjugate transpose (Higham 2008, ch. 10).
+    AH = jnp.conj(jnp.swapaxes(A, -1, -2))
+    return (expm_frechet(AH, G, max_squarings=max_squarings),)
+
+
+_expm_core.defvjp(_expm_fwd, _expm_bwd)
+
+
+@partial(jax.jit, static_argnames=("max_squarings",))
+def expm(A: jax.Array, *, max_squarings: int = 16) -> jax.Array:
+    """Matrix exponential of (..., d, d) via Padé-13 scaling-and-squaring.
+
+    Batch-uniform: one squaring count for the whole batch, derived from the
+    max 1-norm (keeps the squaring loop uniform across a vmapped/sharded
+    ensemble). ``max_squarings`` bounds the dynamic squaring loop; matrices
+    needing more squarings than that lose accuracy rather than erroring.
+
+    Reverse-mode differentiable via an exact Fréchet-adjoint VJP (one block
+    2d-by-2d expm), so ``jax.grad`` works through the dynamic squaring loop.
+    For forward-mode sensitivities use :func:`expm_frechet` directly.
+    """
+    return _expm_core(A, max_squarings)
+
+
+def expm_apply(A: jax.Array, x: jax.Array, **kw) -> jax.Array:
+    """exp(A) @ x for (..., d, d) A and (..., d) x."""
+    U = expm(A, **kw)
+    return jnp.einsum("...ij,...j->...i", U, x)
