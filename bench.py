@@ -1,0 +1,104 @@
+"""Headline benchmark: aggregate adaptive RKF45 throughput on a
+16k-trajectory x 64-dim complex ensemble at rtol=1e-8 (BASELINE.md north
+star; the reference publishes no numbers of its own).
+
+Runs on whatever jax.devices() provides (one real TPU chip under the driver;
+a v5e-8 mesh would shard the same program over 8 chips via
+vec_ode_tpu.parallel). Complex states are real-pair (Cplx) because the axon
+TPU backend implements no complex dtypes; the RHS is one fused
+(B, 128) @ (128, 128) real matmul per stage evaluation — exact MXU tiling.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import vec_ode_tpu as vo
+from vec_ode_tpu.models import DrivenDense
+from vec_ode_tpu.ops import cplx as cp
+from vec_ode_tpu.parallel import ensemble_mesh, ensemble_solve, shard_batch
+
+N_TRAJ = 16384
+DIM = 64
+RTOL = 1e-8
+TF = 1.0
+NORTH_STAR = 1.0e6  # aggregate adaptive RKF45 steps/sec (BASELINE.json)
+
+
+def main():
+    n_dev = len(jax.devices())
+    model = DrivenDense.make(d=DIM, seed=0)
+
+    rng = np.random.default_rng(42)
+    psi0 = rng.standard_normal((N_TRAJ, DIM)) + 1j * rng.standard_normal(
+        (N_TRAJ, DIM)
+    )
+    psi0 /= np.linalg.norm(psi0, axis=-1, keepdims=True)
+    y0 = cp.from_complex(psi0, jnp.float32)
+
+    ctl = vo.StepControl(rtol=RTOL, min_dt=1e-6, max_dt=0.25)
+    mesh = ensemble_mesh() if n_dev > 1 else None
+    if mesh is not None:
+        y0 = shard_batch(y0, mesh)
+
+    def rhs(t, y):
+        return model.rhs_pair(t, y, dtype=jnp.float32)
+
+    @jax.jit
+    def run(y0, t0, tf):
+        sol = ensemble_solve(
+            rhs, y0, t0, tf,
+            ctl=ctl, h0=1e-3, adaptive=True,
+            time_dtype=jnp.float32, mesh=mesh,
+        )
+        return sol.n_accept, sol.n_reject, sol.n_iters, sol.y_final
+
+    def run_sync(t0, tf):
+        # materialize on host: the experimental axon tunnel's
+        # block_until_ready can return before execution completes, so force
+        # full device->host transfers as the timing barrier
+        na, nr, ni, yf = run(y0, t0, tf)
+        return (
+            np.asarray(na), np.asarray(nr), np.asarray(ni),
+            float(np.asarray(yf.re[0, 0])),
+        )
+
+    # warmup/compile with identical shapes (tf is traced, so no recompile)
+    run_sync(0.0, 0.02)
+
+    reps = 3
+    t_start = time.perf_counter()
+    for _ in range(reps):
+        na, nr, ni, _ = run_sync(0.0, TF)
+    wall = (time.perf_counter() - t_start) / reps
+
+    total_steps = int(np.sum(na))
+    total_rejects = int(np.sum(nr))
+    steps_per_sec = total_steps / wall
+
+    result = {
+        "metric": (
+            f"aggregate adaptive RKF45 steps/sec, {N_TRAJ}x{DIM}-dim complex"
+            f" ensemble, rtol={RTOL:g}, {n_dev} device(s)"
+        ),
+        "value": round(steps_per_sec, 1),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec / NORTH_STAR, 4),
+        "detail": {
+            "wall_s": round(wall, 3),
+            "accepted_steps": total_steps,
+            "rejected_steps": total_rejects,
+            "rhs_evals_per_sec": round(6 * (total_steps + total_rejects) / wall, 1),
+            "mean_steps_per_traj": round(total_steps / N_TRAJ, 2),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,7 +8,7 @@ states), re-designed TPU-first: pytree vector spaces, branchless
 """
 
 from . import lc, tableaus
-from . import exp, models
+from . import exp, models, parallel
 from .api import solve_ivp, solve_linear
 from .controller import StepControl
 from .driver import (
@@ -49,6 +49,7 @@ __all__ = [
     "tableaus",
     "exp",
     "models",
+    "parallel",
     "solve_ivp",
     "solve_linear",
     "StepControl",

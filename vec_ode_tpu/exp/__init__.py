@@ -5,7 +5,13 @@ operator leaves the reference never shipped (SURVEY.md §1).
 """
 
 from .cfm import CFM, CFM4, CFM4_BLANES17, cfm_exp, cfm_step
-from .leaves import AntiHermitianSplit, DenseSplit, DiagonalSplit
+from .leaves import (
+    AntiHermitianSplit,
+    DenseCplxSplit,
+    DenseSplit,
+    DiagonalCplxSplit,
+    DiagonalSplit,
+)
 from .magnus import ExpMidpoint, Magnus4, magnus4_step, midpoint_step
 from .protocol import ExponentialSplit, index_u
 from .split_solvers import (
@@ -28,6 +34,8 @@ __all__ = [
     "DenseSplit",
     "DiagonalSplit",
     "AntiHermitianSplit",
+    "DenseCplxSplit",
+    "DiagonalCplxSplit",
     "CommutativeSplit",
     "StrangSplit",
     "SemiComplexO4Split",

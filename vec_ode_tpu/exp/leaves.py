@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.expm import expm
+from ..utils.prec import HIGHEST, mm
 from .protocol import ExponentialSplit
 
 
@@ -35,10 +36,10 @@ class DenseSplit(ExponentialSplit):
         return expm(L, max_squarings=self.max_squarings)
 
     def map_exp(self, U, x):
-        return jnp.einsum("...ij,...j->...i", U, x)
+        return jnp.einsum("...ij,...j->...i", U, x, precision=HIGHEST)
 
     def commutator(self, La, Lb):
-        return La @ Lb - Lb @ La
+        return mm(La, Lb) - mm(Lb, La)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,6 +56,87 @@ class DiagonalSplit(ExponentialSplit):
         return jnp.zeros_like(La)
 
 
+class _CplxSplitBase(ExponentialSplit):
+    """Shared operator algebra for real-pair complex splits: the TPU backend
+    has no complex dtypes (see vec_ode_tpu/ops/cplx.py), so operators and
+    states are :class:`~vec_ode_tpu.ops.cplx.Cplx` pairs and the scalar ops
+    route through cscale_any (complex trace-time coefficients, real traced
+    dt)."""
+
+    def scale_l(self, L, k):
+        from ..ops import cplx as cp
+
+        return cp.cscale_any(L, k)
+
+    def add_l(self, La, Lb):
+        return La + Lb
+
+    def lincomb_l(self, Ls, ks):
+        from ..ops import cplx as cp
+
+        acc = cp.cscale_any(Ls[0], ks[0])
+        for L, k in zip(Ls[1:], ks[1:]):
+            acc = acc + cp.cscale_any(L, k)
+        return acc
+
+    def multi_exp(self, L, ks):
+        import numpy as np
+
+        from ..ops import cplx as cp
+
+        ks = np.asarray(ks)
+        scaled = [cp.cscale_any(L, k) for k in ks]
+        stacked = cp.Cplx(
+            jnp.stack([s.re for s in scaled]),
+            jnp.stack([s.im for s in scaled]),
+        )
+        return self.exp(stacked)
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseCplxSplit(_CplxSplitBase):
+    """Dense complex-matrix leaf in real-pair representation.
+
+    L: Cplx of (..., d, d). exp via the real ring embedding (one real
+    (2d, 2d) expm — for d=64 the matmuls are exactly 128-wide MXU tiles).
+    Diagonal Padé is unitary on anti-Hermitian input, so Schrödinger
+    propagators stay norm-conserving to roundoff — use this leaf for
+    quantum problems on TPU (no eigh required)."""
+
+    max_squarings: int = 16
+
+    def exp(self, L):
+        from ..ops import cplx as cp
+
+        return cp.cexpm(L, max_squarings=self.max_squarings)
+
+    def map_exp(self, U, x):
+        from ..ops import cplx as cp
+
+        return cp.cmatvec(U, x)
+
+    def commutator(self, La, Lb):
+        from ..ops import cplx as cp
+
+        return cp.cmatmul(La, Lb) - cp.cmatmul(Lb, La)
+
+
+@dataclasses.dataclass(frozen=True)
+class DiagonalCplxSplit(_CplxSplitBase):
+    """Diagonal complex leaf in real-pair representation. L: Cplx (..., d)."""
+
+    def exp(self, L):
+        from ..ops import cplx as cp
+
+        return cp.cexp(L)
+
+    def map_exp(self, U, x):
+        return U * x
+
+    def commutator(self, La, Lb):
+        return jax.tree_util.tree_map(jnp.zeros_like, La)
+
+
 @dataclasses.dataclass(frozen=True)
 class AntiHermitianSplit(ExponentialSplit):
     """Anti-Hermitian operator leaf (L† = -L), e.g. L = -i*dt*H(t).
@@ -69,11 +151,12 @@ class AntiHermitianSplit(ExponentialSplit):
         w, V = jnp.linalg.eigh(H)
         phase = jnp.exp(-1j * w.astype(L.dtype))
         return jnp.einsum(
-            "...ik,...k,...jk->...ij", V, phase, jnp.conj(V)
+            "...ik,...k,...jk->...ij", V, phase, jnp.conj(V),
+            precision=HIGHEST,
         )
 
     def map_exp(self, U, x):
-        return jnp.einsum("...ij,...j->...i", U, x)
+        return jnp.einsum("...ij,...j->...i", U, x, precision=HIGHEST)
 
     def commutator(self, La, Lb):
-        return La @ Lb - Lb @ La
+        return mm(La, Lb) - mm(Lb, La)

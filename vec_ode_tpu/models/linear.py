@@ -31,7 +31,9 @@ class LinearConstant:
     A: jnp.ndarray
 
     def rhs(self, t, y):
-        return self.A @ y
+        from ..utils.prec import HIGHEST
+
+        return jnp.einsum("ij,...j->...i", self.A, y, precision=HIGHEST)
 
     def op(self, t):
         return self.A

@@ -27,6 +27,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..utils.prec import mm
+
 # Padé-13 coefficients (Higham 2005, "The scaling and squaring method for the
 # matrix exponential revisited") — standard published constants.
 _PADE13_B = (
@@ -53,12 +55,12 @@ _THETA13_F32 = 4.25  # f32 analog (Higham tab. for single precision, m=13)
 
 def _pade13(A, A2, A4, A6, ident):
     b = _PADE13_B
-    U = A @ (
-        A6 @ (b[13] * A6 + b[11] * A4 + b[9] * A2)
+    U = mm(A, (
+        mm(A6, b[13] * A6 + b[11] * A4 + b[9] * A2)
         + b[7] * A6 + b[5] * A4 + b[3] * A2 + b[1] * ident
-    )
+    ))
     V = (
-        A6 @ (b[12] * A6 + b[10] * A4 + b[8] * A2)
+        mm(A6, b[12] * A6 + b[10] * A4 + b[8] * A2)
         + b[6] * A6 + b[4] * A4 + b[2] * A2 + b[0] * ident
     )
     return U, V
@@ -84,9 +86,9 @@ def _expm_impl(A: jax.Array, max_squarings: int) -> jax.Array:
     As = A * scale.astype(A.dtype)
 
     ident = jnp.broadcast_to(jnp.eye(d, dtype=A.dtype), A.shape)
-    A2 = As @ As
-    A4 = A2 @ A2
-    A6 = A4 @ A2
+    A2 = mm(As, As)
+    A4 = mm(A2, A2)
+    A6 = mm(A4, A2)
     U, V = _pade13(As, A2, A4, A6, ident)
     P = V + U
     Q = V - U
@@ -100,7 +102,7 @@ def _expm_impl(A: jax.Array, max_squarings: int) -> jax.Array:
 
     def body(c):
         i, Rc = c
-        return i + 1, Rc @ Rc
+        return i + 1, mm(Rc, Rc)
 
     _, R = jax.lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), R))
     return R

@@ -1,0 +1,120 @@
+"""Ensemble propagation: many independent trajectories, batched and sharded.
+
+The reference is a single-trajectory, single-thread integrator; its only
+scaling axis is running many independent trajectories externally (SURVEY.md
+§5 "long-context/sequence parallelism" entry). Here that becomes a
+first-class execution model:
+
+  * ``ensemble_solve`` — ``vmap`` of the full while_loop driver: each
+    trajectory carries its own (t, h, save-cursor, status); the batched loop
+    body is masked per-trajectory and runs until all trajectories in the
+    shard finish (SURVEY §7 hard-part #1).
+  * with a ``jax.sharding.Mesh``, the batch axis is sharded over devices via
+    ``shard_map``. Trajectories are embarrassingly parallel, so the mapped
+    body contains NO collectives — each device runs its own while_loop and
+    finishes independently (no cross-device straggler sync until the final
+    gather of results).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import lc
+from ..controller import StepControl
+from ..driver import Solution, integrate, make_grid
+from ..rk import RungeKutta
+
+Pytree = Any
+
+
+def ensemble_solve(
+    rhs_or_op: Callable,
+    y0_batch: Pytree,
+    t0,
+    tf,
+    *,
+    stepper=None,
+    h0: Optional[float] = None,
+    adaptive: bool = True,
+    ctl: StepControl = StepControl(),
+    save_at=None,
+    error_norm: Callable = lc.norm_l2,
+    time_dtype=None,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "traj",
+    method: str = "while",
+) -> Solution:
+    """Integrate a batch of independent trajectories (leading axis of every
+    leaf of ``y0_batch``).
+
+    ``rhs_or_op`` is the per-trajectory RHS ``f(t, y)`` (RK steppers) or
+    operator assembly ``op_fn(t)`` (exp steppers) — unbatched; the ensemble
+    dimension comes from ``vmap``. With ``mesh``, the batch axis must divide
+    the mesh size and is sharded across devices (ICI) via ``shard_map``.
+    """
+    if stepper is None:
+        stepper = RungeKutta()
+    if time_dtype is None:
+        time_dtype = jnp.result_type(jnp.asarray(t0), jnp.asarray(tf), float)
+    t_grid = make_grid(t0, tf, save_at, dtype=time_dtype)
+    if h0 is None:
+        h0 = ctl.init_h()
+    step_fn = stepper.make_step_fn(rhs_or_op)
+
+    single = partial(
+        integrate,
+        step_fn,
+        t_grid=t_grid,
+        h0=h0,
+        adaptive=adaptive,
+        ctl=ctl,
+        error_norm=error_norm,
+        method=method,
+    )
+    batched = jax.vmap(lambda y0: single(y0))
+
+    if mesh is None:
+        return batched(y0_batch)
+
+    n_shards = mesh.devices.size
+    lead = jax.tree_util.tree_leaves(y0_batch)[0].shape[0]
+    if lead % n_shards != 0:
+        raise ValueError(
+            f"ensemble size {lead} must divide the mesh size {n_shards}"
+        )
+    mesh_axis = mesh.axis_names[0]
+    sharded = jax.shard_map(
+        batched,
+        mesh=mesh,
+        in_specs=P(mesh_axis),
+        out_specs=P(mesh_axis),
+        check_vma=False,
+    )
+    return sharded(y0_batch)
+
+
+def ensemble_mesh(n_devices: Optional[int] = None, axis: str = "traj") -> Mesh:
+    """1-D device mesh over all (or the first n) local devices — the ICI
+    layout for trajectory sharding."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def shard_batch(y0_batch: Pytree, mesh: Mesh) -> Pytree:
+    """Place a host batch with its leading axis sharded over the mesh, so the
+    subsequent ensemble_solve runs without a gather."""
+    axis = mesh.axis_names[0]
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sharding), y0_batch
+    )

@@ -65,18 +65,24 @@ def rk_step(
             xi = x0
         K[i] = f(ti, xi)
 
-    def combo(w):
+    def combo(w, base=None):
         idx = [j for j in range(s) if w[j] != 0.0]
         acc = lc.lincomb([K[j] for j in idx], [float(w[j]) for j in idx])
-        return lc.axpy(dt, acc, x0)
+        if base is None:
+            return lc.scale(acc, dt)
+        return lc.axpy(dt, acc, base)
 
-    x_b = combo(tab.b)
+    x_b = combo(tab.b, x0)
     if not embedded or tab.b_err is None:
         return x_b, None
 
-    x_berr = combo(tab.b_err)
-    err = lc.sub(x_b, x_berr)
-    x_next = x_berr if advance_lower else x_b
+    # err = dt * sum (b_i - berr_i) K_i, computed DIRECTLY from the weight
+    # difference rather than as x_b - x_berr (the reference's formulation,
+    # rk.rs:136-151): mathematically identical, but free of the catastrophic
+    # cancellation that floors the estimate at eps*|x| — essential for tight
+    # rtol in f32 on TPU.
+    err = combo(tab.b - tab.b_err)
+    x_next = lc.sub(x_b, err) if advance_lower else x_b
     return x_next, err
 
 

@@ -1,0 +1,5 @@
+"""Utilities: precision policy, profiling helpers."""
+
+from . import prec
+
+__all__ = ["prec"]
