@@ -46,17 +46,47 @@ def main():
     if mesh is not None:
         y0 = shard_batch(y0, mesh)
 
-    def rhs(t, y):
-        return model.rhs_pair(t, y, dtype=jnp.float32)
+    # Pallas-fused RK step: the entire 6-stage step + error norm in one
+    # kernel per trajectory tile (ops/pallas_rk.py)
+    from vec_ode_tpu.ops.pallas_rk import FusedModulatedLinearRK
 
-    @jax.jit
-    def run(y0, t0, tf):
+    stepper = FusedModulatedLinearRK.from_driven_dense(model, jnp.float32)
+
+    REPS = 8  # chained full solves per call: amortizes the ~100ms fixed
+              # dispatch latency of the experimental device tunnel
+
+    def solve_once(y0, t0, tf):
         sol = ensemble_solve(
-            rhs, y0, t0, tf,
+            None, y0, t0, tf,
+            stepper=stepper,
             ctl=ctl, h0=1e-3, adaptive=True,
             time_dtype=jnp.float32, mesh=mesh,
         )
-        return sol.n_accept, sol.n_reject, sol.n_iters, sol.y_final
+        return sol
+
+    @jax.jit
+    def run(y0, t0, tf):
+        def body(carry, _):
+            y, acc, rej, it = carry
+            sol = solve_once(y, t0, tf)
+            # renormalize and chain: next rep integrates from the final state
+            n = jnp.sqrt(
+                jnp.sum(sol.y_final.re**2 + sol.y_final.im**2,
+                        axis=-1, keepdims=True)
+            )
+            y_next = cp.Cplx(sol.y_final.re / n, sol.y_final.im / n)
+            return (
+                (y_next, acc + sol.n_accept, rej + sol.n_reject,
+                 it + sol.n_iters),
+                None,
+            )
+
+        zeros = jnp.zeros((jax.tree_util.tree_leaves(y0)[0].shape[0],),
+                          jnp.int32)
+        (yf, acc, rej, it), _ = jax.lax.scan(
+            body, (y0, zeros, zeros, zeros), None, length=REPS
+        )
+        return acc, rej, it, yf
 
     def run_sync(t0, tf):
         # materialize on host: the experimental axon tunnel's

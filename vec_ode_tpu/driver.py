@@ -86,25 +86,37 @@ def init_state(
     x0: Pytree,
     t_grid: jax.Array,
     h0,
+    batch_shape: tuple = (),
 ) -> IntState:
-    """Initialize the loop carry (the ODEData::new analog, ode.rs:141-150)."""
+    """Initialize the loop carry (the ODEData::new analog, ode.rs:141-150).
+
+    ``batch_shape`` != () builds a natively-batched carry: every per-
+    trajectory scalar (t, h, cursor, status, counters) gets that leading
+    shape, and each x0 leaf must already carry it. This is the hot ensemble
+    path — one driver loop over a batched step_fn (e.g. a Pallas fused step),
+    no vmap required.
+    """
     tdt = t_grid.dtype
-    t0 = t_grid[0]
-    h0 = jnp.asarray(h0, tdt)
     n_grid = t_grid.shape[0]
+    t0 = jnp.broadcast_to(t_grid[0], batch_shape)
+    h0 = jnp.broadcast_to(jnp.asarray(h0, tdt), batch_shape)
     ys = jax.tree_util.tree_map(
-        lambda a: jnp.zeros((n_grid,) + jnp.shape(a), jnp.asarray(a).dtype), x0
+        lambda a: jnp.zeros(
+            batch_shape + (n_grid,) + jnp.shape(a)[len(batch_shape):],
+            jnp.asarray(a).dtype,
+        ),
+        x0,
     )
-    zero_i = jnp.zeros((), jnp.int32)
+    zero_i = jnp.zeros(batch_shape, jnp.int32)
     return IntState(
         t=t0,
         x=x0,
         h=h0,
         prev_h=h0,
         tgt_idx=zero_i,
-        status=jnp.zeros((), jnp.int32),
+        status=zero_i,
         last_event=zero_i,
-        err_norm=jnp.zeros((), tdt),
+        err_norm=jnp.zeros(batch_shape, tdt),
         n_accept=zero_i,
         n_reject=zero_i,
         n_iters=zero_i,
@@ -120,12 +132,18 @@ def step_once(
     adaptive: bool,
     ctl: StepControl,
     error_norm: Callable = lc.norm_l2,
+    batched: bool = False,
 ) -> IntState:
     """One driver iteration = one ``ODESolver::step()`` /
     ``step_adaptive()`` (ode.rs:249-253, 337-341), fully branchless.
 
     ``step_fn(t, x, dt) -> (x_next, err)`` is the stepper kernel; ``err`` may
     be None for fixed-only steppers. ``adaptive`` and ``ctl`` are static.
+
+    ``batched=True`` runs the natively-batched carry (see ``init_state``):
+    t/h/status carry a leading batch axis, ``step_fn`` must be batched, and
+    ``error_norm`` must reduce per trajectory (``lc.norm_l2_batched``, or the
+    identity if the stepper already returns per-trajectory error norms).
     """
     t_grid = state.ts_grid
     n_grid = t_grid.shape[0]
@@ -170,15 +188,31 @@ def step_once(
     tgt_idx = jnp.where(at_grid & running, state.tgt_idx + 1, state.tgt_idx)
 
     # record (t, x) on grid-hit iterations (Chkpt/End emission points)
-    def record(buf, leaf):
-        return jax.lax.cond(
-            at_grid & running,
-            lambda b: jax.lax.dynamic_update_index_in_dim(b, leaf, idx, 0),
-            lambda b: b,
-            buf,
-        )
+    if batched:
+        # per-trajectory cursor: one-hot select over the small save grid
+        hit = (
+            jax.lax.broadcasted_iota(jnp.int32, idx.shape + (n_grid,),
+                                     idx.ndim)
+            == idx[..., None]
+        ) & (at_grid & running)[..., None]                 # (B, n_grid)
 
-    ys = jax.tree_util.tree_map(record, state.ys, state.x)
+        def record(buf, leaf):
+            m = hit.reshape(hit.shape + (1,) * (leaf.ndim - idx.ndim))
+            return jnp.where(m, jnp.expand_dims(leaf, idx.ndim), buf)
+
+        ys = jax.tree_util.tree_map(record, state.ys, state.x)
+    else:
+        def record(buf, leaf):
+            return jax.lax.cond(
+                at_grid & running,
+                lambda b: jax.lax.dynamic_update_index_in_dim(
+                    b, leaf, idx, 0
+                ),
+                lambda b: b,
+                buf,
+            )
+
+        ys = jax.tree_util.tree_map(record, state.ys, state.x)
 
     status = jnp.where(is_end, DONE, state.status)
     n_iters = state.n_iters + jnp.where(running, 1, 0).astype(jnp.int32)
@@ -255,6 +289,7 @@ def integrate(
     ctl: StepControl = StepControl(),
     error_norm: Callable = lc.norm_l2,
     method: str = "while",
+    batch_shape: tuple = (),
 ) -> Solution:
     """Run the full integration loop over [t_grid[0], t_grid[-1]].
 
@@ -272,10 +307,10 @@ def integrate(
         rematerialization-friendly via ``jax.checkpoint``. Pick a tight
         ``ctl.max_steps`` — every iteration costs a stepper evaluation.
     """
-    state = init_state(x0, t_grid, h0)
+    state = init_state(x0, t_grid, h0, batch_shape=batch_shape)
     body = partial(
         step_once, step_fn=step_fn, adaptive=adaptive, ctl=ctl,
-        error_norm=error_norm,
+        error_norm=error_norm, batched=bool(batch_shape),
     )
 
     if method == "while":

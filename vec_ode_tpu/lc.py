@@ -112,6 +112,19 @@ def norm_max(v: Pytree):
     return _reduce_leaves(v, lambda a: jnp.max(jnp.abs(a)), jnp.maximum)
 
 
+def norm_l2_batched(v: Pytree):
+    """Per-trajectory L2 norm: reduce every axis except the leading batch
+    axis of each leaf. For natively-batched driver states (B, ...)."""
+    leaves = jax.tree_util.tree_leaves(v)
+    acc = None
+    for a in leaves:
+        s = jnp.sum(
+            jnp.real(a * jnp.conj(a)), axis=tuple(range(1, a.ndim))
+        )
+        acc = s if acc is None else acc + s
+    return jnp.sqrt(acc)
+
+
 def norm_rms(v: Pytree):
     """RMS norm: L2 / sqrt(n)."""
     n = sum(a.size for a in jax.tree_util.tree_leaves(v))

@@ -3,5 +3,15 @@
 from . import cplx
 from .cplx import Cplx
 from .expm import expm, expm_apply, expm_frechet
+from .pallas_rk import FusedModulatedLinearRK, fused_rk_step, xla_rk_step
 
-__all__ = ["cplx", "Cplx", "expm", "expm_apply", "expm_frechet"]
+__all__ = [
+    "cplx",
+    "Cplx",
+    "expm",
+    "expm_apply",
+    "expm_frechet",
+    "FusedModulatedLinearRK",
+    "fused_rk_step",
+    "xla_rk_step",
+]

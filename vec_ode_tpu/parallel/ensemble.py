@@ -67,17 +67,38 @@ def ensemble_solve(
         h0 = ctl.init_h()
     step_fn = stepper.make_step_fn(rhs_or_op)
 
-    single = partial(
-        integrate,
-        step_fn,
-        t_grid=t_grid,
-        h0=h0,
-        adaptive=adaptive,
-        ctl=ctl,
-        error_norm=error_norm,
-        method=method,
-    )
-    batched = jax.vmap(lambda y0: single(y0))
+    if getattr(stepper, "is_batched", False):
+        # natively-batched stepper (e.g. the Pallas fused RK step): one
+        # driver loop over the whole (local) batch, no vmap
+        enorm = getattr(stepper, "error_norm", None) or lc.norm_l2_batched
+
+        def batched(y0):
+            import dataclasses as dc
+
+            b = jax.tree_util.tree_leaves(y0)[0].shape[0]
+            sol = integrate(
+                step_fn, y0, t_grid, h0,
+                adaptive=adaptive, ctl=ctl,
+                error_norm=enorm, method=method,
+                batch_shape=(b,),
+            )
+            # match the vmap path's output batching (uniform out_specs under
+            # shard_map): broadcast the shared save grid per trajectory
+            return dc.replace(
+                sol, ts=jnp.broadcast_to(sol.ts, (b,) + sol.ts.shape)
+            )
+    else:
+        single = partial(
+            integrate,
+            step_fn,
+            t_grid=t_grid,
+            h0=h0,
+            adaptive=adaptive,
+            ctl=ctl,
+            error_norm=error_norm,
+            method=method,
+        )
+        batched = jax.vmap(lambda y0: single(y0))
 
     if mesh is None:
         return batched(y0_batch)
