@@ -1,0 +1,181 @@
+// vecode_oracle: C++ implementation of the reference's adaptive RKF45
+// integration semantics, used as an independent cross-language parity oracle
+// for the JAX framework's controller/driver (tests/test_oracle_parity.py).
+//
+// Semantics reproduced from /root/reference (Rust), re-implemented here:
+//   * Fehlberg RKF45 tableau (dat/mod.rs:9-27), both the reference's literal
+//     a[5][2] = -3544/2526 and the corrected -3544/2565 (flag).
+//   * rk_step stage loop (base/rk.rs:90-155): adaptive advances the
+//     LOWER-order (b_err) solution, err = x5 - x4.
+//   * step controller (base/ode.rs:311-334): f = rtol/||err||,
+//     fp = clamp(alpha * f^(1/3), 0.3, 2.0), h = clamp(fp*h, min_dt, max_dt),
+//     reject iff f <= 1; atol ignored (reference quirk).
+//   * t_list = [t0, tf] grid hitting with dt truncation and prev_h
+//     restoration (base/ode.rs:165-205).
+//
+// Exposed as a C ABI for ctypes. Linear RHS y' = A y (row-major A) keeps the
+// oracle callback-free; an event trace (1=step, 2=chkpt, 3=reject, 4=end)
+// is returned for exact controller-sequence comparison.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Tableau {
+  double a[6][6];
+  double b[6];
+  double berr[6];
+  double c[6];
+};
+
+Tableau make_rkf45(bool reference_typo) {
+  Tableau t{};
+  const double a52 = reference_typo ? -3544.0 / 2526.0 : -3544.0 / 2565.0;
+  const double araw[6][6] = {
+      {0, 0, 0, 0, 0, 0},
+      {1.0 / 4, 0, 0, 0, 0, 0},
+      {3.0 / 32, 9.0 / 32, 0, 0, 0, 0},
+      {1932.0 / 2197, -7200.0 / 2197, 7296.0 / 2197, 0, 0, 0},
+      {439.0 / 216, -8.0, 3680.0 / 513, -845.0 / 4104, 0, 0},
+      {-8.0 / 27, 2.0, a52, 1859.0 / 4104, -11.0 / 40, 0},
+  };
+  std::memcpy(t.a, araw, sizeof(araw));
+  const double b[6] = {16.0 / 135, 0.0, 6656.0 / 12825, 28561.0 / 56430,
+                       -9.0 / 50, 2.0 / 55};
+  const double berr[6] = {25.0 / 216, 0.0, 1408.0 / 2565, 2197.0 / 4104,
+                          -1.0 / 5, 0.0};
+  const double c[6] = {0.0, 1.0 / 4, 3.0 / 8, 12.0 / 13, 1.0, 1.0 / 2};
+  std::memcpy(t.b, b, sizeof(b));
+  std::memcpy(t.berr, berr, sizeof(berr));
+  std::memcpy(t.c, c, sizeof(c));
+  return t;
+}
+
+// y' = A y, row-major A.
+void matvec(int d, const double* A, const double* y, double* out) {
+  for (int i = 0; i < d; ++i) {
+    double acc = 0.0;
+    const double* row = A + static_cast<size_t>(i) * d;
+    for (int j = 0; j < d; ++j) acc += row[j] * y[j];
+    out[i] = acc;
+  }
+}
+
+double norm2(int d, const double* v) {
+  double acc = 0.0;
+  for (int i = 0; i < d; ++i) acc += v[i] * v[i];
+  return std::sqrt(acc);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns final status: 1 = done, 2 = max_steps exhausted.
+// events (optional, len >= max_steps): per-iteration event codes.
+int vecode_solve_linear_rkf45(
+    int dim, const double* A, const double* y0, double t0, double tf,
+    double h0, double rtol, double min_dt, double max_dt, double alpha,
+    double order, int adaptive, int reference_typo, int advance_lower,
+    int max_steps,
+    // outputs
+    double* y_final, double* t_final, double* h_final, int* n_accept,
+    int* n_reject, int* n_events, int8_t* events) {
+  const Tableau tab = make_rkf45(reference_typo != 0);
+  std::vector<double> x(y0, y0 + dim), xs(dim), xf(dim), err(dim);
+  std::vector<std::vector<double>> K(6, std::vector<double>(dim));
+
+  double t = t0, h = h0, prev_h = h0;
+  int tgt = 0;  // t_list = [t0, tf]; cursor starts at t0 (reference ode.rs:144)
+  const double t_list[2] = {t0, tf};
+  int acc_n = 0, rej_n = 0, ev_n = 0;
+  const double pw = 1.0 / order;
+
+  for (int it = 0; it < max_steps; ++it) {
+    // step_size_of (ode.rs:165-176)
+    if (tgt > 1) break;  // End already consumed
+    const double chk = t_list[tgt];
+    const double rem = chk - t;
+    const double end_eps =
+        4.0 * 2.220446049250313e-16 * std::max(1.0, std::fabs(chk));
+    if (std::fabs(rem) <= end_eps) {
+      // Chkpt or End (checkpoint_update: tgt+=1, h = prev_h, ode.rs:192-195)
+      tgt += 1;
+      h = prev_h;
+      if (events) events[ev_n] = (tgt > 1) ? 4 : 2;
+      ev_n++;
+      if (tgt > 1) break;  // End -> Done
+      continue;
+    }
+    double dt = std::min(h, rem);
+
+    // rk_step (rk.rs:90-155)
+    matvec(dim, A, x.data(), K[0].data());
+    for (int i = 1; i < 6; ++i) {
+      for (int k = 0; k < dim; ++k) {
+        double acc = 0.0;
+        for (int j = 0; j < i; ++j) acc += tab.a[i][j] * K[j][k];
+        xs[k] = x[k] + dt * acc;
+      }
+      matvec(dim, A, xs.data(), K[i].data());
+    }
+    for (int k = 0; k < dim; ++k) {
+      double accb = 0.0, acce = 0.0;
+      for (int j = 0; j < 6; ++j) {
+        accb += tab.b[j] * K[j][k];
+        acce += (tab.b[j] - tab.berr[j]) * K[j][k];
+      }
+      const double xb = x[k] + dt * accb;
+      err[k] = dt * acce;
+      xf[k] = advance_lower ? (xb - err[k]) : xb;
+    }
+
+    bool do_accept = true;
+    if (adaptive) {
+      // handle_step_adaptive (ode.rs:311-334)
+      const double dx_norm = norm2(dim, err.data());
+      const double f = rtol / dx_norm;  // inf if dx_norm == 0
+      double fp = alpha * std::pow(f, pw);
+      fp = std::min(std::max(fp, 0.3), 2.0);
+      const double new_h = std::min(std::max(fp * h, min_dt), max_dt);
+      prev_h = h;
+      h = new_h;
+      do_accept = f > 1.0;
+    }
+    if (do_accept) {
+      x = xf;
+      t += dt;
+      ++acc_n;
+      if (events) events[ev_n] = 1;
+    } else {
+      ++rej_n;
+      if (events) events[ev_n] = 3;
+    }
+    ev_n++;
+  }
+
+  std::memcpy(y_final, x.data(), sizeof(double) * dim);
+  *t_final = t;
+  *h_final = h;
+  *n_accept = acc_n;
+  *n_reject = rej_n;
+  *n_events = ev_n;
+  return (tgt > 1) ? 1 : 2;
+}
+
+// Standalone controller decision for table-driven parity tests
+// (ode.rs:311-334). Returns 1=accept, 0=reject; writes new_h.
+int vecode_controller_update(double h, double dx_norm, double rtol,
+                             double alpha, double order, double min_dt,
+                             double max_dt, double* new_h) {
+  const double f = rtol / dx_norm;
+  double fp = alpha * std::pow(f, 1.0 / order);
+  fp = std::min(std::max(fp, 0.3), 2.0);
+  *new_h = std::min(std::max(fp * h, min_dt), max_dt);
+  return f > 1.0 ? 1 : 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,115 @@
+"""Cross-language golden parity: the JAX driver vs the native C++ oracle.
+
+The oracle (native/vecode_oracle.cc) independently implements the reference's
+adaptive RKF45 semantics (tableau, lower-order advance, rtol-only controller,
+t_list grid hitting). Trajectories, step counts, AND the per-iteration
+event sequence must match the JAX driver in f64.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vec_ode_tpu as vo
+from vec_ode_tpu.models import stable_dense_matrix
+from vec_ode_tpu.utils import oracle
+
+
+@pytest.fixture(scope="module")
+def lib():
+    return oracle.load()
+
+
+def jax_events(A, y0, t0, tf, h0, ctl, adaptive=True, n_max=100000):
+    from vec_ode_tpu.rk import rk_step
+
+    def rhs(t, y):
+        return jnp.einsum(
+            "ij,j->i", A, y, precision=jax.lax.Precision.HIGHEST
+        )
+
+    def step_fn(t, x, dt):
+        return rk_step(rhs, t, x, dt, vo.RKF45)
+
+    t_grid = vo.make_grid(t0, tf, dtype=jnp.float64)
+    state = vo.init_state(jnp.asarray(y0, jnp.float64), t_grid, h0)
+    step = jax.jit(
+        functools.partial(
+            vo.step_once, step_fn=step_fn, adaptive=adaptive, ctl=ctl
+        )
+    )
+    events = []
+    for _ in range(n_max):
+        state = step(state)
+        events.append(int(state.last_event))
+        if int(state.status) != vo.RUNNING:
+            break
+    return state, events
+
+
+def test_controller_table_parity(lib):
+    from vec_ode_tpu.controller import StepControl, controller_update
+
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        h = 10.0 ** rng.uniform(-6, 0)
+        dx = 10.0 ** rng.uniform(-12, 0)
+        got_h, got_acc = controller_update(
+            jnp.asarray(h, jnp.float64), jnp.asarray(dx, jnp.float64),
+            StepControl(),
+        )
+        want_h, want_acc = oracle.controller_update(h, dx)
+        np.testing.assert_allclose(float(got_h), want_h, rtol=5e-16)
+        assert bool(got_acc) == want_acc, (h, dx)
+
+
+@pytest.mark.parametrize("adaptive", [True, False])
+def test_trajectory_and_event_parity_8dim(lib, adaptive):
+    # BASELINE config 1: adaptive RKF45, 8-dim f64 linear ODE y'=Ay
+    A = np.asarray(stable_dense_matrix(8, seed=3), np.float64)
+    y0 = np.linspace(0.3, 1.0, 8)
+    ctl = vo.StepControl(rtol=1e-6, min_dt=1e-6, max_dt=0.5)
+    h0 = 1e-3
+
+    want = oracle.solve_linear_rkf45(
+        A, y0, 0.0, 2.0, h0, rtol=1e-6, min_dt=1e-6, max_dt=0.5,
+        adaptive=adaptive,
+    )
+    state, events = jax_events(A, y0, 0.0, 2.0, h0, ctl, adaptive=adaptive)
+
+    assert int(state.status) == vo.DONE
+    assert want["status"] == 1
+    # identical event sequences (accept/reject/chkpt/end ordering)
+    np.testing.assert_array_equal(np.asarray(events, np.int8), want["events"])
+    assert int(state.n_accept) == want["n_accept"]
+    assert int(state.n_reject) == want["n_reject"]
+    np.testing.assert_allclose(float(state.t), want["t_final"], rtol=1e-15)
+    np.testing.assert_allclose(
+        np.asarray(state.x), want["y_final"], rtol=1e-12, atol=1e-14
+    )
+    np.testing.assert_allclose(float(state.h), want["h_final"], rtol=1e-12)
+
+
+def test_reference_typo_inflates_error_estimate(lib):
+    # with the reference's a[5][2] literal the error estimate is inflated ->
+    # strictly more steps at the same tolerance (documents the quirk)
+    A = np.asarray(stable_dense_matrix(4, seed=5), np.float64)
+    y0 = np.ones(4)
+    base = oracle.solve_linear_rkf45(
+        A, y0, 0.0, 1.0, 1e-3, rtol=1e-8, max_dt=0.5,
+        reference_typo=False,
+    )
+    typo = oracle.solve_linear_rkf45(
+        A, y0, 0.0, 1.0, 1e-3, rtol=1e-8, max_dt=0.5,
+        reference_typo=True,
+    )
+    assert typo["n_accept"] > base["n_accept"]
+    # both still land on the right answer (b_err never weights K6)
+    import scipy.linalg
+
+    exact = scipy.linalg.expm(A) @ y0
+    np.testing.assert_allclose(base["y_final"], exact, atol=1e-7)
+    np.testing.assert_allclose(typo["y_final"], exact, atol=1e-7)

@@ -8,12 +8,13 @@ states), re-designed TPU-first: pytree vector spaces, branchless
 """
 
 from . import lc, tableaus
-from . import exp, models, parallel
+from . import diff, exp, models, parallel, quad
 from .api import solve_ivp, solve_linear
 from .controller import StepControl
 from .driver import (
     DONE,
     ERR_MAX_STEPS,
+    ERR_STALLED,
     EVT_CHKPT,
     EVT_END,
     EVT_NONE,
@@ -25,6 +26,7 @@ from .driver import (
     init_state,
     integrate,
     make_grid,
+    resume,
     step_once,
 )
 from .rk import RungeKutta, rk_step
@@ -47,15 +49,18 @@ __version__ = "0.1.0"
 __all__ = [
     "lc",
     "tableaus",
+    "diff",
     "exp",
     "models",
     "parallel",
+    "quad",
     "solve_ivp",
     "solve_linear",
     "StepControl",
     "Solution",
     "IntState",
     "integrate",
+    "resume",
     "init_state",
     "step_once",
     "make_grid",
@@ -75,6 +80,7 @@ __all__ = [
     "RUNNING",
     "DONE",
     "ERR_MAX_STEPS",
+    "ERR_STALLED",
     "EVT_NONE",
     "EVT_STEP",
     "EVT_CHKPT",

@@ -52,6 +52,10 @@ class StepControl:
     max_dt: float = 1.0
     scaled_error: bool = False   # extension: use err/(atol + rtol*|x|) norm
     max_steps: int = 1_000_000
+    # surface reject livelocks (h pinned at min_dt, f <= 1 forever) as
+    # ERR_STALLED after this many consecutive rejects; 0 = reference
+    # behavior (silent livelock until max_steps)
+    max_reject_streak: int = 0
 
     def __post_init__(self):
         if self.rtol <= 0 or self.atol <= 0:

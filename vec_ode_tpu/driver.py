@@ -42,6 +42,9 @@ Pytree = Any
 RUNNING = 0
 DONE = 1
 ERR_MAX_STEPS = 2
+ERR_STALLED = 3   # reject streak at/below min_dt (the reference livelocks
+                  # silently here, SURVEY §5 'failure detection'; we surface
+                  # it when StepControl.max_reject_streak > 0)
 
 # Event codes: which ODEStep branch the last iteration took (ode.rs:42-48).
 EVT_NONE = 0
@@ -65,6 +68,7 @@ class IntState(NamedTuple):
     n_accept: jax.Array
     n_reject: jax.Array
     n_iters: jax.Array
+    reject_streak: jax.Array  # consecutive rejects (livelock detector)
     ys: Pytree            # (n_grid, ...) recorded states at the save grid
     ts_grid: jax.Array    # (n_grid,) save grid, ts_grid[0]=t0, [-1]=tf
 
@@ -120,6 +124,7 @@ def init_state(
         n_accept=zero_i,
         n_reject=zero_i,
         n_iters=zero_i,
+        reject_streak=zero_i,
         ys=ys,
         ts_grid=t_grid,
     )
@@ -219,6 +224,15 @@ def step_once(
     status = jnp.where(
         (status == RUNNING) & (n_iters >= ctl.max_steps), ERR_MAX_STEPS, status
     )
+    streak = jnp.where(
+        do_reject, state.reject_streak + 1,
+        jnp.where(do_advance, 0, state.reject_streak),
+    ).astype(jnp.int32)
+    if ctl.max_reject_streak > 0:
+        status = jnp.where(
+            (status == RUNNING) & (streak >= ctl.max_reject_streak),
+            ERR_STALLED, status,
+        )
 
     event = jnp.where(
         is_end,
@@ -244,6 +258,7 @@ def step_once(
         n_accept=state.n_accept + do_advance.astype(jnp.int32),
         n_reject=state.n_reject + do_reject.astype(jnp.int32),
         n_iters=n_iters,
+        reject_streak=streak,
         ys=ys,
         ts_grid=state.ts_grid,
     )
@@ -308,9 +323,29 @@ def integrate(
         ``ctl.max_steps`` — every iteration costs a stepper evaluation.
     """
     state = init_state(x0, t_grid, h0, batch_shape=batch_shape)
+    return resume(
+        state, step_fn, adaptive=adaptive, ctl=ctl, error_norm=error_norm,
+        method=method, batched=bool(batch_shape),
+    )
+
+
+def resume(
+    state: IntState,
+    step_fn: Callable,
+    *,
+    adaptive: bool = True,
+    ctl: StepControl = StepControl(),
+    error_norm: Callable = lc.norm_l2,
+    method: str = "while",
+    batched: bool = False,
+) -> Solution:
+    """Continue integration from an existing carry — the checkpoint/resume
+    path (SURVEY §5): save an IntState mid-run (orbax or any pytree
+    serializer), restore it later, and resume; the save-grid cursor, step
+    size and counters all carry over."""
     body = partial(
         step_once, step_fn=step_fn, adaptive=adaptive, ctl=ctl,
-        error_norm=error_norm, batched=bool(batch_shape),
+        error_norm=error_norm, batched=batched,
     )
 
     if method == "while":
