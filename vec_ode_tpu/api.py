@@ -49,16 +49,30 @@ def solve_ivp(
     to Fehlberg RKF45 (the reference's ``RK45Solver``, rk.rs:158-320).
     ``save_at`` holds interior output times; the driver lands on them exactly
     (the reference's t_list/Chkpt mechanism, ode.rs:165-176).
+
+    Backward integration (tf < t0, unsupported by the reference) works via
+    time reversal: integrate s in [0, t0-tf] with g(s, y) = -f(t0-s, y); the
+    reported ts/t_final are mapped back to user time.
     """
     if stepper is None:
         stepper = RungeKutta()
     if time_dtype is None:
         time_dtype = jnp.result_type(jnp.asarray(t0), jnp.asarray(tf), float)
+    backward = float(tf) < float(t0) if (
+        isinstance(t0, (int, float)) and isinstance(tf, (int, float))
+    ) else False
+    if backward:
+        t0_orig = float(t0)
+        inner_f = f
+        f = lambda s, y: lc.scale(inner_f(t0_orig - s, y), -1.0)
+        if save_at is not None:
+            save_at = t0_orig - jnp.asarray(save_at)[::-1]
+        t0, tf = 0.0, t0_orig - float(tf)
     t_grid = make_grid(t0, tf, save_at, dtype=time_dtype)
     if h0 is None:
         h0 = ctl.init_h()
     step_fn = stepper.make_step_fn(f)
-    return integrate(
+    sol = integrate(
         step_fn,
         y0,
         t_grid,
@@ -68,6 +82,32 @@ def solve_ivp(
         error_norm=error_norm,
         method=method,
     )
+    sol = _attach_nfev(sol, stepper)
+    if backward:
+        import dataclasses as dc
+
+        import jax
+
+        sol = dc.replace(
+            sol,
+            ts=(t0_orig - sol.ts)[::-1],
+            ys=jax.tree_util.tree_map(
+                lambda a: jnp.flip(a, axis=0), sol.ys
+            ),
+            t_final=t0_orig - sol.t_final,
+        )
+    return sol
+
+
+def _attach_nfev(sol: Solution, stepper) -> Solution:
+    """RHS-evaluation counter: iterations x stage evaluations per attempt
+    (the per-step cost is static, SURVEY §3.1)."""
+    import dataclasses as dc
+
+    n = getattr(stepper, "nfev_per_step", None)
+    if n is None:
+        return sol
+    return dc.replace(sol, n_rhs_evals=sol.n_iters * int(n))
 
 
 def solve_linear(
@@ -99,7 +139,7 @@ def solve_linear(
     if h0 is None:
         h0 = ctl.init_h()
     step_fn = stepper.make_step_fn(op_fn)
-    return integrate(
+    sol = integrate(
         step_fn,
         y0,
         t_grid,
@@ -109,3 +149,4 @@ def solve_linear(
         error_norm=error_norm,
         method=method,
     )
+    return _attach_nfev(sol, stepper)

@@ -277,6 +277,7 @@ class Solution:
     n_reject: jax.Array
     n_iters: jax.Array
     h_final: jax.Array
+    n_rhs_evals: Optional[jax.Array] = None  # iterations x stages (api layer)
 
     @property
     def success(self):
@@ -287,7 +288,7 @@ jax.tree_util.register_pytree_node(
     Solution,
     lambda s: (
         (s.ts, s.ys, s.t_final, s.y_final, s.status, s.n_accept, s.n_reject,
-         s.n_iters, s.h_final),
+         s.n_iters, s.h_final, s.n_rhs_evals),
         None,
     ),
     lambda aux, ch: Solution(*ch),
