@@ -52,8 +52,8 @@ def main():
 
     stepper = FusedModulatedLinearRK.from_driven_dense(model, jnp.float32)
 
-    REPS = 8  # chained full solves per call: amortizes the ~100ms fixed
-              # dispatch latency of the experimental device tunnel
+    REPS = 16  # chained full solves per call: amortizes the ~100ms fixed
+               # dispatch latency of the experimental device tunnel
 
     def solve_once(y0, t0, tf):
         sol = ensemble_solve(
@@ -131,4 +131,17 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the experimental device tunnel occasionally fails transiently
+    # (FAILED_PRECONDITION / HTTP compile errors); retry before giving up
+    import time as _time
+
+    last = None
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001
+            last = e
+            _time.sleep(5.0 * (attempt + 1))
+    else:
+        raise last

@@ -1,0 +1,178 @@
+"""Secondary benchmarks: the full BASELINE.md config matrix.
+
+``bench.py`` is the driver-facing headline (one JSON line, config 5). This
+script measures the remaining configs and prints one JSON line per config —
+run manually on the target hardware:
+
+    python benchmarks.py            # all configs
+    python benchmarks.py rk4 cfm    # substring filter
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import vec_ode_tpu as vo
+from vec_ode_tpu import exp as vexp
+from vec_ode_tpu.models import DrivenDense, LandauZener, VanDerPol
+from vec_ode_tpu.ops import cplx as cp
+from vec_ode_tpu.parallel import ensemble_solve
+
+
+def timed(run_sync, reps=3):
+    run_sync()  # warmup/compile
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = run_sync()
+    return (time.perf_counter() - t0) / reps, out
+
+
+def bench_rk4_vdp(results):
+    """Config 2: fixed-step RK4, Van der Pol batch."""
+    B, n_steps = 4096, 1000
+    m = VanDerPol(mu=1.5)
+    y0 = jnp.asarray(
+        np.random.default_rng(0).uniform(-2, 2, (B, 2)), jnp.float32
+    )
+
+    @jax.jit
+    def run(y0):
+        sol = ensemble_solve(
+            m.rhs, y0, 0.0, 10.0, stepper=vo.RungeKutta(vo.RK4),
+            adaptive=False, h0=10.0 / n_steps, time_dtype=jnp.float32,
+        )
+        return sol.n_accept, sol.y_final
+
+    def sync():
+        na, yf = run(y0)
+        return int(np.asarray(na).sum()), float(np.asarray(yf[0, 0]))
+
+    wall, (steps, _) = timed(sync)
+    results.append({
+        "metric": f"fixed RK4 steps/sec, VdP {B}-trajectory batch",
+        "value": round(steps / wall, 1), "unit": "steps/sec",
+    })
+
+
+def bench_magnus2_lz(results):
+    """Config 3: exponential midpoint on Landau-Zener sweeps (pair rep)."""
+    B = 1024
+    lz = LandauZener(v=2.0, delta=0.4)
+    psi0 = np.zeros((B, 2), np.complex64)
+    psi0[:, 0] = 1.0
+    y0 = cp.from_complex(psi0, jnp.float32)
+    n_steps = 2000
+
+    @jax.jit
+    def run(y0):
+        sol = ensemble_solve(
+            lambda t: lz.op_pair(t, jnp.float32), y0, -20.0, 20.0,
+            stepper=vexp.ExpMidpoint(vexp.DenseCplxSplit()),
+            adaptive=False, h0=40.0 / n_steps, time_dtype=jnp.float32,
+        )
+        return sol.n_accept, sol.y_final
+
+    def sync():
+        na, yf = run(y0)
+        return int(np.asarray(na).sum()), float(np.asarray(yf.re[0, 0]))
+
+    wall, (steps, _) = timed(sync)
+    results.append({
+        "metric": f"Magnus-2 Landau-Zener steps/sec, {B} sweeps "
+                  "(per-trajectory 2x2 expm)",
+        "value": round(steps / wall, 1), "unit": "steps/sec",
+    })
+
+
+def bench_cfm4_driven(results):
+    """Config 4: adaptive CFM-4 with GL-2 quadrature, 64-dim complex."""
+    B = 256
+    model = DrivenDense.make(d=64, seed=0)
+    rng = np.random.default_rng(1)
+    psi0 = rng.standard_normal((B, 64)) + 1j * rng.standard_normal((B, 64))
+    psi0 /= np.linalg.norm(psi0, axis=-1, keepdims=True)
+    y0 = cp.from_complex(psi0, jnp.float32)
+
+    @jax.jit
+    def run(y0):
+        sol = ensemble_solve(
+            lambda t: model.op_pair(t, jnp.float32), y0, 0.0, 1.0,
+            stepper=vexp.CFM4(vexp.DenseCplxSplit()),
+            adaptive=True,
+            ctl=vo.StepControl(rtol=1e-5, min_dt=1e-5, max_dt=0.25),
+            h0=1e-2, time_dtype=jnp.float32,
+        )
+        return sol.n_accept, sol.n_reject, sol.y_final
+
+    def sync():
+        na, nr, yf = run(y0)
+        return int(np.asarray(na).sum()), float(np.asarray(yf.re[0, 0]))
+
+    wall, (steps, _) = timed(sync)
+    results.append({
+        "metric": f"adaptive CFM-4 (GL2) steps/sec, {B}x64-dim complex "
+                  "(per-trajectory 128x128 expm, 2 exps/step)",
+        "value": round(steps / wall, 1), "unit": "steps/sec",
+    })
+
+
+def bench_magnus4_driven(results):
+    """Adaptive Magnus-4 with commutator, 64-dim complex."""
+    B = 256
+    model = DrivenDense.make(d=64, seed=0)
+    rng = np.random.default_rng(2)
+    psi0 = rng.standard_normal((B, 64)) + 1j * rng.standard_normal((B, 64))
+    psi0 /= np.linalg.norm(psi0, axis=-1, keepdims=True)
+    y0 = cp.from_complex(psi0, jnp.float32)
+
+    @jax.jit
+    def run(y0):
+        sol = ensemble_solve(
+            lambda t: model.op_pair(t, jnp.float32), y0, 0.0, 1.0,
+            stepper=vexp.Magnus4(vexp.DenseCplxSplit()),
+            adaptive=True,
+            ctl=vo.StepControl(rtol=1e-5, min_dt=1e-5, max_dt=0.25),
+            h0=1e-2, time_dtype=jnp.float32,
+        )
+        return sol.n_accept, sol.y_final
+
+    def sync():
+        na, yf = run(y0)
+        return int(np.asarray(na).sum()), float(np.asarray(yf.re[0, 0]))
+
+    wall, (steps, _) = timed(sync)
+    results.append({
+        "metric": f"adaptive Magnus-4 steps/sec, {B}x64-dim complex "
+                  "(commutator + 2 exps/step)",
+        "value": round(steps / wall, 1), "unit": "steps/sec",
+    })
+
+
+ALL = {
+    "rk4_vdp": bench_rk4_vdp,
+    "magnus2_lz": bench_magnus2_lz,
+    "cfm4_driven": bench_cfm4_driven,
+    "magnus4_driven": bench_magnus4_driven,
+}
+
+
+def main():
+    filters = sys.argv[1:]
+    results = []
+    for name, fn in ALL.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        try:
+            fn(results)
+        except Exception as e:  # noqa: BLE001
+            results.append({"metric": name, "error": str(e)[:200]})
+        print(json.dumps(results[-1]), flush=True)
+
+
+if __name__ == "__main__":
+    main()

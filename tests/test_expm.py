@@ -97,3 +97,31 @@ def test_expm_skew_hermitian_unitary():
 def test_expm_rejects_nonsquare():
     with pytest.raises(ValueError):
         expm(jnp.zeros((3, 4)))
+
+
+def test_taylor_method_matches_pade_f32():
+    A = rand(16, seed=20, complex_=True, scale=2.0).astype(np.complex64)
+    t = np.asarray(expm(jnp.asarray(A), method="taylor"))
+    p = np.asarray(expm(jnp.asarray(A), method="pade13"))
+    np.testing.assert_allclose(t, p, rtol=2e-5, atol=2e-6)
+    want = scipy.linalg.expm(A.astype(np.complex128))
+    np.testing.assert_allclose(t, want, rtol=2e-4, atol=2e-5)
+
+
+def test_taylor_method_f64_accuracy():
+    A = rand(8, seed=21, scale=1.5)
+    t = np.asarray(expm(jnp.asarray(A), method="taylor"))
+    want = scipy.linalg.expm(A)
+    # taylor-12 at theta=1: ~4e-10 relative per scaling step
+    np.testing.assert_allclose(t, want, rtol=5e-9, atol=5e-10)
+
+
+def test_taylor_grad():
+    A = jnp.asarray(rand(4, seed=22, scale=0.5))
+
+    def f(s):
+        return jnp.trace(expm(s * A, method="taylor"))
+
+    g = jax.grad(f)(1.0)
+    want = np.trace(np.asarray(A) @ scipy.linalg.expm(np.asarray(A)))
+    np.testing.assert_allclose(float(g), want, rtol=1e-7)

@@ -69,8 +69,7 @@ def solve_ivp(
             save_at = t0_orig - jnp.asarray(save_at)[::-1]
         t0, tf = 0.0, t0_orig - float(tf)
     t_grid = make_grid(t0, tf, save_at, dtype=time_dtype)
-    if h0 is None:
-        h0 = ctl.init_h()
+    h0 = _check_h0(h0, ctl, adaptive)
     step_fn = stepper.make_step_fn(f)
     sol = integrate(
         step_fn,
@@ -97,6 +96,21 @@ def solve_ivp(
             t_final=t0_orig - sol.t_final,
         )
     return sol
+
+
+def _check_h0(h0, ctl: StepControl, adaptive: bool):
+    """with_init_step validation (ode.rs:287-296): in adaptive mode a
+    concrete h0 must lie inside [min_dt, max_dt]."""
+    if h0 is None:
+        return ctl.init_h()
+    if adaptive and isinstance(h0, (int, float)) and not (
+        ctl.min_dt <= float(h0) <= ctl.max_dt
+    ):
+        raise ValueError(
+            f"Step {h0} is not inside the range "
+            f"({ctl.min_dt}, {ctl.max_dt})"
+        )
+    return h0
 
 
 def _attach_nfev(sol: Solution, stepper) -> Solution:
@@ -132,12 +146,24 @@ def solve_linear(
     ``stepper`` is an exp stepper (ExpMidpoint / Magnus4 / CFM... from
     :mod:`vec_ode_tpu.exp`) or a split solver (SplitMidpoint / SplitCFM, whose
     ``op_fn(t)`` returns the (La, Lb) pair).
+
+    Backward integration (tf < t0) works via time reversal of the operator:
+    B(s) = -A(t0 - s).
     """
     if time_dtype is None:
         time_dtype = jnp.result_type(jnp.asarray(t0), jnp.asarray(tf), float)
+    backward = float(tf) < float(t0) if (
+        isinstance(t0, (int, float)) and isinstance(tf, (int, float))
+    ) else False
+    if backward:
+        t0_orig = float(t0)
+        inner_op = op_fn
+        op_fn = lambda s: lc.scale(inner_op(t0_orig - s), -1.0)
+        if save_at is not None:
+            save_at = t0_orig - jnp.asarray(save_at)[::-1]
+        t0, tf = 0.0, t0_orig - float(tf)
     t_grid = make_grid(t0, tf, save_at, dtype=time_dtype)
-    if h0 is None:
-        h0 = ctl.init_h()
+    h0 = _check_h0(h0, ctl, adaptive)
     step_fn = stepper.make_step_fn(op_fn)
     sol = integrate(
         step_fn,
@@ -149,4 +175,16 @@ def solve_linear(
         error_norm=error_norm,
         method=method,
     )
-    return _attach_nfev(sol, stepper)
+    sol = _attach_nfev(sol, stepper)
+    if backward:
+        import dataclasses as dc
+
+        import jax
+
+        sol = dc.replace(
+            sol,
+            ts=(t0_orig - sol.ts)[::-1],
+            ys=jax.tree_util.tree_map(lambda a: jnp.flip(a, axis=0), sol.ys),
+            t_final=t0_orig - sol.t_final,
+        )
+    return sol

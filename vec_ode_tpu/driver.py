@@ -166,14 +166,17 @@ def step_once(
     dt = jnp.where(stepping, jnp.minimum(state.h, rem), state.h)
 
     # --- try_step: run the stepper kernel (masked-out when not stepping) ----
-    x_next, err = step_fn(state.t, state.x, dt)
+    with jax.named_scope("vec_ode.try_step"):
+        x_next, err = step_fn(state.t, state.x, dt)
 
     # --- handle_step_adaptive (ode.rs:311-334) -------------------------------
+    # (named scopes label the HLO for jax.profiler / xprof traces)
     if adaptive:
         if err is None:
             raise ValueError("adaptive integration requires an error estimate")
-        measure = error_measure(error_norm, state.x, x_next, err, ctl)
-        new_h, accept = controller_update(state.h, measure, ctl)
+        with jax.named_scope("vec_ode.controller"):
+            measure = error_measure(error_norm, state.x, x_next, err, ctl)
+            new_h, accept = controller_update(state.h, measure, ctl)
     else:
         measure = state.err_norm
         new_h, accept = state.h, jnp.asarray(True)

@@ -66,13 +66,51 @@ def _pade13(A, A2, A4, A6, ident):
     return U, V
 
 
-def _expm_impl(A: jax.Array, max_squarings: int) -> jax.Array:
+# Taylor/Paterson-Stockmeyer threshold: degree-12 truncation e^t - T12(t)
+# at |t| <= 1 is ~4e-10 — below f32 eps. Matmul-only (no linear solve).
+_THETA_TAYLOR12 = 1.0
+
+
+def _taylor12_ps(As, ident):
+    """Degree-12 Taylor of exp via Paterson-Stockmeyer: 5 matmuls.
+
+    p(A) = B0 + A4 (B1 + A4 (B2 + A4 B3)),  B_j = sum_{i<4} A^i/(4j+i)!
+    """
+    import math
+
+    c = [1.0 / math.factorial(k) for k in range(13)]
+    A2 = mm(As, As)
+    A3 = mm(A2, As)
+    A4 = mm(A3, As)
+
+    def block(j):
+        return (
+            c[4 * j] * ident + c[4 * j + 1] * As
+            + c[4 * j + 2] * A2 + c[4 * j + 3] * A3
+        )
+
+    acc = block(2) + mm(A4, c[12] * ident)  # B2 + A4*B3 (B3 = c12*I only)
+    acc = block(1) + mm(A4, acc)
+    return block(0) + mm(A4, acc)
+
+
+def _expm_impl(A: jax.Array, max_squarings: int,
+               method: str = "auto") -> jax.Array:
     A = jnp.asarray(A)
     d = A.shape[-1]
     if A.shape[-2] != d:
         raise ValueError(f"expm expects (..., d, d), got {A.shape}")
     real_dtype = jnp.finfo(A.dtype).dtype  # float32 for complex64, etc.
-    theta = _THETA13 if jnp.finfo(real_dtype).bits >= 64 else _THETA13_F32
+    is_f64 = jnp.finfo(real_dtype).bits >= 64
+    if method == "auto":
+        # TPU-first: batched linalg.solve (Padé denominator) is far more
+        # expensive than matmuls on TPU; in f32 the matmul-only Taylor-12
+        # path is both faster and accurate to f32 eps. f64 keeps Padé-13.
+        method = "pade13" if is_f64 else "taylor"
+    theta = {
+        "pade13": _THETA13 if is_f64 else _THETA13_F32,
+        "taylor": _THETA_TAYLOR12,
+    }[method]
 
     # max 1-norm over the batch (scalar) -> uniform squaring count s
     one_norm = jnp.max(
@@ -86,13 +124,16 @@ def _expm_impl(A: jax.Array, max_squarings: int) -> jax.Array:
     As = A * scale.astype(A.dtype)
 
     ident = jnp.broadcast_to(jnp.eye(d, dtype=A.dtype), A.shape)
-    A2 = mm(As, As)
-    A4 = mm(A2, A2)
-    A6 = mm(A4, A2)
-    U, V = _pade13(As, A2, A4, A6, ident)
-    P = V + U
-    Q = V - U
-    R = jnp.linalg.solve(Q, P)
+    if method == "taylor":
+        R = _taylor12_ps(As, ident)
+    else:
+        A2 = mm(As, As)
+        A4 = mm(A2, A2)
+        A6 = mm(A4, A2)
+        U, V = _pade13(As, A2, A4, A6, ident)
+        P = V + U
+        Q = V - U
+        R = jnp.linalg.solve(Q, P)
 
     # uniform squaring: R <- R^2, s times. s is one scalar for the whole
     # batch, so this while_loop has uniform trip count across the ensemble.
@@ -109,39 +150,41 @@ def _expm_impl(A: jax.Array, max_squarings: int) -> jax.Array:
 
 
 def expm_frechet(A: jax.Array, E: jax.Array, *,
-                 max_squarings: int = 16) -> jax.Array:
+                 max_squarings: int = 16, method: str = "auto") -> jax.Array:
     """Fréchet derivative L(A, E) = d/ds expm(A + sE)|_0 via the block
     identity expm([[A, E], [0, A]]) = [[expm(A), L(A, E)], [0, expm(A)]]."""
     d = A.shape[-1]
     E = jnp.asarray(E, A.dtype)
     top = jnp.concatenate([A, E], axis=-1)
     bot = jnp.concatenate([jnp.zeros_like(A), A], axis=-1)
-    F = _expm_impl(jnp.concatenate([top, bot], axis=-2), max_squarings)
+    F = _expm_impl(jnp.concatenate([top, bot], axis=-2), max_squarings,
+                   method)
     return F[..., :d, d:]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _expm_core(A: jax.Array, max_squarings: int) -> jax.Array:
-    return _expm_impl(A, max_squarings)
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _expm_core(A: jax.Array, max_squarings: int, method: str) -> jax.Array:
+    return _expm_impl(A, max_squarings, method)
 
 
-def _expm_fwd(A, max_squarings):
-    return _expm_impl(A, max_squarings), A
+def _expm_fwd(A, max_squarings, method):
+    return _expm_impl(A, max_squarings, method), A
 
 
-def _expm_bwd(max_squarings, A, G):
+def _expm_bwd(max_squarings, method, A, G):
     # adjoint of the Fréchet derivative: L*(A, G) = L(A^H, G) — exp has real
     # Taylor coefficients, so the adjoint is the Fréchet derivative at the
     # conjugate transpose (Higham 2008, ch. 10).
     AH = jnp.conj(jnp.swapaxes(A, -1, -2))
-    return (expm_frechet(AH, G, max_squarings=max_squarings),)
+    return (expm_frechet(AH, G, max_squarings=max_squarings, method=method),)
 
 
 _expm_core.defvjp(_expm_fwd, _expm_bwd)
 
 
-@partial(jax.jit, static_argnames=("max_squarings",))
-def expm(A: jax.Array, *, max_squarings: int = 16) -> jax.Array:
+@partial(jax.jit, static_argnames=("max_squarings", "method"))
+def expm(A: jax.Array, *, max_squarings: int = 16,
+         method: str = "auto") -> jax.Array:
     """Matrix exponential of (..., d, d) via Padé-13 scaling-and-squaring.
 
     Batch-uniform: one squaring count for the whole batch, derived from the
@@ -152,8 +195,12 @@ def expm(A: jax.Array, *, max_squarings: int = 16) -> jax.Array:
     Reverse-mode differentiable via an exact Fréchet-adjoint VJP (one block
     2d-by-2d expm), so ``jax.grad`` works through the dynamic squaring loop.
     For forward-mode sensitivities use :func:`expm_frechet` directly.
+
+    method: "pade13" (Higham scaling-and-squaring, needs a linear solve),
+    "taylor" (degree-12 Paterson-Stockmeyer, matmul-only — much faster on
+    TPU, accurate to f32 eps), or "auto" (taylor for <=f32, pade13 for f64).
     """
-    return _expm_core(A, max_squarings)
+    return _expm_core(A, max_squarings, method)
 
 
 def expm_apply(A: jax.Array, x: jax.Array, **kw) -> jax.Array:
