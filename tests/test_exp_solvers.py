@@ -335,3 +335,30 @@ def test_magnus4_grad():
     eps = 1e-6
     fd = (loss(0.8 + eps) - loss(0.8 - eps)) / (2 * eps)
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-5)
+
+
+def test_split_cfm_rkn_o4_coefficients(split_problem):
+    # the RKNR4 composition expressed through the completed split_cfm path:
+    # constant operators, c=[1/2], rho rows = A palindrome a0 a1 a2 a2 a1 a0,
+    # sigma rows = B palindrome b0 b1 b2 b3 b2 b1 b0 -> order 4
+    import numpy as np
+
+    from vec_ode_tpu import tableaus as tb
+
+    A, B, y0, tf, exact = split_problem
+    a = tb.RKN_O4_A
+    b = tb.RKN_O4_B
+    rho = tuple((float(x),) for x in [a[0], a[1], a[2], a[2], a[1], a[0]])
+    sigma = tuple(
+        (float(x),) for x in [b[0], b[1], b[2], b[3], b[2], b[1], b[0]]
+    )
+    dense = vexp.DenseSplit()
+    stepper = vexp.SplitCFM(dense, dense, rho=rho, sigma=sigma, c=(0.5,))
+    errs = []
+    for h in [0.4, 0.2, 0.1]:
+        sol = vo.solve_linear(
+            lambda t: (A, B), 0.0, tf, y0, stepper=stepper, h0=h,
+        )
+        errs.append(float(jnp.linalg.norm(sol.y_final - exact)))
+    rates = [np.log2(errs[i] / errs[i + 1]) for i in range(2)]
+    assert 3.5 < np.mean(rates) < 4.8, (errs, rates)

@@ -106,14 +106,20 @@ class DenseCplxSplit(_CplxSplitBase):
     max_squarings: int = 16
 
     def exp(self, L):
+        # keep the propagator in EMBEDDED real (..., 2d, 2d) form: apply is
+        # then one widened real matmul, with no per-application re-embedding
         from ..ops import cplx as cp
+        from ..ops.expm import expm
 
-        return cp.cexpm(L, max_squarings=self.max_squarings)
+        return expm(cp.embed(L), max_squarings=self.max_squarings)
 
     def map_exp(self, U, x):
         from ..ops import cplx as cp
 
-        return cp.cmatvec(U, x)
+        xw = jnp.concatenate([x.re, x.im], axis=-1)
+        yw = jnp.einsum("...ij,...j->...i", U, xw, precision=HIGHEST)
+        d = x.re.shape[-1]
+        return cp.Cplx(yw[..., :d], yw[..., d:])
 
     def commutator(self, La, Lb):
         from ..ops import cplx as cp
