@@ -1,0 +1,90 @@
+"""Dense output: interpolated saves without step-sequence perturbation."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import vec_ode_tpu as vo
+from vec_ode_tpu.dense import hermite_cubic, solve_ivp_dense
+
+
+def test_hermite_exact_for_cubics():
+    # p(t) = 1 + 2t - t^2 + 0.5 t^3 on [0, dt]
+    def p(t):
+        return 1 + 2 * t - t**2 + 0.5 * t**3
+
+    def dp(t):
+        return 2 - 2 * t + 1.5 * t**2
+
+    dt = 0.7
+    for theta in [0.0, 0.3, 0.5, 0.9, 1.0]:
+        got = hermite_cubic(
+            jnp.asarray(p(0.0)), jnp.asarray(p(dt)),
+            jnp.asarray(dp(0.0)), jnp.asarray(dp(dt)),
+            jnp.asarray(dt), jnp.asarray(theta),
+        )
+        np.testing.assert_allclose(float(got), p(theta * dt), rtol=1e-14)
+
+
+def test_dense_matches_exact_solution():
+    save = jnp.linspace(0.1, 1.9, 7, dtype=jnp.float64)
+    sol = solve_ivp_dense(
+        lambda t, y: -y, 0.0, 2.0, jnp.asarray(1.0, jnp.float64),
+        ctl=vo.StepControl(rtol=1e-8), h0=1e-2, save_at=save,
+    )
+    assert bool(sol.success)
+    np.testing.assert_allclose(
+        np.asarray(sol.ys), np.exp(-np.asarray(sol.ts)), rtol=1e-5
+    )
+    assert float(sol.ys[0]) == 1.0  # t0 slot is the exact initial state
+
+
+def test_dense_does_not_perturb_step_sequence():
+    # the controller's step sequence must be IDENTICAL with and without
+    # interior save points (unlike "hit" semantics, which truncates)
+    kw = dict(ctl=vo.StepControl(rtol=1e-8), h0=1e-2)
+    y0 = jnp.asarray(1.0, jnp.float64)
+    a = solve_ivp_dense(lambda t, y: -y, 0.0, 2.0, y0, **kw)
+    b = solve_ivp_dense(
+        lambda t, y: -y, 0.0, 2.0, y0,
+        save_at=jnp.linspace(0.05, 1.95, 17, dtype=jnp.float64), **kw,
+    )
+    assert int(a.n_accept) == int(b.n_accept)
+    assert int(a.n_reject) == int(b.n_reject)
+    np.testing.assert_allclose(float(a.y_final), float(b.y_final),
+                               rtol=1e-15)
+    # "hit" semantics DOES take different steps with a dense save grid
+    c = vo.solve_ivp(
+        lambda t, y: -y, 0.0, 2.0, y0,
+        save_at=jnp.linspace(0.05, 1.95, 17, dtype=jnp.float64), **kw,
+    )
+    assert int(c.n_accept) != int(a.n_accept)
+
+
+def test_dense_pytree_and_vector_state():
+    import scipy.linalg
+
+    A = np.asarray([[0.0, 1.0], [-1.0, 0.0]])
+    save = jnp.asarray([0.5, 1.0, 1.5], jnp.float64)
+    sol = solve_ivp_dense(
+        lambda t, y: jnp.asarray(A) @ y, 0.0, 2.0,
+        jnp.asarray([1.0, 0.0], jnp.float64),
+        ctl=vo.StepControl(rtol=1e-9, min_dt=1e-8), save_at=save,
+    )
+    for i, t in enumerate(np.asarray(sol.ts)):
+        want = scipy.linalg.expm(A * t) @ np.asarray([1.0, 0.0])
+        np.testing.assert_allclose(np.asarray(sol.ys[i]), want, atol=1e-6)
+
+
+def test_dense_interp_accuracy_order():
+    # interpolation error at midpoints scales ~h^4 (cubic Hermite)
+    def run(max_dt):
+        save = jnp.asarray([0.777], jnp.float64)  # generic interior point
+        sol = solve_ivp_dense(
+            lambda t, y: -y, 0.0, 2.0, jnp.asarray(1.0, jnp.float64),
+            adaptive=False, h0=max_dt, save_at=save,
+        )
+        return abs(float(sol.ys[1]) - np.exp(-0.777))
+
+    e1, e2 = run(0.2), run(0.1)
+    rate = np.log2(e1 / e2)
+    assert 3.3 < rate < 5.0, (e1, e2, rate)

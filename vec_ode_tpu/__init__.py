@@ -8,8 +8,9 @@ states), re-designed TPU-first: pytree vector spaces, branchless
 """
 
 from . import lc, tableaus
-from . import diff, exp, models, parallel, quad
+from . import dense, diff, exp, models, parallel, quad
 from .api import solve_ivp, solve_linear
+from .dense import solve_ivp_dense
 from .controller import StepControl
 from .driver import (
     DONE,
@@ -49,6 +50,7 @@ __version__ = "0.1.0"
 __all__ = [
     "lc",
     "tableaus",
+    "dense",
     "diff",
     "exp",
     "models",
@@ -56,6 +58,7 @@ __all__ = [
     "quad",
     "solve_ivp",
     "solve_linear",
+    "solve_ivp_dense",
     "StepControl",
     "Solution",
     "IntState",

@@ -75,7 +75,9 @@ class IntState(NamedTuple):
 
 def make_grid(t0, tf, save_at=None, dtype=None):
     """Build the save grid (the reference's t_list, default [t0, tf],
-    ode.rs:144). ``save_at`` holds interior times (strictly inside (t0,tf))."""
+    ode.rs:144). ``save_at`` holds interior times (strictly inside (t0,tf));
+    values outside the interval or out of order are rejected when concrete
+    (a misordered grid would silently never be crossed/hit)."""
     if dtype is None:
         dtype = jnp.result_type(float)
     t0 = jnp.asarray(t0, dtype)
@@ -83,6 +85,21 @@ def make_grid(t0, tf, save_at=None, dtype=None):
     if save_at is None:
         return jnp.stack([t0, tf])
     save_at = jnp.asarray(save_at, dtype)
+    try:  # concrete values only; traced grids are the caller's contract
+        import numpy as np
+
+        arr = np.asarray(save_at)
+        lo, hi = float(np.asarray(t0)), float(np.asarray(tf))
+        if arr.size and (
+            (arr <= lo).any() or (arr >= hi).any()
+            or (np.diff(arr) <= 0).any()
+        ):
+            raise ValueError(
+                f"save_at must be strictly increasing and strictly inside "
+                f"({lo}, {hi}); got {arr}"
+            )
+    except jax.errors.TracerArrayConversionError:
+        pass
     return jnp.concatenate([t0[None], save_at, tf[None]])
 
 
