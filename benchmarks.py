@@ -98,19 +98,29 @@ def bench_cfm4_driven(results):
     psi0 /= np.linalg.norm(psi0, axis=-1, keepdims=True)
     y0 = cp.from_complex(psi0, jnp.float32)
 
+    stepper = vexp.CFM4(vexp.DenseCplxSplit())
+    ctl = vo.StepControl(rtol=1e-5, min_dt=1e-5, max_dt=0.25)
+
     @jax.jit
     def run(y0):
-        sol = ensemble_solve(
-            lambda t: model.op_pair(t, jnp.float32), y0, 0.0, 1.0,
-            stepper=vexp.CFM4(vexp.DenseCplxSplit()),
-            adaptive=True,
-            ctl=vo.StepControl(rtol=1e-5, min_dt=1e-5, max_dt=0.25),
-            h0=1e-2, time_dtype=jnp.float32,
-        )
-        return sol.n_accept, sol.n_reject, sol.y_final
+        def body(carry, _):
+            y, acc = carry
+            sol = ensemble_solve(
+                lambda t: model.op_pair(t, jnp.float32), y, 0.0, 1.0,
+                stepper=stepper, adaptive=True, ctl=ctl,
+                h0=1e-2, time_dtype=jnp.float32,
+            )
+            n = jnp.sqrt(jnp.sum(sol.y_final.re**2 + sol.y_final.im**2,
+                                 axis=-1, keepdims=True))
+            yn = cp.Cplx(sol.y_final.re / n, sol.y_final.im / n)
+            return (yn, acc + sol.n_accept), None
+
+        zeros = jnp.zeros((y0.re.shape[0],), jnp.int32)
+        (yf, acc), _ = jax.lax.scan(body, (y0, zeros), None, length=4)
+        return acc, yf
 
     def sync():
-        na, nr, yf = run(y0)
+        na, yf = run(y0)
         return int(np.asarray(na).sum()), float(np.asarray(yf.re[0, 0]))
 
     wall, (steps, _) = timed(sync)
@@ -130,16 +140,26 @@ def bench_magnus4_driven(results):
     psi0 /= np.linalg.norm(psi0, axis=-1, keepdims=True)
     y0 = cp.from_complex(psi0, jnp.float32)
 
+    stepper = vexp.Magnus4(vexp.DenseCplxSplit())
+    ctl = vo.StepControl(rtol=1e-5, min_dt=1e-5, max_dt=0.25)
+
     @jax.jit
     def run(y0):
-        sol = ensemble_solve(
-            lambda t: model.op_pair(t, jnp.float32), y0, 0.0, 1.0,
-            stepper=vexp.Magnus4(vexp.DenseCplxSplit()),
-            adaptive=True,
-            ctl=vo.StepControl(rtol=1e-5, min_dt=1e-5, max_dt=0.25),
-            h0=1e-2, time_dtype=jnp.float32,
-        )
-        return sol.n_accept, sol.y_final
+        def body(carry, _):
+            y, acc = carry
+            sol = ensemble_solve(
+                lambda t: model.op_pair(t, jnp.float32), y, 0.0, 1.0,
+                stepper=stepper, adaptive=True, ctl=ctl,
+                h0=1e-2, time_dtype=jnp.float32,
+            )
+            n = jnp.sqrt(jnp.sum(sol.y_final.re**2 + sol.y_final.im**2,
+                                 axis=-1, keepdims=True))
+            yn = cp.Cplx(sol.y_final.re / n, sol.y_final.im / n)
+            return (yn, acc + sol.n_accept), None
+
+        zeros = jnp.zeros((y0.re.shape[0],), jnp.int32)
+        (yf, acc), _ = jax.lax.scan(body, (y0, zeros), None, length=4)
+        return acc, yf
 
     def sync():
         na, yf = run(y0)

@@ -114,3 +114,52 @@ def test_ensemble_size_must_divide_mesh():
         assert False, "expected ValueError"
     except ValueError as e:
         assert "divide" in str(e)
+
+
+def test_ensemble_per_trajectory_params():
+    # sweep decay rates: one parameter per trajectory
+    rates = jnp.linspace(-2.0, -0.5, 8, dtype=jnp.float64)
+    y0 = jnp.ones((8, 1), jnp.float64)
+    sols = ensemble_solve(
+        lambda t, y, p: p * y, y0, 0.0, 1.0,
+        ctl=vo.StepControl(rtol=1e-8), h0=1e-2, params=rates,
+    )
+    assert all(int(s) == vo.DONE for s in sols.status)
+    np.testing.assert_allclose(
+        np.asarray(sols.y_final)[:, 0], np.exp(np.asarray(rates)), atol=1e-6
+    )
+
+
+def test_ensemble_params_exp_stepper_sharded():
+    # Landau-Zener sweep-rate scan with an exponential stepper, sharded
+    from vec_ode_tpu import exp as vexp
+    from vec_ode_tpu.ops import cplx as cp
+
+    B = 16
+    vs = jnp.linspace(0.5, 4.0, B, dtype=jnp.float64)
+    psi0 = np.zeros((B, 2), np.complex128)
+    psi0[:, 0] = 1.0
+    y0 = cp.from_complex(psi0, jnp.float64)
+
+    def op(t, v):
+        from vec_ode_tpu.ops.cplx import Cplx
+
+        sz = jnp.asarray([[0.5, 0.0], [0.0, -0.5]], jnp.float64)
+        sx = jnp.asarray([[0.0, 0.5], [0.5, 0.0]], jnp.float64)
+        H = v * t * sz + 0.4 * sx
+        return Cplx(jnp.zeros_like(H), -H)
+
+    mesh = ensemble_mesh()
+    sols = ensemble_solve(
+        op, shard_batch(y0, mesh), -12.0, 12.0,
+        stepper=vexp.ExpMidpoint(vexp.DenseCplxSplit()),
+        adaptive=False, h0=0.02, mesh=mesh,
+        params=shard_batch(vs, mesh),
+    )
+    assert all(int(s) == vo.DONE for s in sols.status)
+    p_stay = np.asarray(cp.cabs2(sols.y_final))[:, 0]
+    want = np.exp(-np.pi * 0.4**2 / (2.0 * np.asarray(vs)))
+    # finite-T corrections + Stueckelberg oscillations -> loose tolerance
+    np.testing.assert_allclose(p_stay, want, atol=0.08)
+    # overall trend: faster sweeps -> higher stay probability (LZ physics)
+    assert p_stay[-1] > p_stay[0] + 0.2

@@ -49,6 +49,7 @@ def ensemble_solve(
     mesh: Optional[Mesh] = None,
     axis_name: str = "traj",
     method: str = "while",
+    params: Optional[Pytree] = None,
 ) -> Solution:
     """Integrate a batch of independent trajectories (leading axis of every
     leaf of ``y0_batch``).
@@ -57,6 +58,12 @@ def ensemble_solve(
     operator assembly ``op_fn(t)`` (exp steppers) — unbatched; the ensemble
     dimension comes from ``vmap``. With ``mesh``, the batch axis must divide
     the mesh size and is sharded across devices (ICI) via ``shard_map``.
+
+    ``params``: optional pytree with the same leading batch axis, mapped
+    alongside the state — the signature becomes ``f(t, y, p)`` /
+    ``op_fn(t, p)``, so ensembles can sweep model parameters (e.g. one
+    Landau-Zener rate per trajectory), not just initial conditions.
+    Unsupported for natively-batched steppers (they embed their own RHS).
     """
     if stepper is None:
         stepper = RungeKutta()
@@ -65,7 +72,14 @@ def ensemble_solve(
     t_grid = make_grid(t0, tf, save_at, dtype=time_dtype)
     if h0 is None:
         h0 = ctl.init_h()
-    step_fn = stepper.make_step_fn(rhs_or_op)
+    if params is None:
+        step_fn = stepper.make_step_fn(rhs_or_op)
+    else:
+        if getattr(stepper, "is_batched", False):
+            raise ValueError(
+                "params is unsupported for natively-batched steppers"
+            )
+        step_fn = None  # built per-trajectory below
 
     if getattr(stepper, "is_batched", False):
         # natively-batched stepper (e.g. the Pallas fused RK step): one
@@ -88,20 +102,45 @@ def ensemble_solve(
                 sol, ts=jnp.broadcast_to(sol.ts, (b,) + sol.ts.shape)
             )
     else:
-        single = partial(
-            integrate,
-            step_fn,
-            t_grid=t_grid,
-            h0=h0,
-            adaptive=adaptive,
-            ctl=ctl,
-            error_norm=error_norm,
-            method=method,
-        )
-        batched = jax.vmap(lambda y0: single(y0))
+        def single(y0, p=None):
+            if params is None:
+                fn = step_fn
+            else:
+                import inspect
+
+                takes_state = getattr(stepper, "takes_state", False)
+                want = 3 if takes_state else 2
+                try:
+                    n_args = len(inspect.signature(rhs_or_op).parameters)
+                except (TypeError, ValueError):
+                    n_args = want
+                if n_args != want:
+                    sig = "(t, y, p)" if takes_state else "(t, p)"
+                    raise ValueError(
+                        f"with params, this stepper expects rhs_or_op{sig}; "
+                        f"got a {n_args}-parameter callable"
+                    )
+                if takes_state:       # f(t, y, p) — RK steppers
+                    fn = stepper.make_step_fn(
+                        lambda t, y: rhs_or_op(t, y, p)
+                    )
+                else:                 # op_fn(t, p) — exp steppers
+                    fn = stepper.make_step_fn(lambda t: rhs_or_op(t, p))
+            return integrate(
+                fn, y0, t_grid, h0,
+                adaptive=adaptive, ctl=ctl,
+                error_norm=error_norm, method=method,
+            )
+
+        if params is None:
+            batched = jax.vmap(lambda y0: single(y0))
+        else:
+            batched = jax.vmap(single)
+
+    args = (y0_batch,) if params is None else (y0_batch, params)
 
     if mesh is None:
-        return batched(y0_batch)
+        return batched(*args)
 
     n_shards = mesh.devices.size
     lead = jax.tree_util.tree_leaves(y0_batch)[0].shape[0]
@@ -117,7 +156,7 @@ def ensemble_solve(
         out_specs=P(mesh_axis),
         check_vma=False,
     )
-    return sharded(y0_batch)
+    return sharded(*args)
 
 
 def ensemble_mesh(n_devices: Optional[int] = None, axis: str = "traj") -> Mesh:

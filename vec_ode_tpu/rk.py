@@ -96,6 +96,10 @@ class RungeKutta:
     advance_lower: bool = True   # reference-compat: advance 4th-order solution
     embedded: bool = True
 
+    # RHS signature is f(t, y) (vs op_fn(t) for exp steppers) — used by
+    # ensemble_solve to thread per-trajectory params correctly
+    takes_state = True
+
     @property
     def nfev_per_step(self) -> int:
         return self.tableau.stages
