@@ -198,3 +198,34 @@ def test_cplx_under_jit_vmap():
     # propagation is unitary: norms all 1
     norms = np.linalg.norm(np.asarray(cp.to_complex(yf)), axis=-1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-6)
+
+
+def test_antihermitian_pair_exact_unitarity():
+    """AntiHermitianCplxSplit: exactly orthogonal embedded propagator."""
+    from vec_ode_tpu.exp import AntiHermitianCplxSplit, DenseCplxSplit
+
+    H = rand_c((6, 6), 30)
+    H = (H + H.conj().T) / 2
+    L = cp.from_complex(-1j * H, jnp.float64)  # anti-Hermitian
+    sp = AntiHermitianCplxSplit()
+    U = np.asarray(sp.exp(L))                   # embedded real (12, 12)
+    # orthogonality of the embedding == unitarity of the complex propagator
+    np.testing.assert_allclose(U @ U.T, np.eye(12), atol=1e-13)
+    # matches the dense (Pade) propagator
+    Ud = np.asarray(DenseCplxSplit().exp(L))
+    np.testing.assert_allclose(U, Ud, atol=1e-12)
+
+
+def test_antihermitian_pair_long_integration_norm_drift():
+    """Norm conservation over many steps: exact-unitary leaf has ~eps drift."""
+    from vec_ode_tpu import exp as vexp
+
+    lz = LandauZener(v=1.0, delta=0.3)
+    psi0 = cp.from_complex(np.asarray([1.0, 0.0], np.complex128), jnp.float64)
+    sol = vo.solve_linear(
+        lambda t: lz.op_pair(t, dtype=jnp.float64), -30.0, 30.0, psi0,
+        stepper=vexp.ExpMidpoint(vexp.AntiHermitianCplxSplit()), h0=0.005,
+    )
+    assert bool(sol.success)
+    norm = float(jnp.sqrt(jnp.sum(cp.cabs2(sol.y_final))))
+    assert abs(norm - 1.0) < 1e-12  # 12000 steps, no drift

@@ -6,6 +6,7 @@ operator leaves the reference never shipped (SURVEY.md §1).
 
 from .cfm import CFM, CFM4, CFM4_BLANES17, cfm_exp, cfm_step
 from .leaves import (
+    AntiHermitianCplxSplit,
     AntiHermitianSplit,
     DenseCplxSplit,
     DenseSplit,
@@ -34,6 +35,7 @@ __all__ = [
     "DenseSplit",
     "DiagonalSplit",
     "AntiHermitianSplit",
+    "AntiHermitianCplxSplit",
     "DenseCplxSplit",
     "DiagonalCplxSplit",
     "CommutativeSplit",
