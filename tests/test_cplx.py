@@ -229,3 +229,44 @@ def test_antihermitian_pair_long_integration_norm_drift():
     assert bool(sol.success)
     norm = float(jnp.sqrt(jnp.sum(cp.cabs2(sol.y_final))))
     assert abs(norm - 1.0) < 1e-12  # 12000 steps, no drift
+
+
+def test_antihermitian_pair_gradients_correct():
+    """The eigh path has degenerate eigenvalues on every input (embedding
+    doubles the spectrum) so it carries a custom Frechet-adjoint VJP; its
+    gradients must match the Dense (Pade) leaf and finite differences."""
+    from vec_ode_tpu.exp import AntiHermitianCplxSplit, DenseCplxSplit
+
+    H = rand_c((4, 4), 33)
+    H = (H + H.conj().T) / 2
+    L = cp.from_complex(-1j * H, jnp.float64)
+    x = cp.from_complex(rand_c((4,), 34), jnp.float64)
+
+    def loss(s, sp):
+        Ls = cp.Cplx(s * L.re, s * L.im)
+        y = sp.map_exp(sp.exp(Ls), x)
+        return y.re[0] + y.im[1]
+
+    g_anti = jax.grad(loss)(0.8, AntiHermitianCplxSplit())
+    g_dense = jax.grad(loss)(0.8, DenseCplxSplit())
+    eps = 1e-6
+    fd = (loss(0.8 + eps, DenseCplxSplit())
+          - loss(0.8 - eps, DenseCplxSplit())) / (2 * eps)
+    np.testing.assert_allclose(float(g_dense), float(fd), rtol=1e-7)
+    np.testing.assert_allclose(float(g_anti), float(g_dense), rtol=1e-9)
+
+
+def test_antihermitian_pair_rejects_complex_rescalings():
+    from vec_ode_tpu.exp import AntiHermitianCplxSplit
+
+    H = rand_c((3, 3), 35)
+    H = (H + H.conj().T) / 2
+    L = cp.from_complex(-1j * H, jnp.float64)
+    sp = AntiHermitianCplxSplit()
+    # real rescalings fine
+    sp.multi_exp(L, np.asarray([0.5, 1.0]))
+    try:
+        sp.multi_exp(L, np.asarray([0.5 + 0.1j]))
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "anti-Hermiticity" in str(e)

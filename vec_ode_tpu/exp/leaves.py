@@ -21,9 +21,47 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..ops.expm import expm
+from ..ops.expm import expm, expm_frechet
 from ..utils.prec import HIGHEST, mm
 from .protocol import ExponentialSplit
+
+
+def cp_embed(L):
+    from ..ops import cplx as cp
+
+    return cp.embed(L)
+
+
+@jax.custom_vjp
+def _skew_expm(M):
+    """exp of a real skew-symmetric M via one symmetric eigh:
+    exp(M) = cos(P) + M sinc(P), P = sqrt(-M²). Exactly orthogonal.
+
+    Needs a custom VJP: the embedding makes every eigenvalue of -M² (at
+    least) doubly degenerate, so eigh's own VJP (which divides by eigenvalue
+    gaps) is ill-posed on EVERY input and returns silently wrong gradients.
+    The backward pass uses the exact Fréchet adjoint L*(M, G) = L(Mᵀ, G)
+    via the matmul-only block-expm path instead.
+    """
+    M2 = -mm(M, M)                       # = P², symmetric PSD
+    theta2, V = jnp.linalg.eigh(M2)
+    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    cos_t = jnp.cos(theta)
+    sinc_t = jnp.sinc(theta / jnp.pi)    # sin(θ)/θ, θ→0 safe
+    Vt = jnp.swapaxes(V, -1, -2)
+    MV = mm(M, V)
+    return mm(V * cos_t[..., None, :] + MV * sinc_t[..., None, :], Vt)
+
+
+def _skew_expm_fwd(M):
+    return _skew_expm(M), M
+
+
+def _skew_expm_bwd(M, G):
+    return (expm_frechet(jnp.swapaxes(M, -1, -2), G),)
+
+
+_skew_expm.defvjp(_skew_expm_fwd, _skew_expm_bwd)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,7 +99,21 @@ class _CplxSplitBase(ExponentialSplit):
     has no complex dtypes (see vec_ode_tpu/ops/cplx.py), so operators and
     states are :class:`~vec_ode_tpu.ops.cplx.Cplx` pairs and the scalar ops
     route through cscale_any (complex trace-time coefficients, real traced
-    dt)."""
+    dt). Propagators are EMBEDDED real (..., 2d, 2d) matrices; the shared
+    map_exp applies them with one widened real matmul."""
+
+    def map_exp(self, U, x):
+        from ..ops import cplx as cp
+
+        xw = jnp.concatenate([x.re, x.im], axis=-1)
+        yw = jnp.einsum("...ij,...j->...i", U, xw, precision=HIGHEST)
+        d = x.re.shape[-1]
+        return cp.Cplx(yw[..., :d], yw[..., d:])
+
+    def commutator(self, La, Lb):
+        from ..ops import cplx as cp
+
+        return cp.cmatmul(La, Lb) - cp.cmatmul(Lb, La)
 
     def scale_l(self, L, k):
         from ..ops import cplx as cp
@@ -113,19 +165,6 @@ class DenseCplxSplit(_CplxSplitBase):
 
         return expm(cp.embed(L), max_squarings=self.max_squarings)
 
-    def map_exp(self, U, x):
-        from ..ops import cplx as cp
-
-        xw = jnp.concatenate([x.re, x.im], axis=-1)
-        yw = jnp.einsum("...ij,...j->...i", U, xw, precision=HIGHEST)
-        d = x.re.shape[-1]
-        return cp.Cplx(yw[..., :d], yw[..., d:])
-
-    def commutator(self, La, Lb):
-        from ..ops import cplx as cp
-
-        return cp.cmatmul(La, Lb) - cp.cmatmul(Lb, La)
-
 
 @dataclasses.dataclass(frozen=True)
 class DiagonalCplxSplit(_CplxSplitBase):
@@ -152,38 +191,31 @@ class AntiHermitianCplxSplit(_CplxSplitBase):
 
         exp(M) = cos(P) + M sinc(P),   P = sqrt(-M²)  (symmetric PSD)
 
-    computed with ONE real eigh of -M² plus four real matmuls — no complex
+    computed with ONE real eigh of -M² plus three real matmuls — no complex
     arithmetic anywhere (TPU-compatible) and exactly orthogonal (=> the
     complex propagator is exactly unitary) up to eigh accuracy. Use for
     long Schrödinger integrations where Padé/Taylor unitarity drift over
-    many steps matters; DenseCplxSplit is cheaper per step."""
+    many steps matters; DenseCplxSplit is cheaper per step.
+
+    Only valid for anti-Hermitian operators with REAL rescalings: the
+    complex-coefficient compositions (TripleJumpSplit, SemiComplexO4Split)
+    break anti-Hermiticity and are rejected by multi_exp — use
+    DenseCplxSplit there.
+    """
 
     def exp(self, L):
-        from ..ops import cplx as cp
+        return _skew_expm(cp_embed(L))
 
-        M = cp.embed(L)                      # skew-symmetric
-        M2 = -mm(M, M)                       # = P², symmetric PSD
-        theta2, V = jnp.linalg.eigh(M2)
-        theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
-        cos_t = jnp.cos(theta)
-        sinc_t = jnp.sinc(theta / jnp.pi)    # sin(θ)/θ, θ→0 safe
-        Vt = jnp.swapaxes(V, -1, -2)
-        cosP = mm(V * cos_t[..., None, :], Vt)
-        sincP = mm(V * sinc_t[..., None, :], Vt)
-        return cosP + mm(M, sincP)           # embedded real orthogonal U
+    def multi_exp(self, L, ks):
+        import numpy as np
 
-    def map_exp(self, U, x):
-        from ..ops import cplx as cp
-
-        xw = jnp.concatenate([x.re, x.im], axis=-1)
-        yw = jnp.einsum("...ij,...j->...i", U, xw, precision=HIGHEST)
-        d = x.re.shape[-1]
-        return cp.Cplx(yw[..., :d], yw[..., d:])
-
-    def commutator(self, La, Lb):
-        from ..ops import cplx as cp
-
-        return cp.cmatmul(La, Lb) - cp.cmatmul(Lb, La)
+        if np.iscomplexobj(np.asarray(ks)):
+            raise ValueError(
+                "AntiHermitianCplxSplit requires real rescalings: complex "
+                "coefficients (TripleJumpSplit / SemiComplexO4Split) break "
+                "anti-Hermiticity — use DenseCplxSplit for those"
+            )
+        return super().multi_exp(L, ks)
 
 
 @dataclasses.dataclass(frozen=True)
