@@ -134,3 +134,55 @@ def test_vmap_heterogeneous_step_counts():
     )
     counts = [int(c) for c in sols.n_accept]
     assert counts[3] > counts[0]  # stiffer -> more steps
+
+
+def test_backward_with_array_endpoints():
+    # concrete jnp scalars (not python floats) must still trigger reversal
+    sol = vo.solve_ivp(
+        lambda t, y: -y, jnp.asarray(2.0), jnp.asarray(0.0),
+        jnp.asarray(float(np.exp(-2.0)), jnp.float64),
+        ctl=vo.StepControl(rtol=1e-9, min_dt=1e-8),
+    )
+    assert bool(sol.success)
+    np.testing.assert_allclose(float(sol.y_final), 1.0, rtol=1e-6)
+
+
+def test_traced_backward_surfaces_bad_grid():
+    # direction cannot be known under jit -> the driver flags ERR_BAD_GRID
+    # instead of burning max_steps on rejected negative trial steps
+    from vec_ode_tpu.driver import ERR_BAD_GRID
+
+    @jax.jit
+    def run(t0, tf):
+        return vo.solve_ivp(
+            lambda t, y: -y, t0, tf, jnp.asarray(1.0, jnp.float64),
+            ctl=vo.StepControl(rtol=1e-8, max_steps=5000),
+        )
+
+    sol = run(jnp.asarray(1.0, jnp.float64), jnp.asarray(0.0, jnp.float64))
+    assert int(sol.status) == ERR_BAD_GRID
+    assert int(sol.n_iters) < 5  # detected immediately, not at max_steps
+
+
+def test_scan_grad_not_poisoned_after_done():
+    # adaptive scan solve with far more iterations than needed: post-DONE
+    # lanes step with dt=0, so reverse-mode stays finite
+    from vec_ode_tpu import diff
+
+    def factory(theta):
+        from vec_ode_tpu.rk import rk_step
+
+        def sf(t, x, dt):
+            return rk_step(lambda tt, y: -theta * y * y, t, x, dt, vo.RKF45)
+
+        return sf
+
+    g = diff.grad_terminal(
+        lambda yf: yf, factory, jnp.asarray(1.0, jnp.float64),
+        0.0, 1.0, 0.05,
+        adaptive=True,
+        ctl=vo.StepControl(rtol=1e-8, max_steps=256),  # ~10x the needed steps
+    )(1.0)
+    assert np.isfinite(float(g))
+    # analytic: y(1) = 1/(1+theta); d/dtheta = -1/(1+theta)^2
+    np.testing.assert_allclose(float(g), -0.25, rtol=1e-5)

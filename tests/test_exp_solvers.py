@@ -362,3 +362,27 @@ def test_split_cfm_rkn_o4_coefficients(split_problem):
         errs.append(float(jnp.linalg.norm(sol.y_final - exact)))
     rates = [np.log2(errs[i] / errs[i + 1]) for i in range(2)]
     assert 3.5 < np.mean(rates) < 4.8, (errs, rates)
+
+
+def test_pair_multi_exp_contract_under_nesting(split_problem):
+    # multi_exp(L, ks)[k] must equal exp(ks[k] * L) even when the split is
+    # itself nested inside another composition (per-scaling loop, not the
+    # stacked default that interleaves axes)
+    import numpy as np
+
+    from vec_ode_tpu.exp.protocol import index_u
+
+    A, B, y0, tf, exact = split_problem
+    dense = vexp.DenseSplit()
+    inner = vexp.RKNR4Split(dense, dense)
+    outer = vexp.StrangSplit(inner, dense)
+    L = ((A, B), A * 0.3)
+    ks = np.asarray([0.5, 1.25])
+    stacked = outer.multi_exp(L, ks)
+    for k in range(2):
+        direct = outer.exp(outer.scale_l(L, float(ks[k])))
+        got = jax.tree_util.tree_leaves(index_u(stacked, k))
+        want = jax.tree_util.tree_leaves(direct)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=1e-13)

@@ -125,3 +125,23 @@ def test_fused_rejects_rhs():
         assert False
     except ValueError:
         pass
+
+
+def test_fused_non_embedded_tableau_adaptive_raises():
+    # RK4 has no embedded pair: the adaptive driver must raise, not silently
+    # accept on a zero error estimate
+    _, y0, st = setup(B=8, d=64, dtype=jnp.float64)
+    st4 = FusedModulatedLinearRK(
+        M0=st.M0.astype(jnp.float64), M1=st.M1.astype(jnp.float64),
+        u_fn=st.u_fn, tableau=vo.RK4, use_pallas=False,
+    )
+    try:
+        ensemble_solve(None, y0, 0.0, 0.1, stepper=st4, adaptive=True,
+                       h0=1e-2, time_dtype=jnp.float64)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "error estimate" in str(e)
+    # fixed-step mode works fine
+    sol = ensemble_solve(None, y0, 0.0, 0.1, stepper=st4, adaptive=False,
+                         h0=1e-2, time_dtype=jnp.float64)
+    assert all(int(s) == vo.DONE for s in sol.status)

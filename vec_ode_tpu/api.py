@@ -28,6 +28,19 @@ from .rk import RungeKutta
 Pytree = Any
 
 
+def _is_backward(t0, tf) -> bool:
+    """True iff tf < t0, for python scalars AND concrete arrays. Traced
+    endpoints cannot be inspected: integration direction must be static, so
+    we assume forward (the driver's ERR_BAD_GRID guard catches misuse at
+    runtime instead of hanging)."""
+    import numpy as np
+
+    try:
+        return bool(np.asarray(tf) < np.asarray(t0))
+    except Exception:
+        return False
+
+
 def solve_ivp(
     f: Callable,
     t0,
@@ -58,9 +71,7 @@ def solve_ivp(
         stepper = RungeKutta()
     if time_dtype is None:
         time_dtype = jnp.result_type(jnp.asarray(t0), jnp.asarray(tf), float)
-    backward = float(tf) < float(t0) if (
-        isinstance(t0, (int, float)) and isinstance(tf, (int, float))
-    ) else False
+    backward = _is_backward(t0, tf)
     if backward:
         t0_orig = float(t0)
         inner_f = f
@@ -121,7 +132,9 @@ def _attach_nfev(sol: Solution, stepper) -> Solution:
     n = getattr(stepper, "nfev_per_step", None)
     if n is None:
         return sol
-    return dc.replace(sol, n_rhs_evals=sol.n_iters * int(n))
+    return dc.replace(
+        sol, n_rhs_evals=(sol.n_accept + sol.n_reject) * int(n)
+    )
 
 
 def solve_linear(
@@ -152,9 +165,7 @@ def solve_linear(
     """
     if time_dtype is None:
         time_dtype = jnp.result_type(jnp.asarray(t0), jnp.asarray(tf), float)
-    backward = float(tf) < float(t0) if (
-        isinstance(t0, (int, float)) and isinstance(tf, (int, float))
-    ) else False
+    backward = _is_backward(t0, tf)
     if backward:
         t0_orig = float(t0)
         inner_op = op_fn

@@ -76,7 +76,8 @@ def _dense_step(
     rem = tf - state.t
     at_end = jnp.abs(rem) <= end_tolerance(tf)
     stepping = running & ~at_end
-    dt = jnp.where(stepping, jnp.minimum(state.h, rem), state.h)
+    # dt=0 on masked lanes keeps discarded evaluations finite (grad-safe)
+    dt = jnp.where(stepping, jnp.minimum(state.h, rem), 0.0)
 
     x_next, err, f0, f1 = step_fn_dense(state.t, state.x, dt)
 
@@ -109,20 +110,13 @@ def _dense_step(
     )
 
     def record(buf, a, b, fa, fb):
-        # buf: (n_grid, ...) ; interpolate at all grid times, select crossed
+        # buf: (n_grid, ...) ; interpolate at all grid times (one
+        # hermite_cubic over the broadcast grid axis), select crossed
         th = theta.reshape((n_grid,) + (1,) * (buf.ndim - 1)).astype(
             jnp.finfo(buf.dtype).dtype if jnp.issubdtype(
                 buf.dtype, jnp.inexact) else jnp.float32
         )
-        dts = lc._match_scalar(dt, buf)
-        h00 = 2 * th**3 - 3 * th**2 + 1
-        h10 = th**3 - 2 * th**2 + th
-        h01 = -2 * th**3 + 3 * th**2
-        h11 = th**3 - th**2
-        interp = (
-            h00 * a[None] + h10 * dts * fa[None]
-            + h01 * b[None] + h11 * dts * fb[None]
-        )
+        interp = hermite_cubic(a[None], b[None], fa[None], fb[None], dt, th)
         m = crossed.reshape((n_grid,) + (1,) * (buf.ndim - 1))
         return jnp.where(m, interp, buf)
 

@@ -45,6 +45,8 @@ ERR_MAX_STEPS = 2
 ERR_STALLED = 3   # reject streak at/below min_dt (the reference livelocks
                   # silently here, SURVEY §5 'failure detection'; we surface
                   # it when StepControl.max_reject_streak > 0)
+ERR_BAD_GRID = 4  # negative remaining time: backward integration with traced
+                  # endpoints or a misordered grid (would otherwise livelock)
 
 # Event codes: which ODEStep branch the last iteration took (ode.rs:42-48).
 EVT_NONE = 0
@@ -179,12 +181,34 @@ def step_once(
     past_end = state.tgt_idx >= n_grid - 1
     is_end = running & at_grid & past_end
     is_chkpt = running & at_grid & ~past_end
-    stepping = running & ~at_grid
-    dt = jnp.where(stepping, jnp.minimum(state.h, rem), state.h)
+    bad_grid = running & ~at_grid & (rem < 0)
+    stepping = running & ~at_grid & ~bad_grid
+    # masked-out lanes step with dt=0 (a no-op step): keeps discarded
+    # evaluations finite so reverse-mode through the scan driver is not
+    # poisoned by inf/NaN from post-DONE lanes
+    dt = jnp.where(stepping, jnp.minimum(state.h, rem), 0.0)
 
-    # --- try_step: run the stepper kernel (masked-out when not stepping) ----
+    # --- try_step: run the stepper kernel ------------------------------------
     with jax.named_scope("vec_ode.try_step"):
-        x_next, err = step_fn(state.t, state.x, dt)
+        if batched:
+            # per-trajectory masking: evaluate for all lanes (dt=0 no-ops)
+            x_next, err = step_fn(state.t, state.x, dt)
+        else:
+            # scalar driver: skip the (possibly expensive) stepper entirely
+            # on grid-hit iterations — the reference's Chkpt branch does no
+            # stepper work either (ode.rs:192-195)
+            out_sds = jax.eval_shape(step_fn, state.t, state.x, dt)
+
+            def _zeros_like_sds(sds):
+                return jax.tree_util.tree_map(
+                    lambda a: jnp.zeros(a.shape, a.dtype), sds
+                )
+
+            x_next, err = jax.lax.cond(
+                stepping,
+                lambda: step_fn(state.t, state.x, dt),
+                lambda: _zeros_like_sds(out_sds),
+            )
 
     # --- handle_step_adaptive (ode.rs:311-334) -------------------------------
     # (named scopes label the HLO for jax.profiler / xprof traces)
@@ -240,6 +264,7 @@ def step_once(
         ys = jax.tree_util.tree_map(record, state.ys, state.x)
 
     status = jnp.where(is_end, DONE, state.status)
+    status = jnp.where(bad_grid, ERR_BAD_GRID, status)
     n_iters = state.n_iters + jnp.where(running, 1, 0).astype(jnp.int32)
     status = jnp.where(
         (status == RUNNING) & (n_iters >= ctl.max_steps), ERR_MAX_STEPS, status

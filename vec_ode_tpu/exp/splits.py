@@ -23,6 +23,9 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
+import jax.numpy as jnp
+
 from .. import tableaus as tb
 from .protocol import ExponentialSplit, index_u
 
@@ -48,6 +51,17 @@ class _Pair(ExponentialSplit):
             self.sp_a.commutator(La[0], Lb[0]),
             self.sp_b.commutator(La[1], Lb[1]),
         )
+
+    def multi_exp(self, L, ks):
+        # per-scaling loop (the reference's semantics, exp/mod.rs:28-34):
+        # the protocol's stacked default would interleave a nested child's
+        # own multi_exp axis in front of this one, corrupting index_u
+        # selection under composition nesting. ks is a small trace-time
+        # array, so the loop unrolls into one fused XLA program anyway.
+        import numpy as np
+
+        us = [self.exp(self.scale_l(L, k)) for k in np.asarray(ks)]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *us)
 
 
 class CommutativeSplit(_Pair):

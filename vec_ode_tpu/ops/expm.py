@@ -205,5 +205,7 @@ def expm(A: jax.Array, *, max_squarings: int = 16,
 
 def expm_apply(A: jax.Array, x: jax.Array, **kw) -> jax.Array:
     """exp(A) @ x for (..., d, d) A and (..., d) x."""
+    from ..utils.prec import HIGHEST
+
     U = expm(A, **kw)
-    return jnp.einsum("...ij,...j->...i", U, x)
+    return jnp.einsum("...ij,...j->...i", U, x, precision=HIGHEST)

@@ -191,7 +191,7 @@ def xla_rk_step(t, dt, xw, M0, M1, *, u_fn, tab=RKF45, advance_lower=True):
     x_b = xw + dtc * sum(float(tab.b[j]) * K[j] for j in range(s)
                          if tab.b[j] != 0.0)
     if tab.b_err is None:
-        return x_b, jnp.zeros_like(t)
+        return x_b, None
     db = tab.b - tab.b_err
     err = dtc * sum(float(db[j]) * K[j] for j in range(s) if db[j] != 0.0)
     x_next = (x_b - err) if advance_lower else x_b
@@ -252,6 +252,8 @@ class FusedModulatedLinearRK:
         use_pallas = self.use_pallas and jax.default_backend() == "tpu"
         interpret = False
 
+        has_err = self.tableau.b_err is not None
+
         def step_fn(t, x, dt):
             from ..ops.cplx import Cplx
 
@@ -272,6 +274,9 @@ class FusedModulatedLinearRK:
                     u_fn=self.u_fn, tab=self.tableau,
                     advance_lower=self.advance_lower,
                 )
-            return Cplx(ox[..., :d], ox[..., d:]), oe
+            # no embedded pair -> no error estimate: return None so the
+            # adaptive driver raises instead of silently accepting on a
+            # zero-valued estimate (matches rk.rk_step)
+            return Cplx(ox[..., :d], ox[..., d:]), (oe if has_err else None)
 
         return step_fn

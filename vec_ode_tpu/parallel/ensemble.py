@@ -84,7 +84,13 @@ def ensemble_solve(
     if getattr(stepper, "is_batched", False):
         # natively-batched stepper (e.g. the Pallas fused RK step): one
         # driver loop over the whole (local) batch, no vmap
-        enorm = getattr(stepper, "error_norm", None) or lc.norm_l2_batched
+        stepper_norm = getattr(stepper, "error_norm", None)
+        if stepper_norm is not None and error_norm is not lc.norm_l2:
+            raise ValueError(
+                "this stepper computes its own per-trajectory error norms; "
+                "a custom error_norm cannot be applied"
+            )
+        enorm = stepper_norm or lc.norm_l2_batched
 
         def batched(y0):
             import dataclasses as dc
