@@ -163,3 +163,28 @@ def test_ensemble_params_exp_stepper_sharded():
     np.testing.assert_allclose(p_stay, want, atol=0.08)
     # overall trend: faster sweeps -> higher stay probability (LZ physics)
     assert p_stay[-1] > p_stay[0] + 0.2
+
+
+def test_per_trajectory_h0_warm_start():
+    # chained solves: feed h_final back as per-trajectory h0
+    y0 = jnp.asarray(np.random.default_rng(4).uniform(0.5, 2.0, (8, 4)))
+    ctl = vo.StepControl(rtol=1e-8)
+    first = ensemble_solve(rhs_decay, y0, 0.0, 1.0, ctl=ctl, h0=1e-3)
+    warm = ensemble_solve(
+        rhs_decay, first.y_final, 1.0, 2.0, ctl=ctl, h0=first.h_final,
+    )
+    assert all(int(s) == vo.DONE for s in warm.status)
+    # warm start skips the h-growth phase: fewer iterations than cold start
+    cold = ensemble_solve(
+        rhs_decay, first.y_final, 1.0, 2.0, ctl=ctl, h0=1e-3,
+    )
+    assert int(warm.n_iters.max()) < int(cold.n_iters.max())
+    # sharded variant with batched h0
+    mesh = ensemble_mesh()
+    y0s = jnp.asarray(np.random.default_rng(5).uniform(0.5, 2.0, (16, 4)))
+    h0s = jnp.full((16,), 0.05, jnp.float64)
+    s = ensemble_solve(
+        rhs_decay, shard_batch(y0s, mesh), 0.0, 1.0, ctl=ctl,
+        h0=shard_batch(h0s, mesh), mesh=mesh,
+    )
+    assert all(int(x) == vo.DONE for x in s.status)

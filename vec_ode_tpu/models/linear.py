@@ -16,11 +16,14 @@ import numpy as np
 
 def stable_dense_matrix(d: int, seed: int = 0, dtype=jnp.float64):
     """Random stable matrix A = -(I + W Wᵀ/d) + skew part: spectrum in the
-    left half plane, well-conditioned for golden exp(At) comparisons."""
+    left half plane, well-conditioned for golden exp(At) comparisons.
+    ``dtype=None`` returns the host numpy f64 array (no device transfer)."""
     rng = np.random.default_rng(seed)
     W = rng.standard_normal((d, d))
     S = rng.standard_normal((d, d))
     A = -(np.eye(d) + W @ W.T / d) * 0.5 + (S - S.T) * 0.3
+    if dtype is None:
+        return A
     return jnp.asarray(A, dtype)
 
 

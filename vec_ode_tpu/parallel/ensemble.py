@@ -64,6 +64,9 @@ def ensemble_solve(
     ``op_fn(t, p)``, so ensembles can sweep model parameters (e.g. one
     Landau-Zener rate per trajectory), not just initial conditions.
     Unsupported for natively-batched steppers (they embed their own RHS).
+
+    ``h0`` may be a (B,)-shaped array for per-trajectory warm starts (e.g.
+    the ``h_final`` of a previous chained solve).
     """
     if stepper is None:
         stepper = RungeKutta()
@@ -96,8 +99,11 @@ def ensemble_solve(
             import dataclasses as dc
 
             b = jax.tree_util.tree_leaves(y0)[0].shape[0]
+            h_local = h0
+            if hasattr(h0, "shape") and jnp.ndim(h0) == 1:
+                h_local = h0  # (B,) broadcasts onto the batched carry
             sol = integrate(
-                step_fn, y0, t_grid, h0,
+                step_fn, y0, t_grid, h_local,
                 adaptive=adaptive, ctl=ctl,
                 error_norm=enorm, method=method,
                 batch_shape=(b,),
@@ -108,7 +114,9 @@ def ensemble_solve(
                 sol, ts=jnp.broadcast_to(sol.ts, (b,) + sol.ts.shape)
             )
     else:
-        def single(y0, p=None):
+        h_batched = hasattr(h0, "ndim") and jnp.ndim(h0) == 1
+
+        def single(y0, p, h):
             if params is None:
                 fn = step_fn
             else:
@@ -133,17 +141,28 @@ def ensemble_solve(
                 else:                 # op_fn(t, p) — exp steppers
                     fn = stepper.make_step_fn(lambda t: rhs_or_op(t, p))
             return integrate(
-                fn, y0, t_grid, h0,
+                fn, y0, t_grid, h,
                 adaptive=adaptive, ctl=ctl,
                 error_norm=error_norm, method=method,
             )
 
-        if params is None:
-            batched = jax.vmap(lambda y0: single(y0))
-        else:
-            batched = jax.vmap(single)
+        in_axes = (0, 0 if params is not None else None,
+                   0 if h_batched else None)
+        vm = jax.vmap(single, in_axes=in_axes)
+        batched = lambda y0, p, h: vm(y0, p, h)
 
-    args = (y0_batch,) if params is None else (y0_batch, params)
+    if getattr(stepper, "is_batched", False):
+        args = (y0_batch,)
+        in_specs = (P(mesh.axis_names[0]),) if mesh is not None else None
+    else:
+        args = (y0_batch, params, h0)
+        if mesh is not None:
+            ax = mesh.axis_names[0]
+            in_specs = (
+                P(ax),
+                P(ax) if params is not None else P(),
+                P(ax) if h_batched else P(),
+            )
 
     if mesh is None:
         return batched(*args)
@@ -158,7 +177,7 @@ def ensemble_solve(
     sharded = jax.shard_map(
         batched,
         mesh=mesh,
-        in_specs=P(mesh_axis),
+        in_specs=in_specs,
         out_specs=P(mesh_axis),
         check_vma=False,
     )
