@@ -116,3 +116,52 @@ def test_vdp_jit_vmap_grid_of_mu():
     yf, status = run(mus)
     assert all(int(s) == vo.DONE for s in status)
     assert yf.shape == (4, 2)
+
+
+def test_tight_binding_chain_split_solvers():
+    """Driven chain: split solvers (dense hop leaf + diagonal onsite leaf)
+    vs a dense Magnus-4 golden reference; unitarity throughout."""
+    from vec_ode_tpu import exp as vexp
+    from vec_ode_tpu.models import TightBindingChain
+    from vec_ode_tpu.ops import cplx as cp
+
+    chain = TightBindingChain(n=8, J=1.0, seed=3, w=2.0)
+    psi0_np = np.zeros(8, np.complex128)
+    psi0_np[4] = 1.0
+
+    golden = vo.solve_linear(
+        chain.op, 0.0, 2.0, jnp.asarray(psi0_np),
+        stepper=vo.exp.Magnus4(vo.exp.DenseSplit()), h0=1e-3,
+    )
+
+    y0 = cp.from_complex(psi0_np, jnp.float64)
+    errs = []
+    for h in [0.05, 0.025]:
+        sol = vo.solve_linear(
+            lambda t: chain.ops_pair(t, jnp.float64), 0.0, 2.0, y0,
+            stepper=vexp.SplitMidpoint(
+                vexp.DenseCplxSplit(), vexp.DiagonalCplxSplit()
+            ),
+            h0=h,
+        )
+        got = np.asarray(cp.to_complex(sol.y_final))
+        # unitarity of the split propagation
+        np.testing.assert_allclose(np.linalg.norm(got), 1.0, atol=1e-12)
+        errs.append(np.linalg.norm(got - np.asarray(golden.y_final)))
+    # corrected Strang midpoint: order 2
+    assert 1.6 < np.log2(errs[0] / errs[1]) < 2.4, errs
+
+    # RKN order-4 split composition on the same problem
+    comp = vo.exp.RKNR4Split(vexp.DenseCplxSplit(), vexp.DiagonalCplxSplit())
+    errs4 = []
+    for h in [0.1, 0.05]:
+        sol = vo.solve_linear(
+            lambda t: chain.ops_pair(t, jnp.float64), 0.0, 2.0, y0,
+            stepper=vexp.ExpMidpoint(comp), h0=h,
+        )
+        got = np.asarray(cp.to_complex(sol.y_final))
+        errs4.append(np.linalg.norm(got - np.asarray(golden.y_final)))
+    # split composition of a time-dependent generator sampled at midpoint:
+    # splitting error is O(h^4) but the midpoint sampling limits to O(h^2);
+    # for this weakly-driven chain the observed rate sits in between
+    assert errs4[1] < errs4[0] / 3.0, errs4

@@ -113,3 +113,40 @@ def test_reference_typo_inflates_error_estimate(lib):
     exact = scipy.linalg.expm(A) @ y0
     np.testing.assert_allclose(base["y_final"], exact, atol=1e-7)
     np.testing.assert_allclose(typo["y_final"], exact, atol=1e-7)
+
+
+def test_property_sweep_random_configs(lib):
+    """20 random (matrix, tolerance, step-range, h0) configs: the JAX driver
+    and the C++ oracle must agree on the exact event sequence, counters and
+    final state."""
+    rng = np.random.default_rng(123)
+    for trial in range(20):
+        d = int(rng.integers(2, 7))
+        A = np.array(stable_dense_matrix(d, seed=100 + trial, dtype=None))
+        A *= rng.uniform(0.3, 2.0)
+        y0 = rng.standard_normal(d)
+        rtol = 10.0 ** rng.uniform(-9, -4)
+        min_dt = 1e-7
+        max_dt = float(rng.uniform(0.2, 1.0))
+        h0 = float(rng.uniform(2e-4, 5e-2))
+        tf = float(rng.uniform(0.5, 2.5))
+        adaptive = bool(rng.integers(0, 2))
+
+        want = oracle.solve_linear_rkf45(
+            A, y0, 0.0, tf, h0, rtol=rtol, min_dt=min_dt, max_dt=max_dt,
+            adaptive=adaptive,
+        )
+        ctl = vo.StepControl(rtol=rtol, min_dt=min_dt, max_dt=max_dt)
+        state, events = jax_events(A, y0, 0.0, tf, h0, ctl,
+                                   adaptive=adaptive)
+        msg = f"trial {trial}: d={d} rtol={rtol:.2e} h0={h0} tf={tf}"
+        assert int(state.status) == vo.DONE, msg
+        np.testing.assert_array_equal(
+            np.asarray(events, np.int8), want["events"], err_msg=msg
+        )
+        assert int(state.n_accept) == want["n_accept"], msg
+        assert int(state.n_reject) == want["n_reject"], msg
+        np.testing.assert_allclose(
+            np.asarray(state.x), want["y_final"], rtol=1e-10, atol=1e-12,
+            err_msg=msg,
+        )

@@ -328,6 +328,22 @@ class Solution:
     def success(self):
         return self.status == DONE
 
+    def __repr__(self):
+        # compact: the dataclass default would print whole state arrays
+        def fmt(v):
+            try:
+                if hasattr(v, "shape") and v.shape:
+                    return f"<{v.dtype}{list(v.shape)}>"
+                return str(v)
+            except Exception:
+                return "<...>"
+
+        return (
+            f"Solution(status={fmt(self.status)}, t_final={fmt(self.t_final)},"
+            f" n_accept={fmt(self.n_accept)}, n_reject={fmt(self.n_reject)},"
+            f" h_final={fmt(self.h_final)}, ys={fmt(jax.tree_util.tree_leaves(self.ys)[0])})"
+        )
+
 
 jax.tree_util.register_pytree_node(
     Solution,

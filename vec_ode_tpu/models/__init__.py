@@ -1,5 +1,6 @@
 """Problem/model library backing the parity and benchmark configs."""
 
+from .chains import TightBindingChain
 from .linear import DecayDiag, LinearConstant, stable_dense_matrix
 from .nonlinear import Brusselator, LotkaVolterra, VanDerPol
 from .quantum import DrivenDense, LandauZener
@@ -13,4 +14,5 @@ __all__ = [
     "Brusselator",
     "LandauZener",
     "DrivenDense",
+    "TightBindingChain",
 ]
