@@ -88,3 +88,57 @@ def test_dense_interp_accuracy_order():
     e1, e2 = run(0.2), run(0.1)
     rate = np.log2(e1 / e2)
     assert 3.3 < rate < 5.0, (e1, e2, rate)
+
+
+def test_solve_linear_dense_magnus():
+    """Dense output for exponential steppers: slopes from apply_l."""
+    import scipy.linalg
+
+    from vec_ode_tpu import exp as vexp
+    from vec_ode_tpu.dense import solve_linear_dense
+
+    A0 = np.asarray([[0.0, 1.0], [-1.0, 0.0]]) * 0.8
+    B = np.asarray([[0.3, 0.1], [0.1, -0.3]])
+
+    def op(t):
+        return jnp.asarray(A0) + jnp.sin(t) * jnp.asarray(B)
+
+    y0 = jnp.asarray([1.0, 0.0], jnp.float64)
+    save = jnp.linspace(0.2, 1.8, 9, dtype=jnp.float64)
+    sol = solve_linear_dense(
+        op, 0.0, 2.0, y0,
+        stepper=vexp.Magnus4(vexp.DenseSplit()),
+        adaptive=True, ctl=vo.StepControl(rtol=1e-8, max_dt=0.2),
+        h0=1e-2, save_at=save,
+    )
+    assert bool(sol.success)
+    # golden: tiny-step Magnus at each save time
+    for i, t in enumerate(np.asarray(sol.ts)):
+        ref = vo.solve_linear(
+            op, 0.0, float(t) if t > 0 else 1e-9, y0,
+            stepper=vexp.Magnus4(vexp.DenseSplit()), h0=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sol.ys[i]), np.asarray(ref.y_final), atol=5e-6,
+            err_msg=f"t={t}",
+        )
+
+
+def test_solve_linear_dense_split_pair():
+    from vec_ode_tpu import exp as vexp
+    from vec_ode_tpu.dense import solve_linear_dense
+
+    A = jnp.asarray([[0.0, 1.0], [-1.0, 0.0]], jnp.float64)
+    Bd = jnp.asarray([-0.2, -0.6], jnp.float64)
+    y0 = jnp.asarray([1.0, 0.5], jnp.float64)
+    sol = solve_linear_dense(
+        lambda t: (A, Bd), 0.0, 1.0, y0,
+        stepper=vexp.SplitMidpoint(vexp.DenseSplit(), vexp.DiagonalSplit()),
+        h0=0.02, save_at=jnp.asarray([0.5]),
+    )
+    import scipy.linalg
+
+    want = scipy.linalg.expm(0.5 * (np.asarray(A) + np.diag(np.asarray(Bd))))
+    np.testing.assert_allclose(
+        np.asarray(sol.ys[1]), want @ np.asarray(y0), atol=1e-4
+    )

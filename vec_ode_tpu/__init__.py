@@ -10,7 +10,7 @@ states), re-designed TPU-first: pytree vector spaces, branchless
 from . import lc, tableaus
 from . import dense, diff, exp, models, parallel, quad
 from .api import solve_ivp, solve_linear
-from .dense import solve_ivp_dense
+from .dense import solve_ivp_dense, solve_linear_dense
 from .controller import StepControl
 from .driver import (
     DONE,
@@ -59,6 +59,7 @@ __all__ = [
     "solve_ivp",
     "solve_linear",
     "solve_ivp_dense",
+    "solve_linear_dense",
     "StepControl",
     "Solution",
     "IntState",

@@ -247,3 +247,61 @@ def solve_ivp_dense(
         step_fn_dense, y0, t_grid, h0,
         adaptive=adaptive, ctl=ctl, error_norm=error_norm,
     )
+
+
+def solve_linear_dense(
+    op_fn: Callable,
+    t0,
+    tf,
+    y0: Pytree,
+    *,
+    stepper,
+    h0=None,
+    adaptive: bool = False,
+    ctl: StepControl = StepControl(),
+    save_at=None,
+    error_norm: Callable = lc.norm_l2,
+    time_dtype=None,
+) -> Solution:
+    """solve_linear with interpolated saves: the Hermite endpoint slopes are
+    the operator action dx/dt = A(t) x via the split's ``apply_l``.
+
+    ``stepper`` is an exp stepper carrying its split (ExpMidpoint / Magnus4 /
+    CFM...) or a split-pair solver (SplitMidpoint, whose op_fn yields
+    (La, Lb))."""
+    import jax.numpy as jnp
+
+    from .driver import make_grid
+
+    if time_dtype is None:
+        time_dtype = jnp.result_type(jnp.asarray(t0), jnp.asarray(tf), float)
+    t_grid = make_grid(t0, tf, save_at, dtype=time_dtype)
+    if h0 is None:
+        h0 = ctl.init_h()
+
+    if hasattr(stepper, "split") and stepper.split is not None:
+        split = stepper.split
+
+        def slope(t, x):
+            return split.apply_l(op_fn(t), x)
+    elif hasattr(stepper, "sp_a"):
+        sp_a, sp_b = stepper.sp_a, stepper.sp_b
+
+        def slope(t, x):
+            la, lb = op_fn(t)
+            return lc.add(sp_a.apply_l(la, x), sp_b.apply_l(lb, x))
+    else:
+        raise ValueError(
+            "stepper must carry its split(s) for dense output slopes"
+        )
+
+    inner = stepper.make_step_fn(op_fn)
+
+    def step_fn_dense(t, x, dt):
+        x_next, err = inner(t, x, dt)
+        return x_next, err, slope(t, x), slope(t + dt, x_next)
+
+    return integrate_interp(
+        step_fn_dense, y0, t_grid, h0,
+        adaptive=adaptive, ctl=ctl, error_norm=error_norm,
+    )

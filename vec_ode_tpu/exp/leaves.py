@@ -79,6 +79,9 @@ class DenseSplit(ExponentialSplit):
     def commutator(self, La, Lb):
         return mm(La, Lb) - mm(Lb, La)
 
+    def apply_l(self, L, x):
+        return jnp.einsum("...ij,...j->...i", L, x, precision=HIGHEST)
+
 
 @dataclasses.dataclass(frozen=True)
 class DiagonalSplit(ExponentialSplit):
@@ -92,6 +95,9 @@ class DiagonalSplit(ExponentialSplit):
 
     def commutator(self, La, Lb):
         return jnp.zeros_like(La)
+
+    def apply_l(self, L, x):
+        return L * x
 
 
 class _CplxSplitBase(ExponentialSplit):
@@ -114,6 +120,11 @@ class _CplxSplitBase(ExponentialSplit):
         from ..ops import cplx as cp
 
         return cp.cmatmul(La, Lb) - cp.cmatmul(Lb, La)
+
+    def apply_l(self, L, x):
+        from ..ops import cplx as cp
+
+        return cp.cmatvec(L, x)
 
     def scale_l(self, L, k):
         from ..ops import cplx as cp
@@ -180,6 +191,9 @@ class DiagonalCplxSplit(_CplxSplitBase):
 
     def commutator(self, La, Lb):
         return jax.tree_util.tree_map(jnp.zeros_like, La)
+
+    def apply_l(self, L, x):
+        return L * x
 
 
 @dataclasses.dataclass(frozen=True)

@@ -85,6 +85,13 @@ class ExponentialSplit:
             f"{type(self).__name__} does not define a commutator"
         )
 
+    def apply_l(self, L: Pytree, x: Pytree) -> Pytree:
+        """L @ x — the operator action itself (dx/dt at state x). Needed by
+        dense output (Hermite endpoint slopes); optional otherwise."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not define apply_l"
+        )
+
 
 def index_u(U: Pytree, k: int) -> Pytree:
     """Select the k-th propagator from a stacked multi_exp result."""

@@ -52,6 +52,13 @@ class _Pair(ExponentialSplit):
             self.sp_b.commutator(La[1], Lb[1]),
         )
 
+    def apply_l(self, L, x):
+        # the direct-sum operator acts as the SUM of the parts: (A+B) x
+        from .. import lc
+
+        la, lb = L
+        return lc.add(self.sp_a.apply_l(la, x), self.sp_b.apply_l(lb, x))
+
     def multi_exp(self, L, ks):
         # per-scaling loop (the reference's semantics, exp/mod.rs:28-34):
         # the protocol's stacked default would interleave a nested child's
