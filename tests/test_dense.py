@@ -142,3 +142,37 @@ def test_solve_linear_dense_split_pair():
     np.testing.assert_allclose(
         np.asarray(sol.ys[1]), want @ np.asarray(y0), atol=1e-4
     )
+
+
+def test_dense_adaptive_without_error_estimate_raises():
+    from vec_ode_tpu import exp as vexp
+    from vec_ode_tpu.dense import solve_linear_dense
+
+    A = jnp.asarray([[0.0, 1.0], [-1.0, 0.0]], jnp.float64)
+    try:
+        solve_linear_dense(
+            lambda t: A, 0.0, 1.0, jnp.asarray([1.0, 0.0], jnp.float64),
+            stepper=vexp.ExpMidpoint(vexp.DenseSplit()), adaptive=True,
+            h0=0.1,
+        )
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "error estimate" in str(e)
+
+
+def test_solve_linear_dense_antihermitian_leaf():
+    # the complex eigh leaf (CPU path) must support dense-output slopes
+    from vec_ode_tpu import exp as vexp
+    from vec_ode_tpu.dense import solve_linear_dense
+
+    H = np.asarray([[0.5, 0.2], [0.2, -0.5]])
+    op = lambda t: jnp.asarray(-1j * H, jnp.complex128)
+    sol = solve_linear_dense(
+        op, 0.0, 1.0, jnp.asarray([1.0, 0.0], jnp.complex128),
+        stepper=vexp.ExpMidpoint(vexp.AntiHermitianSplit()), h0=0.05,
+        save_at=jnp.asarray([0.5]),
+    )
+    assert bool(sol.success)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(sol.ys[1])), 1.0, atol=1e-5
+    )

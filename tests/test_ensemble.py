@@ -188,3 +188,29 @@ def test_per_trajectory_h0_warm_start():
         h0=shard_batch(h0s, mesh), mesh=mesh,
     )
     assert all(int(x) == vo.DONE for x in s.status)
+
+
+def test_batched_stepper_warm_start_sharded():
+    """Regression: (B,)-shaped h0 must shard correctly through shard_map for
+    natively-batched steppers (was a closure-capture crash)."""
+    from vec_ode_tpu.models import DrivenDense
+    from vec_ode_tpu.ops import cplx as cp
+    from vec_ode_tpu.ops.pallas_rk import FusedModulatedLinearRK
+
+    model = DrivenDense.make(d=64, seed=9)
+    B = 16
+    rng = np.random.default_rng(6)
+    psi0 = rng.standard_normal((B, 64)) + 1j * rng.standard_normal((B, 64))
+    psi0 /= np.linalg.norm(psi0, axis=-1, keepdims=True)
+    y0 = cp.from_complex(psi0, jnp.float64)
+    st = FusedModulatedLinearRK.from_driven_dense(model, jnp.float64)
+    st = FusedModulatedLinearRK(M0=st.M0, M1=st.M1, u_fn=st.u_fn,
+                                use_pallas=False)
+    mesh = ensemble_mesh()
+    ctl = vo.StepControl(rtol=1e-8, max_dt=0.25)
+    h0s = jnp.full((B,), 0.02, jnp.float64)
+    sol = ensemble_solve(
+        None, shard_batch(y0, mesh), 0.0, 0.3, stepper=st, ctl=ctl,
+        h0=shard_batch(h0s, mesh), mesh=mesh, time_dtype=jnp.float64,
+    )
+    assert all(int(s) == vo.DONE for s in sol.status)

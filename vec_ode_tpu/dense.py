@@ -82,6 +82,8 @@ def _dense_step(
     x_next, err, f0, f1 = step_fn_dense(state.t, state.x, dt)
 
     if adaptive:
+        if err is None:
+            raise ValueError("adaptive integration requires an error estimate")
         measure = error_measure(error_norm, state.x, x_next, err, ctl)
         new_h, accept = controller_update(state.h, measure, ctl)
     else:
@@ -285,11 +287,12 @@ def solve_linear_dense(
         def slope(t, x):
             return split.apply_l(op_fn(t), x)
     elif hasattr(stepper, "sp_a"):
-        sp_a, sp_b = stepper.sp_a, stepper.sp_b
+        from .exp.splits import _Pair
+
+        pair = _Pair(stepper.sp_a, stepper.sp_b)
 
         def slope(t, x):
-            la, lb = op_fn(t)
-            return lc.add(sp_a.apply_l(la, x), sp_b.apply_l(lb, x))
+            return pair.apply_l(op_fn(t), x)
     else:
         raise ValueError(
             "stepper must carry its split(s) for dense output slopes"

@@ -338,10 +338,12 @@ class Solution:
             except Exception:
                 return "<...>"
 
+        leaves = jax.tree_util.tree_leaves(self.ys)
+        ys_s = fmt(leaves[0]) if leaves else "<empty>"
         return (
             f"Solution(status={fmt(self.status)}, t_final={fmt(self.t_final)},"
             f" n_accept={fmt(self.n_accept)}, n_reject={fmt(self.n_reject)},"
-            f" h_final={fmt(self.h_final)}, ys={fmt(jax.tree_util.tree_leaves(self.ys)[0])})"
+            f" h_final={fmt(self.h_final)}, ys={ys_s})"
         )
 
 

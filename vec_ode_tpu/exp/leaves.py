@@ -255,3 +255,6 @@ class AntiHermitianSplit(ExponentialSplit):
 
     def commutator(self, La, Lb):
         return mm(La, Lb) - mm(Lb, La)
+
+    def apply_l(self, L, x):
+        return jnp.einsum("...ij,...j->...i", L, x, precision=HIGHEST)

@@ -95,15 +95,13 @@ def ensemble_solve(
             )
         enorm = stepper_norm or lc.norm_l2_batched
 
-        def batched(y0):
+        def batched(y0, p, h):
             import dataclasses as dc
 
+            del p  # params unsupported for natively-batched steppers
             b = jax.tree_util.tree_leaves(y0)[0].shape[0]
-            h_local = h0
-            if hasattr(h0, "shape") and jnp.ndim(h0) == 1:
-                h_local = h0  # (B,) broadcasts onto the batched carry
             sol = integrate(
-                step_fn, y0, t_grid, h_local,
+                step_fn, y0, t_grid, h,
                 adaptive=adaptive, ctl=ctl,
                 error_norm=enorm, method=method,
                 batch_shape=(b,),
@@ -113,6 +111,8 @@ def ensemble_solve(
             return dc.replace(
                 sol, ts=jnp.broadcast_to(sol.ts, (b,) + sol.ts.shape)
             )
+
+        h_batched = hasattr(h0, "ndim") and jnp.ndim(h0) == 1
     else:
         h_batched = hasattr(h0, "ndim") and jnp.ndim(h0) == 1
 
@@ -148,21 +148,18 @@ def ensemble_solve(
 
         in_axes = (0, 0 if params is not None else None,
                    0 if h_batched else None)
-        vm = jax.vmap(single, in_axes=in_axes)
-        batched = lambda y0, p, h: vm(y0, p, h)
+        batched = jax.vmap(single, in_axes=in_axes)
 
-    if getattr(stepper, "is_batched", False):
-        args = (y0_batch,)
-        in_specs = (P(mesh.axis_names[0]),) if mesh is not None else None
-    else:
-        args = (y0_batch, params, h0)
-        if mesh is not None:
-            ax = mesh.axis_names[0]
-            in_specs = (
-                P(ax),
-                P(ax) if params is not None else P(),
-                P(ax) if h_batched else P(),
-            )
+    # uniform (y0, params, h0) argument layout for both paths so h0 warm
+    # starts shard correctly through shard_map
+    args = (y0_batch, params, h0)
+    if mesh is not None:
+        ax = mesh.axis_names[0]
+        in_specs = (
+            P(ax),
+            P(ax) if params is not None else P(),
+            P(ax) if h_batched else P(),
+        )
 
     if mesh is None:
         return batched(*args)
