@@ -152,3 +152,47 @@ def test_max_steps_guard():
         ctl=vo.StepControl(max_steps=100),
     )
     assert int(sol.status) == vo.ERR_MAX_STEPS
+
+
+@pytest.mark.parametrize("tab_name,order", [
+    ("dopri5", 4),      # advances b_err (4th) in reference-compat mode
+    ("bosh32", 2),
+    ("cash_karp", 4),
+])
+def test_extra_tableaus_adaptive_and_order(tab_name, order):
+    tab = vo.TABLEAUS[tab_name]
+    # adaptive golden run
+    sol = vo.solve_ivp(
+        f_decay, 0.0, 2.0, jnp.asarray(1.0, jnp.float64),
+        stepper=vo.RungeKutta(tab),
+        ctl=vo.StepControl(rtol=1e-9, min_dt=1e-8), h0=1e-3,
+    )
+    assert bool(sol.success)
+    np.testing.assert_allclose(float(sol.y_final), np.exp(-2.0), atol=1e-6)
+    # fixed-step convergence order of the advanced (lower) solution
+    errs = []
+    for h in [0.1, 0.05]:
+        s2 = vo.solve_ivp(
+            f_decay, 0.0, 1.0, jnp.asarray(1.0, jnp.float64),
+            stepper=vo.RungeKutta(tab), adaptive=False, h0=h,
+        )
+        errs.append(abs(float(s2.y_final) - np.exp(-1.0)))
+    rate = np.log2(errs[0] / errs[1])
+    assert order - 0.7 < rate < order + 1.5, (tab_name, errs, rate)
+
+
+def test_advance_higher_local_extrapolation():
+    # advance_lower=False (local extrapolation) gives the 5th-order solution
+    lo = vo.solve_ivp(
+        f_decay, 0.0, 1.0, jnp.asarray(1.0, jnp.float64),
+        stepper=vo.RungeKutta(vo.RKF45, advance_lower=True),
+        adaptive=False, h0=0.05,
+    )
+    hi = vo.solve_ivp(
+        f_decay, 0.0, 1.0, jnp.asarray(1.0, jnp.float64),
+        stepper=vo.RungeKutta(vo.RKF45, advance_lower=False),
+        adaptive=False, h0=0.05,
+    )
+    e_lo = abs(float(lo.y_final) - np.exp(-1.0))
+    e_hi = abs(float(hi.y_final) - np.exp(-1.0))
+    assert e_hi < e_lo / 10  # 5th order clearly beats 4th at this h
