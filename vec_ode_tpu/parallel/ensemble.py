@@ -84,6 +84,8 @@ def ensemble_solve(
             )
         step_fn = None  # built per-trajectory below
 
+    h_batched = hasattr(h0, "ndim") and jnp.ndim(h0) == 1
+
     if getattr(stepper, "is_batched", False):
         # natively-batched stepper (e.g. the Pallas fused RK step): one
         # driver loop over the whole (local) batch, no vmap
@@ -111,11 +113,7 @@ def ensemble_solve(
             return dc.replace(
                 sol, ts=jnp.broadcast_to(sol.ts, (b,) + sol.ts.shape)
             )
-
-        h_batched = hasattr(h0, "ndim") and jnp.ndim(h0) == 1
     else:
-        h_batched = hasattr(h0, "ndim") and jnp.ndim(h0) == 1
-
         def single(y0, p, h):
             if params is None:
                 fn = step_fn
