@@ -56,6 +56,14 @@ class StepControl:
     # ERR_STALLED after this many consecutive rejects; 0 = reference
     # behavior (silent livelock until max_steps)
     max_reject_streak: int = 0
+    # opt-in PI (Gustafsson) step control: h *= alpha * f^kI * (f/f_prev)^kP
+    # with kI = 0.7/pi_order, kP = 0.4/pi_order, falling back to the I-term
+    # right after rejections. pi_order must be the ERROR-decay order
+    # (estimator order + 1; 5 for the RKF45/DOPRI5 4th-order estimates) —
+    # NOT the reference's order=3 controller quirk, whose large exponents
+    # make the PI closed loop linearly unstable (|z| > 1 -> reject cycles).
+    pi: bool = False
+    pi_order: float = 5.0
 
     def __post_init__(self):
         if self.rtol <= 0 or self.atol <= 0:
@@ -75,18 +83,51 @@ class StepControl:
         return math.sqrt(self.min_dt * self.max_dt)
 
 
-def controller_update(h, err_norm, ctl: StepControl):
+def controller_update(h, err_norm, ctl: StepControl, prev_err_norm=None,
+                      prev_rejected=None):
     """One controller decision. Returns (new_h, accept).
 
     Pure elementwise math in the dtype of ``h`` — works per-trajectory under
     vmap. NaN error norms reject the step and shrink by min_factor (the
     reference would propagate NaN; we make divergence recoverable).
+
+    With ``ctl.pi`` and a previous error norm, applies the Gustafsson PI
+    factor f^kI (f/f_prev)^kP instead of the reference's pure f^(1/order);
+    the accept test (f > 1) is unchanged.
     """
     dtype = jnp.asarray(h).dtype
     rtol = jnp.asarray(ctl.rtol, dtype)
     f = rtol / err_norm  # err_norm == 0 -> inf -> accept, factor clipped to max
-    pw = jnp.asarray(1.0 / ctl.order, dtype)
-    fp = jnp.asarray(ctl.alpha, dtype) * jnp.power(f, pw)
+    if ctl.pi and prev_err_norm is not None:
+        kI = jnp.asarray(0.7 / ctl.pi_order, dtype)
+        kP = jnp.asarray(0.4 / ctl.pi_order, dtype)
+        f_prev = rtol / prev_err_norm
+        # first step / zero history: neutral proportional term
+        f_prev = jnp.where(
+            jnp.isfinite(f_prev) & (f_prev > 0), f_prev, f
+        )
+        ratio = jnp.clip(f / f_prev, 1e-8, 1e8)
+        # exact-zero error estimates give f = inf -> inf/inf = NaN; treat a
+        # perfect step as a neutral proportional term (growth still capped)
+        ratio = jnp.where(jnp.isnan(ratio), 1.0, ratio)
+        fp_pi = (
+            jnp.asarray(ctl.alpha, dtype)
+            * jnp.power(f, kI)
+            * jnp.power(ratio, kP)
+        )
+        # after a rejection the history is a rejected attempt: the P-term
+        # would see a large f/f_prev and re-grow into another rejection
+        # (limit cycle). Standard practice: pure I-term right after rejects.
+        fp_i = jnp.asarray(ctl.alpha, dtype) * jnp.power(
+            f, jnp.asarray(1.0 / ctl.order, dtype)
+        )
+        if prev_rejected is not None:
+            fp = jnp.where(prev_rejected, fp_i, fp_pi)
+        else:
+            fp = fp_pi
+    else:
+        pw = jnp.asarray(1.0 / ctl.order, dtype)
+        fp = jnp.asarray(ctl.alpha, dtype) * jnp.power(f, pw)
     fp_lim = jnp.clip(fp, ctl.min_factor, ctl.max_factor)
     bad = jnp.isnan(f)
     fp_lim = jnp.where(bad, jnp.asarray(ctl.min_factor, dtype), fp_lim)

@@ -217,7 +217,10 @@ def step_once(
             raise ValueError("adaptive integration requires an error estimate")
         with jax.named_scope("vec_ode.controller"):
             measure = error_measure(error_norm, state.x, x_next, err, ctl)
-            new_h, accept = controller_update(state.h, measure, ctl)
+            new_h, accept = controller_update(
+                state.h, measure, ctl, prev_err_norm=state.err_norm,
+                prev_rejected=state.reject_streak > 0,
+            )
     else:
         measure = state.err_norm
         new_h, accept = state.h, jnp.asarray(True)
