@@ -1,5 +1,5 @@
-"""Utilities: precision policy, profiling helpers."""
+"""Utilities: precision policy, checkpointing, native oracle loader."""
 
-from . import prec
+from . import checkpointing, oracle, prec
 
-__all__ = ["prec"]
+__all__ = ["prec", "checkpointing", "oracle"]
