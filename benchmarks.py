@@ -173,11 +173,70 @@ def bench_magnus4_driven(results):
     })
 
 
+def _bench_modulated(results, make_stepper, label):
+    """Shared harness: adaptive exp integrator on the 256x64-dim driven
+    Hamiltonian via the modulated shared-basis fast path (exp/modulated.py)."""
+    B = 256
+    model = DrivenDense.make(d=64, seed=0)
+    rng = np.random.default_rng(3)
+    psi0 = rng.standard_normal((B, 64)) + 1j * rng.standard_normal((B, 64))
+    psi0 /= np.linalg.norm(psi0, axis=-1, keepdims=True)
+    y0 = cp.from_complex(psi0, jnp.float32)
+
+    stepper = make_stepper(model.modulated(jnp.float32))
+    ctl = vo.StepControl(rtol=1e-5, min_dt=1e-5, max_dt=0.25)
+
+    @jax.jit
+    def run(y0):
+        def body(carry, _):
+            y, acc = carry
+            sol = ensemble_solve(
+                None, y, 0.0, 1.0,
+                stepper=stepper, adaptive=True, ctl=ctl,
+                h0=1e-2, time_dtype=jnp.float32,
+            )
+            n = jnp.sqrt(jnp.sum(sol.y_final.re**2 + sol.y_final.im**2,
+                                 axis=-1, keepdims=True))
+            yn = cp.Cplx(sol.y_final.re / n, sol.y_final.im / n)
+            return (yn, acc + sol.n_accept), None
+
+        zeros = jnp.zeros((y0.re.shape[0],), jnp.int32)
+        (yf, acc), _ = jax.lax.scan(body, (y0, zeros), None, length=4)
+        return acc, yf
+
+    def sync():
+        na, yf = run(y0)
+        return int(np.asarray(na).sum()), float(np.asarray(yf.re[0, 0]))
+
+    wall, (steps, _) = timed(sync)
+    results.append({
+        "metric": f"{label}, 256x64-dim complex (modulated shared-basis "
+                  "Taylor action, no per-trajectory expm)",
+        "value": round(steps / wall, 1), "unit": "steps/sec",
+    })
+
+
+def bench_cfm4_modulated(results):
+    _bench_modulated(
+        results, lambda mod: vexp.CFM4Modulated(mod),
+        "adaptive CFM-4 (GL2) steps/sec",
+    )
+
+
+def bench_magnus4_modulated(results):
+    _bench_modulated(
+        results, lambda mod: vexp.MagnusModulated4(mod),
+        "adaptive Magnus-4 steps/sec",
+    )
+
+
 ALL = {
     "rk4_vdp": bench_rk4_vdp,
     "magnus2_lz": bench_magnus2_lz,
     "cfm4_driven": bench_cfm4_driven,
     "magnus4_driven": bench_magnus4_driven,
+    "cfm4_modulated": bench_cfm4_modulated,
+    "magnus4_modulated": bench_magnus4_modulated,
 }
 
 

@@ -1,0 +1,304 @@
+"""Modulated-operator fast path (exp/modulated.py): shared-basis Taylor
+propagator actions must match the generic dense-split solvers.
+
+Generic semantics under test: magnus.rs:10-26 (midpoint), magnus.rs:28-83
+(Magnus-4), cfm.rs:43-100 (CFM) — already validated for the dense splits in
+test_exp_solvers.py; here the modulated path is compared against those.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vec_ode_tpu as vo
+from vec_ode_tpu import exp as vexp
+from vec_ode_tpu.exp.modulated import ModulatedOperator, modulated_exp_apply
+from vec_ode_tpu.models import DrivenDense, LandauZener
+from vec_ode_tpu.ops import cplx as cp
+from vec_ode_tpu.ops.expm import expm
+from vec_ode_tpu.parallel import ensemble_solve
+
+
+def _psi0(d, seed=0, dtype=jnp.float64):
+    rng = np.random.default_rng(seed)
+    z = rng.standard_normal(d) + 1j * rng.standard_normal(d)
+    z /= np.linalg.norm(z)
+    return cp.from_complex(z, dtype)
+
+
+def test_exp_apply_matches_expm():
+    """modulated_exp_apply == expm(sum c_k M_k) @ x for random real basis."""
+    rng = np.random.default_rng(3)
+    K, D = 3, 16
+    basis = jnp.asarray(rng.standard_normal((K, D, D)) * 0.4)
+    coeffs = jnp.asarray(rng.standard_normal((5, K)))
+    x = jnp.asarray(rng.standard_normal((5, D)))
+
+    y = modulated_exp_apply(basis, coeffs, x)
+    A = jnp.einsum("lk,kij->lij", coeffs, basis)
+    y_ref = jnp.einsum("lij,lj->li", expm(A), x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_exp_apply_large_norm_scaling():
+    """Squaring path: ||A|| >> theta still accurate (batch-uniform s)."""
+    rng = np.random.default_rng(4)
+    D = 8
+    basis = jnp.asarray(rng.standard_normal((2, D, D)))
+    coeffs = jnp.asarray([[3.0, -2.0]])
+    x = jnp.asarray(rng.standard_normal((1, D)))
+    y = modulated_exp_apply(basis, coeffs, x)
+    A = jnp.einsum("lk,kij->lij", coeffs, basis)
+    y_ref = jnp.einsum("lij,lj->li", expm(A), x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_exp_apply_zero_dt_is_identity():
+    rng = np.random.default_rng(5)
+    basis = jnp.asarray(rng.standard_normal((2, 6, 6)))
+    x = jnp.asarray(rng.standard_normal((6,)))
+    y = modulated_exp_apply(basis, jnp.zeros((2,)), x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=0, atol=0)
+
+
+def _driven_setup(d=8, dtype=jnp.float64):
+    model = DrivenDense.make(d=d, seed=0)
+    mod = model.modulated(dtype)
+    op_fn = lambda t: model.op_pair(t, dtype)
+    return model, mod, op_fn
+
+
+def test_modulated_assemble_matches_dense():
+    _, mod, op_fn = _driven_setup()
+    for t in (0.0, 0.37, 1.9):
+        A_mod = mod.assemble(jnp.asarray(t, jnp.float64))
+        A_ref = op_fn(t)
+        np.testing.assert_allclose(np.asarray(A_mod.re), np.asarray(A_ref.re),
+                                   atol=1e-14)
+        np.testing.assert_allclose(np.asarray(A_mod.im), np.asarray(A_ref.im),
+                                   atol=1e-14)
+
+
+@pytest.mark.parametrize("make_pair", [
+    lambda mod, op_fn: (
+        vexp.MidpointModulated(mod),
+        vexp.ExpMidpoint(vexp.DenseCplxSplit()),
+        False,
+    ),
+    lambda mod, op_fn: (
+        vexp.MagnusModulated4(mod),
+        vexp.Magnus4(vexp.DenseCplxSplit()),
+        True,
+    ),
+    lambda mod, op_fn: (
+        vexp.CFM4Modulated(mod),
+        vexp.CFM4(vexp.DenseCplxSplit()),
+        True,
+    ),
+])
+def test_modulated_matches_generic_trajectory(make_pair):
+    """Full adaptive/fixed solve: modulated stepper == generic dense-split
+    stepper on the same driven Hamiltonian (identical step sequences in
+    f64)."""
+    _, mod, op_fn = _driven_setup()
+    st_mod, st_gen, adaptive = make_pair(mod, op_fn)
+    psi0 = _psi0(8)
+    ctl = vo.StepControl(rtol=1e-7, min_dt=1e-6, max_dt=0.3)
+
+    sol_m = vo.solve_linear(None, 0.0, 1.5, psi0, stepper=st_mod,
+                            adaptive=adaptive, ctl=ctl, h0=1e-2)
+    sol_g = vo.solve_linear(op_fn, 0.0, 1.5, psi0, stepper=st_gen,
+                            adaptive=adaptive, ctl=ctl, h0=1e-2)
+
+    assert int(sol_m.status) == vo.DONE and int(sol_g.status) == vo.DONE
+    assert int(sol_m.n_accept) == int(sol_g.n_accept)
+    assert int(sol_m.n_reject) == int(sol_g.n_reject)
+    np.testing.assert_allclose(np.asarray(sol_m.y_final.re),
+                               np.asarray(sol_g.y_final.re),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sol_m.y_final.im),
+                               np.asarray(sol_g.y_final.im),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_magnus_modulated_fixed_step_order4():
+    """Global error slope ~4 for fixed-step MagnusModulated4."""
+    _, mod, op_fn = _driven_setup()
+    psi0 = _psi0(8, seed=1)
+    st = vexp.MagnusModulated4(mod, adaptive=False)
+
+    ref = vo.solve_linear(None, 0.0, 1.0, psi0, stepper=st,
+                          adaptive=False, h0=1.0 / 512,
+                          ctl=vo.StepControl(max_steps=4000))
+    errs = []
+    hs = [1.0 / 8, 1.0 / 16, 1.0 / 32]
+    for h in hs:
+        s = vo.solve_linear(None, 0.0, 1.0, psi0, stepper=st,
+                            adaptive=False, h0=h,
+                            ctl=vo.StepControl(max_steps=4000))
+        d = np.linalg.norm(
+            np.asarray(s.y_final.re - ref.y_final.re)
+            + 1j * np.asarray(s.y_final.im - ref.y_final.im)
+        )
+        errs.append(d)
+    slopes = np.diff(np.log(errs)) / np.diff(np.log(hs))
+    assert slopes.mean() > 3.5, (errs, slopes)
+
+
+def test_magnus_modulated_unitarity():
+    _, mod, _ = _driven_setup(d=8)
+    psi0 = _psi0(8, seed=2)
+    sol = vo.solve_linear(None, 0.0, 4.0, psi0,
+                          stepper=vexp.MagnusModulated4(mod), adaptive=True,
+                          ctl=vo.StepControl(rtol=1e-8, max_dt=0.5))
+    n = float(jnp.sqrt(jnp.sum(sol.y_final.re**2 + sol.y_final.im**2)))
+    assert int(sol.status) == vo.DONE
+    assert abs(n - 1.0) < 1e-8
+
+
+def test_landau_zener_modulated_transition():
+    """Golden physics: LZ transition probability via the modulated path."""
+    lz = LandauZener(v=2.0, delta=0.4)
+    mod = lz.modulated(jnp.float64)
+    psi0 = cp.Cplx(jnp.asarray([1.0, 0.0], jnp.float64),
+                   jnp.zeros(2, jnp.float64))
+    sol = vo.solve_linear(None, -25.0, 25.0, psi0,
+                          stepper=vexp.MagnusModulated4(mod), adaptive=True,
+                          ctl=vo.StepControl(rtol=1e-9, min_dt=1e-6,
+                                             max_dt=0.5, max_steps=100000))
+    assert int(sol.status) == vo.DONE
+    p_stay = float(sol.y_final.re[0] ** 2 + sol.y_final.im[0] ** 2)
+    assert abs(p_stay - lz.p_transition) < 5e-3, (p_stay, lz.p_transition)
+
+
+def test_modulated_ensemble_vmap_and_mesh():
+    """Ensemble of driven trajectories under vmap + 8-device mesh matches
+    per-trajectory solves."""
+    from vec_ode_tpu.parallel import ensemble_mesh, shard_batch
+
+    model, mod, op_fn = _driven_setup(d=8, dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    z = rng.standard_normal((16, 8)) + 1j * rng.standard_normal((16, 8))
+    z /= np.linalg.norm(z, axis=-1, keepdims=True)
+    y0 = cp.from_complex(z, jnp.float32)
+    ctl = vo.StepControl(rtol=1e-4, min_dt=1e-5, max_dt=0.3)
+    st = vexp.MagnusModulated4(mod)
+
+    mesh = ensemble_mesh(8)
+    sol = ensemble_solve(None, shard_batch(y0, mesh), 0.0, 0.5,
+                         stepper=st, ctl=ctl, h0=1e-2,
+                         time_dtype=jnp.float32, mesh=mesh)
+    assert (np.asarray(sol.status) == vo.DONE).all()
+
+    one = vo.solve_linear(
+        None, 0.0, 0.5,
+        cp.Cplx(y0.re[3], y0.im[3]), stepper=st, adaptive=True,
+        ctl=ctl, h0=1e-2, time_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(sol.y_final.re[3]),
+                               np.asarray(one.y_final.re),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_real_modulated_operator():
+    """Plain-real basis (no Cplx): damped driven linear system."""
+    rng = np.random.default_rng(9)
+    d = 6
+    M0 = jnp.asarray(-np.eye(d) - 0.2 * rng.standard_normal((d, d)))
+    M1 = jnp.asarray(0.3 * rng.standard_normal((d, d)))
+    mod = ModulatedOperator(
+        basis=jnp.stack([M0, M1]),
+        coeff_fn=lambda t: jnp.stack(
+            [jnp.ones_like(jnp.asarray(t, jnp.float64)),
+             jnp.sin(jnp.asarray(t, jnp.float64))]
+        ),
+    )
+    y0 = jnp.asarray(rng.standard_normal(d))
+    sol = vo.solve_linear(None, 0.0, 2.0, y0,
+                          stepper=vexp.MagnusModulated4(mod), adaptive=True,
+                          ctl=vo.StepControl(rtol=1e-8, max_dt=0.25))
+    # reference: generic Magnus4 on DenseSplit with assembled operator
+    sol_ref = vo.solve_linear(
+        mod.assemble, 0.0, 2.0, y0,
+        stepper=vexp.Magnus4(vexp.DenseSplit()), adaptive=True,
+        ctl=vo.StepControl(rtol=1e-8, max_dt=0.25),
+    )
+    assert int(sol.status) == vo.DONE
+    np.testing.assert_allclose(np.asarray(sol.y_final),
+                               np.asarray(sol_ref.y_final),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_chain_kernel_interpret_matches_expm():
+    """Pallas chain kernel (interpret mode, in-kernel scaling) vs direct
+    expm composition, plus the XLA reference path."""
+    from vec_ode_tpu.ops.pallas_expmv import (
+        chain_expmv_pallas,
+        chain_expmv_xla,
+    )
+
+    rng = np.random.default_rng(11)
+    B, D, C, R, K = 16, 128, 2, 2, 3
+    basis = jnp.asarray(rng.standard_normal((K, D, D)) * 0.02, jnp.float32)
+    chains = jnp.asarray(rng.standard_normal((B, C, R, K)) * 0.6, jnp.float32)
+    xw = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+
+    (y_k,), e_k = chain_expmv_pallas(chains, (xw,), basis, m=8, theta=0.35,
+                                     tile=8, interpret=True)
+
+    # direct expm composition in f64 (per chain, unscaled)
+    A = jnp.einsum("bcrk,kij->bcrij", chains.astype(jnp.float64),
+                   basis.astype(jnp.float64))
+    x64 = xw.astype(jnp.float64)
+    ys = []
+    for c in range(C):
+        v = x64
+        for r in range(R):
+            v = jnp.einsum("bij,bj->bi", expm(A[:, c, r]), v)
+        ys.append(v)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(ys[0]),
+                               rtol=3e-4, atol=3e-4)
+    e_direct = np.linalg.norm(np.asarray(ys[1] - ys[0]), axis=-1)
+    np.testing.assert_allclose(np.asarray(e_k), e_direct,
+                               rtol=3e-3, atol=3e-5)
+
+    # XLA reference path (pre-scaled, uniform n_pass) agrees too
+    y_ref, e_ref = chain_expmv_xla(chains / 4.0, jnp.asarray(4, jnp.int32),
+                                   xw, basis, m=8)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(ys[0]),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_magnus_modulated_pallas_interpret_matches_xla_step():
+    """Full Magnus-modulated step: Pallas(interpret) == XLA fallback."""
+    _, mod, _ = _driven_setup(d=64, dtype=jnp.float32)
+    rng = np.random.default_rng(12)
+    B = 16
+    z = rng.standard_normal((B, 64)) + 1j * rng.standard_normal((B, 64))
+    y0 = cp.from_complex(z, jnp.float32)
+    t = jnp.full((B,), 0.3, jnp.float32)
+    dt = jnp.full((B,), 0.04, jnp.float32)
+
+    st_x = vexp.MagnusModulated4(mod, use_pallas=False)
+    xf_x, e_x = st_x.make_step_fn()(t, y0, dt)
+
+    # force the pallas path in interpret mode (runs on CPU); make_step_fn
+    # gates on the backend, so stub it while building the step
+    st_p = vexp.MagnusModulated4(mod, interpret=True)
+    orig = jax.default_backend
+    try:
+        jax.default_backend = lambda: "tpu"
+        step = st_p.make_step_fn()
+    finally:
+        jax.default_backend = orig
+    xf_p, e_p = step(t, y0, dt)
+
+    np.testing.assert_allclose(np.asarray(xf_p.re), np.asarray(xf_x.re),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(xf_p.im), np.asarray(xf_x.im),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(e_p), np.asarray(e_x),
+                               rtol=2e-3, atol=2e-7)

@@ -91,6 +91,7 @@ def solve_ivp(
         ctl=ctl,
         error_norm=error_norm,
         method=method,
+        pack_carry=getattr(stepper, "prefers_packed_carry", False),
     )
     sol = _attach_nfev(sol, stepper)
     if backward:
@@ -185,6 +186,7 @@ def solve_linear(
         ctl=ctl,
         error_norm=error_norm,
         method=method,
+        pack_carry=getattr(stepper, "prefers_packed_carry", False),
     )
     sol = _attach_nfev(sol, stepper)
     if backward:

@@ -157,9 +157,14 @@ def step_once(
     ctl: StepControl,
     error_norm: Callable = lc.norm_l2,
     batched: bool = False,
+    record_ys: bool = True,
 ) -> IntState:
     """One driver iteration = one ``ODESolver::step()`` /
     ``step_adaptive()`` (ode.rs:249-253, 337-341), fully branchless.
+
+    ``record_ys=False`` skips the save-grid recording (the loop carries a
+    zero-size ys buffer); ``resume`` uses it for the n_grid == 2 fast path
+    where ys is reconstructible as [x0, x_final] after the loop.
 
     ``step_fn(t, x, dt) -> (x_next, err)`` is the stepper kernel; ``err`` may
     be None for fixed-only steppers. ``adaptive`` and ``ctl`` are static.
@@ -239,14 +244,16 @@ def step_once(
     h = jnp.where(at_grid & running, prev_h, h)
     tgt_idx = jnp.where(at_grid & running, state.tgt_idx + 1, state.tgt_idx)
 
-    # record (t, x) on grid-hit iterations (Chkpt/End emission points)
-    if batched:
-        # per-trajectory cursor: one-hot select over the small save grid
+    # record (t, x) on grid-hit iterations (Chkpt/End emission points).
+    # One-hot select over the (small) save grid in BOTH modes: a
+    # dynamic_update would become a scatter under vmap, which is far more
+    # expensive than the masked select on TPU.
+    if record_ys:
         hit = (
             jax.lax.broadcasted_iota(jnp.int32, idx.shape + (n_grid,),
                                      idx.ndim)
             == idx[..., None]
-        ) & (at_grid & running)[..., None]                 # (B, n_grid)
+        ) & (at_grid & running)[..., None]                 # (B?, n_grid)
 
         def record(buf, leaf):
             m = hit.reshape(hit.shape + (1,) * (leaf.ndim - idx.ndim))
@@ -254,17 +261,7 @@ def step_once(
 
         ys = jax.tree_util.tree_map(record, state.ys, state.x)
     else:
-        def record(buf, leaf):
-            return jax.lax.cond(
-                at_grid & running,
-                lambda b: jax.lax.dynamic_update_index_in_dim(
-                    b, leaf, idx, 0
-                ),
-                lambda b: b,
-                buf,
-            )
-
-        ys = jax.tree_util.tree_map(record, state.ys, state.x)
+        ys = state.ys
 
     status = jnp.where(is_end, DONE, state.status)
     status = jnp.where(bad_grid, ERR_BAD_GRID, status)
@@ -361,6 +358,62 @@ jax.tree_util.register_pytree_node(
 )
 
 
+class _CarryPacker:
+    """Pack a loop-carry pytree into ONE buffer per dtype.
+
+    The target backend charges a large fixed cost per CARRY LEAF per loop
+    iteration (measured ~90us/leaf on the axon TPU tunnel, independent of
+    leaf size — even for untouched passthrough leaves), so a 14-leaf
+    IntState pays ~1.3 ms/iteration before any stepper work. Packing the
+    carry into one (batch..., total) buffer per dtype collapses that to
+    ~90us/dtype; the pack/unpack slices live INSIDE the loop body where XLA
+    fuses them away. This is the flatten/unflatten boundary SURVEY §7
+    (hard part 5) anticipated — applied to the carry, not the user state.
+    """
+
+    def __init__(self, tree: Pytree, batch_ndim: int):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        self.treedef = treedef
+        self.batch_ndim = batch_ndim
+        self.shapes = [jnp.shape(l) for l in leaves]
+        self.dtypes = [jnp.asarray(l).dtype for l in leaves]
+        self.groups: dict = {}
+        for i, dt in enumerate(self.dtypes):
+            self.groups.setdefault(dt, []).append(i)
+
+    def _suffix_size(self, i: int) -> int:
+        import math
+
+        return math.prod(self.shapes[i][self.batch_ndim:])
+
+    def pack(self, tree: Pytree):
+        leaves = jax.tree_util.tree_flatten(tree)[0]
+        bufs = []
+        for idxs in self.groups.values():
+            parts = [
+                jnp.reshape(
+                    leaves[i], self.shapes[i][: self.batch_ndim] + (-1,)
+                )
+                for i in idxs
+            ]
+            bufs.append(
+                parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
+            )
+        return tuple(bufs)
+
+    def unpack(self, bufs) -> Pytree:
+        leaves = [None] * len(self.shapes)
+        for buf, idxs in zip(bufs, self.groups.values()):
+            off = 0
+            for i in idxs:
+                sz = self._suffix_size(i)
+                leaves[i] = jnp.reshape(
+                    buf[..., off:off + sz], self.shapes[i]
+                )
+                off += sz
+        return jax.tree_util.tree_unflatten(self.treedef, leaves)
+
+
 def integrate(
     step_fn: Callable,
     x0: Pytree,
@@ -372,6 +425,7 @@ def integrate(
     error_norm: Callable = lc.norm_l2,
     method: str = "while",
     batch_shape: tuple = (),
+    pack_carry: bool = False,
 ) -> Solution:
     """Run the full integration loop over [t_grid[0], t_grid[-1]].
 
@@ -392,7 +446,7 @@ def integrate(
     state = init_state(x0, t_grid, h0, batch_shape=batch_shape)
     return resume(
         state, step_fn, adaptive=adaptive, ctl=ctl, error_norm=error_norm,
-        method=method, batched=bool(batch_shape),
+        method=method, batched=bool(batch_shape), pack_carry=pack_carry,
     )
 
 
@@ -405,27 +459,97 @@ def resume(
     error_norm: Callable = lc.norm_l2,
     method: str = "while",
     batched: bool = False,
+    pack_carry: bool = False,
 ) -> Solution:
     """Continue integration from an existing carry — the checkpoint/resume
     path (SURVEY §5): save an IntState mid-run (orbax or any pytree
     serializer), restore it later, and resume; the save-grid cursor, step
     size and counters all carry over."""
+    # n_grid == 2 fast path: the default [t0, tf] grid records exactly
+    # [x0, x_final], so ys is dropped from the LOOP (zero-size buffer, no
+    # record op per iteration) and reconstructed afterwards.
+    bn = jnp.ndim(state.t)
+    n_grid = state.ts_grid.shape[0]
+    elide_ys = n_grid == 2
+    if elide_ys:
+        init_x, init_ys, init_tgt = state.x, state.ys, state.tgt_idx
+        state = state._replace(
+            ys=jax.tree_util.tree_map(
+                lambda a: jax.lax.slice_in_dim(a, 0, 0, axis=bn), state.ys
+            )
+        )
+
     body = partial(
         step_once, step_fn=step_fn, adaptive=adaptive, ctl=ctl,
-        error_norm=error_norm, batched=batched,
+        error_norm=error_norm, batched=batched, record_ys=not elide_ys,
     )
 
-    if method == "while":
-        def cond(s: IntState):
-            return jnp.any(s.status == RUNNING)
+    # run the loop over a PACKED carry (one buffer per dtype): the loop
+    # boundary is where the backend's per-leaf cost bites; the math stays
+    # single-source in step_once. ts_grid is loop-invariant -> closed over.
+    # ``pack_carry=False`` keeps the plain pytree carry (cheap fixed-step
+    # bodies that XLA fully fuses can be faster unpacked).
+    t_grid = state.ts_grid
+    if pack_carry:
+        stripped = state._replace(ts_grid=())
+        packer = _CarryPacker(stripped, batch_ndim=jnp.ndim(state.t))
 
-        final = jax.lax.while_loop(cond, body, state)
+        def to_carry(s):
+            return packer.pack(s._replace(ts_grid=()))
+
+        def of_carry(bufs):
+            return packer.unpack(bufs)._replace(ts_grid=t_grid)
+
+        carry0 = packer.pack(stripped)
+    else:
+        to_carry = lambda s: s
+        of_carry = lambda s: s
+        carry0 = state
+
+    def body_packed(bufs):
+        return to_carry(body(of_carry(bufs)))
+
+    def status_of(bufs):
+        return of_carry(bufs).status  # XLA prunes the unused slices
+
+    if method == "while":
+        final_bufs = jax.lax.while_loop(
+            lambda b: jnp.any(status_of(b) == RUNNING), body_packed, carry0
+        )
     elif method == "scan":
-        final, _ = jax.lax.scan(
-            lambda s, _: (body(s), None), state, None, length=ctl.max_steps
+        final_bufs, _ = jax.lax.scan(
+            lambda b, _: (body_packed(b), None), carry0, None,
+            length=ctl.max_steps,
         )
     else:
         raise ValueError(f"unknown integrate method: {method!r}")
+    final = of_carry(final_bufs)
+
+    if elide_ys:
+        def sel(mask, a, b):
+            m = mask.reshape(mask.shape + (1,) * (jnp.ndim(a) - mask.ndim))
+            return jnp.where(m, a, b)
+
+        def grid_slot(tree, i):
+            return jax.tree_util.tree_map(
+                lambda a: jax.lax.index_in_dim(a, i, axis=bn,
+                                               keepdims=False), tree
+            )
+
+        # slot 0 records x0 iff the run started at the grid head; slot 1
+        # records the final state iff the end was reached (tgt advanced
+        # past it) — otherwise keep whatever the caller's state held
+        ys0 = jax.tree_util.tree_map(
+            partial(sel, init_tgt == 0), init_x, grid_slot(init_ys, 0)
+        )
+        ys1 = jax.tree_util.tree_map(
+            partial(sel, final.tgt_idx >= 2), final.x, grid_slot(init_ys, 1)
+        )
+        final = final._replace(
+            ys=jax.tree_util.tree_map(
+                lambda a, b: jnp.stack([a, b], axis=bn), ys0, ys1
+            )
+        )
     return Solution(
         ts=final.ts_grid,
         ys=final.ys,

@@ -14,6 +14,14 @@ from .leaves import (
     DiagonalSplit,
 )
 from .magnus import ExpMidpoint, Magnus4, magnus4_step, midpoint_step
+from .modulated import (
+    CFM4Modulated,
+    CFMModulated,
+    MagnusModulated4,
+    MidpointModulated,
+    ModulatedOperator,
+    modulated_exp_apply,
+)
 from .protocol import ExponentialSplit, index_u
 from .split_solvers import (
     SplitCFM,
@@ -56,4 +64,10 @@ __all__ = [
     "SplitCFM",
     "split_midpoint_step",
     "split_cfm_step",
+    "ModulatedOperator",
+    "modulated_exp_apply",
+    "MidpointModulated",
+    "MagnusModulated4",
+    "CFMModulated",
+    "CFM4Modulated",
 ]

@@ -51,7 +51,16 @@ def cfm_step(
     alpha_err: Optional[np.ndarray],
 ):
     """s-exponential CFM step with optional embedded error pass
-    (cfm_general, cfm.rs:43-100)."""
+    (cfm_general, cfm.rs:43-100).
+
+    TPU economy: every exponential's OPERATOR depends only on the quadrature
+    samples (not on the evolving state), so all s + s_err exponentials are
+    computed upfront in ONE stacked batched expm (``exp_many``) and only the
+    cheap propagator applications run sequentially — vs the reference's
+    s + s_err separate exp calls (cfm.rs:74-97).
+    """
+    from .protocol import index_u
+
     c = np.asarray(c)
     t_nodes = jnp.stack([t + float(ci) * dt for ci in c])
     l_nodes = jax.vmap(op_fn)(t_nodes)
@@ -60,16 +69,30 @@ def cfm_step(
         for j in range(len(c))
     ]
 
+    def row_op(a_row):
+        k = split.lincomb_l(samples, list(a_row))
+        return split.scale_l(k, dt)
+
+    n_main = alpha.shape[0]
+    rows = [row_op(alpha[i]) for i in range(n_main)]
+    if alpha_err is not None:
+        rows += [row_op(alpha_err[i]) for i in range(alpha_err.shape[0])]
+
+    u_all = split.exp_many(rows) if len(rows) > 1 else None
+
+    def u_at(i):
+        return index_u(u_all, i) if u_all is not None else split.exp(rows[0])
+
     xf = x
-    for i in range(alpha.shape[0]):
-        xf = cfm_exp(split, xf, dt, samples, alpha[i])
+    for i in range(n_main):
+        xf = split.map_exp(u_at(i), xf)
 
     if alpha_err is None:
         return xf, None
 
     xe = x
     for i in range(alpha_err.shape[0]):
-        xe = cfm_exp(split, xe, dt, samples, alpha_err[i])
+        xe = split.map_exp(u_at(n_main + i), xe)
     from .. import lc
 
     return xf, lc.sub(xe, xf)

@@ -37,12 +37,21 @@ def midpoint_step(op_fn, split: ExponentialSplit, t, x, dt):
     return split.map_exp(u, x), None
 
 
-def magnus4_step(op_fn, split: ExponentialSplit, t, x, dt):
+def magnus4_step(op_fn, split: ExponentialSplit, t, x, dt, *,
+                 adaptive: bool = True):
     """4th-order Magnus with 2-node GL quadrature — magnus.rs:28-83.
 
     Ω  = (A1 + A2) dt/2 - (sqrt(3)/12) dt^2 [A1, A2]
     xf = e^{Ω} x0 ;  err = e^{Ω1} x0 - xf with Ω1 the order-2 part.
+
+    TPU economy: with ``adaptive`` the order-4 and order-2 exponentials are
+    ONE stacked batched expm (``exp_many``) instead of two dispatches; with
+    ``adaptive=False`` (the ``no_adaptive`` economy the reference's Magnus
+    lacks — it always computes both, magnus.rs:63-79) the order-2
+    propagator is skipped entirely: one expm per step, err=None.
     """
+    from .protocol import index_u
+
     t_mid = t + 0.5 * dt
     t_nodes = jax.numpy.stack(
         [t_mid - _C_MID * dt, t_mid + _C_MID * dt]
@@ -53,14 +62,16 @@ def magnus4_step(op_fn, split: ExponentialSplit, t, x, dt):
 
     w2 = split.scale_l(split.commutator(l1, l2), _B2 * dt * dt)
     w1 = split.scale_l(split.add_l(l1, l2), 0.5 * dt)
+    omega = split.add_l(w1, w2)
 
-    u1 = split.exp(w1)                      # order-2 propagator
-    u = split.exp(split.add_l(w1, w2))      # order-4 propagator
+    if not adaptive:
+        return split.map_exp(split.exp(omega), x), None
 
-    xf = split.map_exp(u, x)
+    u_pair = split.exp_many([omega, w1])
+    xf = split.map_exp(index_u(u_pair, 0), x)
     from .. import lc
 
-    err = lc.sub(split.map_exp(u1, x), xf)
+    err = lc.sub(split.map_exp(index_u(u_pair, 1), x), xf)
     return xf, err
 
 
@@ -86,10 +97,16 @@ class ExpMidpoint:
 @dataclasses.dataclass(frozen=True)
 class Magnus4:
     """Adaptive Magnus-4 (MagnusExpLinearSolver, magnus.rs:151-285), with the
-    error norm wired correctly (see module docstring)."""
+    error norm wired correctly (see module docstring).
+
+    ``adaptive=False`` skips the order-2 comparison propagator entirely
+    (one expm per step) — the fixed-step economy the reference never
+    implemented for Magnus (its magnus_42 always computes both,
+    magnus.rs:63-79)."""
 
     split: ExponentialSplit
     op_fn: Callable = None
+    adaptive: bool = True
 
     nfev_per_step: int = 2
 
@@ -97,6 +114,7 @@ class Magnus4:
         fn = op_fn if op_fn is not None else self.op_fn
 
         def step_fn(t, x, dt):
-            return magnus4_step(fn, self.split, t, x, dt)
+            return magnus4_step(fn, self.split, t, x, dt,
+                                adaptive=self.adaptive)
 
         return step_fn

@@ -1,0 +1,598 @@
+"""Modulated-operator fast path: A(t) = sum_k f_k(t) * M_k.
+
+The reference's exponential solvers treat the operator as a black box
+sampled at quadrature nodes (``Fun: FnMut(&[T]) -> Vec<L>``, magnus.rs:32,
+cfm.rs:54): every step materializes dense per-step operators and
+exponentiates them. On TPU that cost model is wrong for the dominant use
+case — driven Hamiltonians H(t) = H0 + f(t) V — because per-trajectory
+batched (d, d) expm/matvec work is HBM-bound while *shared-matrix* x
+*batched-vector* contractions ride the MXU (the same observation behind the
+fused RK benchmark kernel, ops/pallas_rk.py).
+
+This module exploits the linear structure the reference's API erases:
+
+  * :class:`ModulatedOperator` — K shared basis matrices M_k (real-pair
+    complex or plain real) + a scalar coefficient function c(t) -> (K,).
+  * Magnus/CFM steps become COEFFICIENT arithmetic: every exponent the
+    stepper needs (Magnus Ω and its order-2 part, each CFM row) is a linear
+    combination of the basis — for Magnus-4 extended with the precomputed
+    commutators [M_j, M_k] (computed once at stepper construction, NOT per
+    step: [A(t1), A(t2)] = sum_{j<k} (g1_j g2_k - g1_k g2_j) [M_j, M_k]).
+  * The propagator is never materialized: e^Ω x is evaluated by a
+    scaling-and-Taylor action (:func:`modulated_exp_apply`) whose inner
+    operation is ONE shared (D, K*D) matmul per Taylor term — under vmap
+    over an ensemble this is a (B*L, D) @ (D, K*D) MXU contraction with no
+    per-trajectory matrices anywhere.
+
+Cost per Magnus-4 step at d=64, K=2 (driven Hamiltonian): ~m=12 GEMMs of
+(2B, 128) @ (128, 3*128) vs the generic path's two batched (B, 128, 128)
+expm (~8 batched matmuls of B 128x128 blocks) + a per-step commutator —
+about an order of magnitude less arithmetic AND it stays MXU-shaped.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.cplx import Cplx, cmatmul, embed
+from ..ops.pallas_expmv import (
+    chain_expmv_pallas,
+    chain_expmv_xla,
+    fused_chain_apply,
+)
+from ..utils.prec import HIGHEST
+from .magnus import _B2, _C_MID
+
+Pytree = Any
+
+# Taylor-action (degree, theta) per dtype: smallest degree whose remainder
+# |e^t - T_m(t)| at |t| <= theta sits well under dtype eps (f32: m=8 gives
+# 2.3e-10 at 0.35; f64: m=12 gives 2.4e-18 at 0.25). Lower degree = fewer
+# MXU passes per exponential — the kernel is compute-bound on TPU.
+_TAYLOR_CFG = {32: (8, 0.35), 64: (12, 0.25)}
+
+
+def _taylor_params(dtype, m=None, theta=None):
+    """Resolve (m, theta) for a dtype; an explicit m gets a theta making the
+    truncation error ~eps for that degree."""
+    import math
+
+    bits = jnp.finfo(dtype).bits
+    m_def, theta_def = _TAYLOR_CFG[bits]
+    if m is None:
+        m = m_def
+    if theta is None:
+        if m == m_def:
+            theta = theta_def
+        else:
+            eps = 2.0 ** (-(23 if bits == 32 else 52))
+            lo, hi = 1e-6, 10.0
+            for _ in range(60):
+                mid = 0.5 * (lo + hi)
+                r = sum(mid ** k / math.factorial(k)
+                        for k in range(m + 1, m + 30))
+                lo, hi = (mid, hi) if r < 0.25 * eps else (lo, mid)
+            theta = lo
+    return m, theta
+
+
+def _real_basis(basis) -> jax.Array:
+    """(K, D, D) real working basis: ring-embed a Cplx basis, pass real
+    through."""
+    if isinstance(basis, Cplx):
+        return embed(basis)
+    return jnp.asarray(basis)
+
+
+def _widen(x, is_cplx: bool) -> jax.Array:
+    if is_cplx:
+        return jnp.concatenate([x.re, x.im], axis=-1)
+    return x
+
+
+def _unwiden(xw, is_cplx: bool):
+    if is_cplx:
+        d = xw.shape[-1] // 2
+        return Cplx(xw[..., :d], xw[..., d:])
+    return xw
+
+
+@dataclasses.dataclass(frozen=True)
+class ModulatedOperator:
+    """A(t) = sum_k coeff_fn(t)[k] * basis[k].
+
+    basis: Cplx of (K, d, d) (real-pair complex) or a real (K, d, d) array.
+    coeff_fn: scalar t -> (K,) REAL coefficients (traced; complex structure
+    belongs inside the basis matrices, e.g. M = -i*H).
+    """
+
+    basis: Any
+    coeff_fn: Callable
+
+    @property
+    def is_cplx(self) -> bool:
+        return isinstance(self.basis, Cplx)
+
+    @property
+    def n_terms(self) -> int:
+        return jax.tree_util.tree_leaves(self.basis)[0].shape[0]
+
+    def assemble(self, t):
+        """Dense A(t) — the generic-path / test view of this operator."""
+        c = self.coeff_fn(t)
+        if self.is_cplx:
+            return Cplx(
+                jnp.einsum("k,kij->ij", c, self.basis.re, precision=HIGHEST),
+                jnp.einsum("k,kij->ij", c, self.basis.im, precision=HIGHEST),
+            )
+        return jnp.einsum("k,kij->ij", c, self.basis, precision=HIGHEST)
+
+    def commutator_extension(self):
+        """(extended_basis, pair_indices): basis followed by the P=K(K-1)/2
+        commutators C_{jk} = [M_j, M_k] (j<k). Concrete arrays — call at
+        stepper construction, outside jit."""
+        K = self.n_terms
+        pairs = [(j, k) for j in range(K) for k in range(j + 1, K)]
+        if self.is_cplx:
+            def take(i):
+                return Cplx(self.basis.re[i], self.basis.im[i])
+
+            comms = [
+                cmatmul(take(j), take(k)) - cmatmul(take(k), take(j))
+                for (j, k) in pairs
+            ]
+            ext = Cplx(
+                jnp.concatenate(
+                    [self.basis.re] + [c.re[None] for c in comms]
+                ),
+                jnp.concatenate(
+                    [self.basis.im] + [c.im[None] for c in comms]
+                ),
+            )
+        else:
+            from ..utils.prec import mm
+
+            comms = [
+                mm(self.basis[j], self.basis[k])
+                - mm(self.basis[k], self.basis[j])
+                for (j, k) in pairs
+            ]
+            ext = jnp.concatenate(
+                [jnp.asarray(self.basis)] + [c[None] for c in comms]
+            )
+        return ext, pairs
+
+
+def modulated_exp_apply(
+    basis_w: jax.Array,
+    coeffs: jax.Array,
+    xw: jax.Array,
+    *,
+    m: Optional[int] = None,
+    max_squarings: int = 16,
+    theta: Optional[float] = None,
+) -> jax.Array:
+    """y = exp(sum_k coeffs[..., k] * basis_w[k]) @ xw, without materializing
+    the exponent or its propagator.
+
+    basis_w: (K, D, D) shared real working basis.
+    coeffs:  (..., K) real; xw: (..., D). Batch dims broadcast elementwise.
+
+    Scaling-and-Taylor on the ACTION: uniform squaring count s from the
+    1-norm bound sum_k |c_k| ||M_k||_1 (max over the batch — same
+    batch-uniform discipline as ops.expm), then 2^s sequential applications
+    of the degree-m Taylor polynomial, each Taylor term one shared
+    (..., D) x (K, D, D) contraction that XLA lowers to a single
+    (prod(batch), D) @ (D, K*D) matmul.
+    """
+    dtype = xw.dtype
+    m, theta = _taylor_params(dtype, m, theta)
+    norms = jnp.max(jnp.sum(jnp.abs(basis_w), axis=-2), axis=-1)   # (K,)
+    cs, n_pass = _scale_chains(
+        coeffs[..., None, None, :].astype(dtype), norms, dtype,
+        max_squarings, theta,
+    )
+    y, _ = chain_expmv_xla(cs, n_pass, xw, basis_w.astype(dtype), m=m)
+    return y
+
+
+def _scale_chains(chains, norms, dtype, max_squarings, theta=None):
+    """Uniform scaling for chain coefficients (..., C, R, K): the squaring
+    count s comes from the GLOBAL max of the 1-norm bound sum_k |c_k|
+    ||M_k||_1 (batch-uniform control flow, as in ops.expm); returns
+    (chains / 2^s, n_pass = 2^s)."""
+    if theta is None:
+        theta = _taylor_params(dtype)[1]
+    bound = jnp.sum(jnp.abs(chains) * norms.astype(dtype), axis=-1)
+    mx = jnp.max(bound)
+    # NaN coefficients (diverged lanes): keep s finite; the NaNs still
+    # propagate into the result so the controller rejects those lanes.
+    mx = jnp.where(jnp.isfinite(mx), mx, theta)
+    s = jnp.clip(
+        jnp.ceil(jnp.log2(jnp.maximum(mx / theta, 1.0))), 0, max_squarings
+    ).astype(jnp.int32)
+    cs = chains * jnp.asarray(2.0, dtype) ** (-s.astype(dtype))
+    return cs, jnp.left_shift(jnp.ones((), jnp.int32), s)
+
+
+def _pick_tile(b: int, cap: int = 256) -> int:
+    t = min(cap, b)
+    while t > 0 and b % t != 0:
+        t //= 2
+    return t
+
+
+def _pallas_ready(op: ModulatedOperator, x, tile=256):
+    """(ok, parts, tile): batched 2-D state with lane-aligned widened dim."""
+    parts = (x.re, x.im) if op.is_cplx else (x,)
+    if parts[0].ndim != 2:
+        return False, parts, 0
+    D = sum(p.shape[-1] for p in parts)
+    if D % 128 != 0:
+        return False, parts, 0
+    t_eff = _pick_tile(parts[0].shape[0], tile)
+    return t_eff >= 8, parts, t_eff
+
+
+def _fused_result(op, y_parts, e, adaptive):
+    y = Cplx(*y_parts) if op.is_cplx else y_parts[0]
+    return y, (e if adaptive else None)
+
+
+def _apply_chains(op: ModulatedOperator, basis_w, norms, chains, x, *,
+                  m, max_squarings, use_pallas, tile=256, interpret=False):
+    """Run the chain-exponential action (see ops/pallas_expmv.py) on state x.
+
+    chains: (..., C, R, K) coefficient rows; chain 0 is the advance result,
+    chain 1 (if present) the embedded comparison whose distance to chain 0
+    is returned as the per-trajectory error norm. Works for scalar AND
+    natively-batched (t, x, dt) — one code path serves the single-trajectory
+    driver, vmap, and the batched-carry driver; the fused Pallas kernel
+    engages on the batched TPU path (lane-aligned D, tileable B).
+    """
+    parts = (x.re, x.im) if op.is_cplx else (x,)
+    dtype = parts[0].dtype
+    m, theta = _taylor_params(dtype, m)
+    C = chains.shape[-3]
+    D = sum(p.shape[-1] for p in parts)
+    if (
+        use_pallas
+        and parts[0].ndim == 2
+        and chains.ndim == 4
+        and chains.shape[0] == parts[0].shape[0]
+        and D % 128 == 0
+    ):
+        t_eff = _pick_tile(parts[0].shape[0], tile)
+        if t_eff >= 8:
+            # everything (widening, scaling decision, Taylor chains, error
+            # norm) runs inside ONE kernel — XLA-issued ops pay a large
+            # per-dispatch cost on this backend (see ops/pallas_expmv.py)
+            y_parts, e = chain_expmv_pallas(
+                chains.astype(dtype), parts, basis_w.astype(dtype),
+                m=m, theta=theta, max_squarings=max_squarings,
+                tile=t_eff, interpret=interpret,
+            )
+            y = Cplx(*y_parts) if op.is_cplx else y_parts[0]
+            return y, (e if C >= 2 else None)
+    xw = _widen(x, op.is_cplx)
+    cs, n_pass = _scale_chains(chains.astype(dtype), norms, dtype,
+                               max_squarings, theta)
+    y, e = chain_expmv_xla(cs, n_pass, xw, basis_w.astype(dtype), m=m)
+    return _unwiden(y, op.is_cplx), e
+
+
+@dataclasses.dataclass(frozen=True)
+class MidpointModulated:
+    """Exponential midpoint (Magnus-2) on a modulated operator: the
+    propagator action e^{dt A(t+dt/2)} x via shared-basis Taylor — no dense
+    operator, no expm (cf. magnus.rs:10-26 for the generic semantics)."""
+
+    op: ModulatedOperator
+    m: Optional[int] = None          # Taylor degree; None = dtype default
+    max_squarings: int = 16
+    use_pallas: bool = True
+    interpret: bool = False
+
+    nfev_per_step: int = 1
+    # step math is pure trailing-axis broadcasting, so the same step_fn
+    # serves scalar solves AND the batched-carry ensemble driver (which
+    # avoids the vmapped driver's higher per-iteration overhead)
+    is_batched = True
+    # err comes back as a per-trajectory NORM (computed in-kernel), not an
+    # error vector — the driver applies error_norm=identity (the same
+    # convention as ops.pallas_rk.FusedModulatedLinearRK)
+    error_norm = staticmethod(lambda e: e)
+    prefers_packed_carry = True   # many-GEMM loop body: packed carry wins
+
+    def make_step_fn(self, op_fn=None):
+        basis_w = _real_basis(self.op.basis)
+        norms = jnp.max(jnp.sum(jnp.abs(basis_w), axis=-2), axis=-1)
+        use_pallas = self.use_pallas and jax.default_backend() == "tpu"
+
+        K0 = self.op.n_terms
+
+        def cols_builder(in_refs):
+            g_ref, dt_ref = in_refs
+            dt = dt_ref[:]
+            return [[[dt * g_ref[:, k:k + 1] for k in range(K0)]]]
+
+        def step_fn(t, x, dt):
+            g = self.op.coeff_fn(t + 0.5 * dt)               # (..., K)
+            dt1 = jnp.asarray(dt)[..., None]
+            if use_pallas:
+                ok, parts, t_eff = _pallas_ready(self.op, x)
+                if ok:
+                    B = parts[0].shape[0]
+                    taylor_m, theta = _taylor_params(parts[0].dtype, self.m)
+                    y_parts, _ = fused_chain_apply(
+                        [g, jnp.broadcast_to(dt1, (B, 1))],
+                        parts, basis_w, cols_builder,
+                        C=1, R=1, m=taylor_m, theta=theta,
+                        max_squarings=self.max_squarings,
+                        tile=t_eff, interpret=self.interpret,
+                    )
+                    return _fused_result(self.op, y_parts, None, False)
+            chains = (dt1 * g)[..., None, None, :]
+            xf, _ = _apply_chains(
+                self.op, basis_w, norms, chains, x,
+                m=self.m, max_squarings=self.max_squarings,
+                use_pallas=False, interpret=self.interpret,
+            )
+            return xf, None
+
+        return step_fn
+
+
+@dataclasses.dataclass(frozen=True)
+class MagnusModulated4:
+    """Magnus-4 on a modulated operator (generic semantics: magnus.rs:28-83,
+    with the error norm wired correctly as in exp/magnus.py).
+
+    The per-step commutator [A(t1), A(t2)] collapses onto the PRECOMPUTED
+    commutator basis [M_j, M_k]; the order-4 and order-2 propagator actions
+    run as two coefficient lanes of one shared-basis Taylor apply."""
+
+    op: ModulatedOperator
+    adaptive: bool = True
+    m: Optional[int] = None          # Taylor degree; None = dtype default
+    max_squarings: int = 16
+    use_pallas: bool = True
+    interpret: bool = False
+
+    nfev_per_step: int = 2
+    is_batched = True     # see MidpointModulated
+    error_norm = staticmethod(lambda e: e)
+    prefers_packed_carry = True
+
+    def __post_init__(self):
+        ext, pairs = self.op.commutator_extension()
+        object.__setattr__(self, "_ext_basis_w", _real_basis(ext))
+        object.__setattr__(self, "_pairs", pairs)
+
+    def make_step_fn(self, op_fn=None):
+        basis_w = self._ext_basis_w
+        pairs = self._pairs
+        norms = jnp.max(jnp.sum(jnp.abs(basis_w), axis=-2), axis=-1)
+        use_pallas = self.use_pallas and jax.default_backend() == "tpu"
+
+        K0 = self.op.n_terms
+        adaptive = self.adaptive
+
+        def cols_builder(in_refs):
+            # all Magnus-4 coefficient arithmetic on (TILE, 1) columns —
+            # zero XLA dispatches for w1 / the commutator weights / chains
+            g1_ref, g2_ref, dt_ref = in_refs
+            dt = dt_ref[:]
+            w1 = [
+                0.5 * dt * (g1_ref[:, k:k + 1] + g2_ref[:, k:k + 1])
+                for k in range(K0)
+            ]
+            w2 = [
+                (_B2 * dt * dt) * (
+                    g1_ref[:, j:j + 1] * g2_ref[:, k2:k2 + 1]
+                    - g1_ref[:, k2:k2 + 1] * g2_ref[:, j:j + 1]
+                )
+                for (j, k2) in pairs
+            ]
+            main = w1 + w2
+            if not adaptive:
+                return [[main]]
+            low = w1 + [jnp.zeros_like(dt) for _ in pairs]
+            return [[main], [low]]
+
+        def step_fn(t, x, dt):
+            dt1 = jnp.asarray(dt)[..., None]                 # (..., 1)
+            t_mid = t + 0.5 * dt
+            g1 = self.op.coeff_fn(t_mid - _C_MID * dt)       # (..., K)
+            g2 = self.op.coeff_fn(t_mid + _C_MID * dt)
+
+            if use_pallas:
+                ok, parts, t_eff = _pallas_ready(self.op, x)
+                if ok:
+                    B = parts[0].shape[0]
+                    taylor_m, theta = _taylor_params(parts[0].dtype, self.m)
+                    y_parts, e = fused_chain_apply(
+                        [g1, g2, jnp.broadcast_to(dt1, (B, 1))],
+                        parts, basis_w, cols_builder,
+                        C=2 if adaptive else 1, R=1,
+                        m=taylor_m, theta=theta,
+                        max_squarings=self.max_squarings,
+                        tile=t_eff, interpret=self.interpret,
+                    )
+                    return _fused_result(self.op, y_parts, e, adaptive)
+
+            w1 = 0.5 * dt1 * (g1 + g2)                       # (..., K)
+            if pairs:
+                j = np.array([p[0] for p in pairs])
+                k = np.array([p[1] for p in pairs])
+                w2 = (_B2 * dt1 * dt1) * (
+                    g1[..., j] * g2[..., k] - g1[..., k] * g2[..., j]
+                )                                            # (..., P)
+            else:
+                w2 = jnp.zeros(w1.shape[:-1] + (0,), w1.dtype)
+            main = jnp.concatenate([w1, w2], axis=-1)        # (..., K + P)
+            if not adaptive:
+                chains = main[..., None, None, :]            # (..., 1, 1, K')
+            else:
+                low = jnp.concatenate([w1, jnp.zeros_like(w2)], axis=-1)
+                chains = jnp.stack([main, low], axis=-2)[..., :, None, :]
+            return _apply_chains(
+                self.op, basis_w, norms, chains, x,
+                m=self.m, max_squarings=self.max_squarings,
+                use_pallas=False, interpret=self.interpret,
+            )
+
+        return step_fn
+
+
+@dataclasses.dataclass(frozen=True)
+class CFMModulated:
+    """Commutator-free Magnus on a modulated operator (generic semantics:
+    cfm_general, cfm.rs:43-100). Each exponential's operator is a pure basis
+    lincomb: rho_i = dt * sum_j alpha[i, j] * c(t + c_j dt) — no dense
+    operator assembly, no expm.
+
+    Applications within one chain are sequential (x_i = e^{rho_i} x_{i-1}),
+    but the main and error chains both start from x, so round r applies the
+    available lanes of both chains in ONE shared Taylor call."""
+
+    op: ModulatedOperator
+    alpha: tuple
+    c: tuple
+    alpha_err: Optional[tuple] = None
+    m: Optional[int] = None          # Taylor degree; None = dtype default
+    max_squarings: int = 16
+    use_pallas: bool = True
+    interpret: bool = False
+
+    is_batched = True     # see MidpointModulated
+    error_norm = staticmethod(lambda e: e)
+    prefers_packed_carry = True
+
+    @property
+    def nfev_per_step(self) -> int:
+        return len(self.c)
+
+    def make_step_fn(self, op_fn=None):
+        basis_w = _real_basis(self.op.basis)
+        alpha = np.asarray(self.alpha)
+        c_nodes = np.asarray(self.c)
+        alpha_err = (
+            None if self.alpha_err is None else np.asarray(self.alpha_err)
+        )
+        n_main = alpha.shape[0]
+        n_err = 0 if alpha_err is None else alpha_err.shape[0]
+
+        if n_err > n_main:
+            raise ValueError(
+                "error chain longer than the main chain is unsupported "
+                f"({n_err} > {n_main})"
+            )
+        norms = jnp.max(jnp.sum(jnp.abs(basis_w), axis=-2), axis=-1)
+        use_pallas = self.use_pallas and jax.default_backend() == "tpu"
+
+        K0 = self.op.n_terms
+        J = len(c_nodes)
+        adaptive = alpha_err is not None
+
+        def cols_builder(in_refs):
+            # rho[i][k] = dt * sum_j alpha[i, j] g_j[k], alpha static floats
+            # unrolled — zero XLA dispatches for the row contraction
+            g_refs = in_refs[:J]
+            dt_ref = in_refs[J]
+            dt = dt_ref[:]
+
+            def rows_for(mat, n_rows):
+                rows = []
+                for i in range(n_rows):
+                    row = []
+                    for k in range(K0):
+                        acc = None
+                        for jn in range(J):
+                            if mat[i, jn] == 0.0:
+                                continue
+                            term = float(mat[i, jn]) * g_refs[jn][:, k:k + 1]
+                            acc = term if acc is None else acc + term
+                        row.append(dt * acc)
+                    rows.append(row)
+                return rows
+
+            main = rows_for(alpha, n_main)
+            if not adaptive:
+                return [main]
+            err_rows = rows_for(alpha_err, n_err)
+            zero_row = [jnp.zeros_like(dt) for _ in range(K0)]
+            err_rows += [zero_row] * (n_main - n_err)
+            return [main, err_rows]
+
+        def step_fn(t, x, dt):
+            dt1 = jnp.asarray(dt)[..., None]                 # (..., 1)
+            gs = [self.op.coeff_fn(t + float(cj) * dt) for cj in c_nodes]
+
+            if use_pallas:
+                ok, parts, t_eff = _pallas_ready(self.op, x)
+                if ok:
+                    B = parts[0].shape[0]
+                    taylor_m, theta = _taylor_params(parts[0].dtype, self.m)
+                    y_parts, e = fused_chain_apply(
+                        [*gs, jnp.broadcast_to(dt1, (B, 1))],
+                        parts, basis_w, cols_builder,
+                        C=2 if adaptive else 1, R=n_main,
+                        m=taylor_m, theta=theta,
+                        max_squarings=self.max_squarings,
+                        tile=t_eff, interpret=self.interpret,
+                    )
+                    return _fused_result(self.op, y_parts, e, adaptive)
+
+            g = jnp.stack(gs, axis=-2)                       # (..., J, K)
+            # HIGHEST: these coefficients become exponents; default-precision
+            # bf16 passes would poison the embedded error estimates
+            rho = dt1[..., None] * jnp.einsum(
+                "sj,...jk->...sk", jnp.asarray(alpha, g.dtype), g,
+                precision=HIGHEST,
+            )                                               # (..., s, K)
+            if alpha_err is None:
+                chains = rho[..., None, :, :]                # (..., 1, s, K)
+            else:
+                rho_err = dt1[..., None] * jnp.einsum(
+                    "sj,...jk->...sk", jnp.asarray(alpha_err, g.dtype), g,
+                    precision=HIGHEST,
+                )                                           # (..., s_err, K)
+                # pad the error chain with ZERO rows (e^0 = I exactly) so
+                # both chains run the same number of rounds in one kernel
+                pad = jnp.zeros(
+                    rho_err.shape[:-2] + (n_main - n_err, rho_err.shape[-1]),
+                    rho_err.dtype,
+                )
+                chains = jnp.stack(
+                    [rho, jnp.concatenate([rho_err, pad], axis=-2)], axis=-3
+                )                                           # (..., 2, s, K)
+            return _apply_chains(
+                self.op, basis_w, norms, chains, x,
+                m=self.m, max_squarings=self.max_squarings,
+                use_pallas=False, interpret=self.interpret,
+            )
+
+        return step_fn
+
+
+def CFM4Modulated(op: ModulatedOperator, *, adaptive: bool = True,
+                  m: Optional[int] = None,
+                  max_squarings: int = 16) -> CFMModulated:
+    """The reference ExpCFMSolver configuration (cfm.rs:131-162) on the
+    modulated fast path: order 4/2 pair on 2-node Gauss-Legendre."""
+    from .. import tableaus as tb
+
+    return CFMModulated(
+        op=op,
+        alpha=tuple(map(tuple, tb.CFM_R4_J2_GL)),
+        c=tuple(tb.C_GAUSS_LEGENDRE_4),
+        alpha_err=tuple(map(tuple, tb.CFM_R2_J1_GL)) if adaptive else None,
+        m=m,
+        max_squarings=max_squarings,
+    )

@@ -79,6 +79,19 @@ class ExponentialSplit:
         stacked = jax.tree_util.tree_map(stack_leaf, L)
         return self.exp(stacked)
 
+    def exp_many(self, Ls) -> Pytree:
+        """Stacked exp of SEVERAL same-structure operators: one batched expm
+        over a new leading axis (len(Ls)); select results with ``index_u``.
+
+        Complements ``multi_exp`` (rescalings of one operator). Steppers that
+        need k propagators per step (Magnus-4's order-4/2 pair, CFM's s+1
+        exponentials) use this to fuse k expm dispatches into one batched
+        call — the batch-uniform squaring count in ``ops.expm`` already
+        handles the mixed norms."""
+        stacked = jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves),
+                                         *Ls)
+        return self.exp(stacked)
+
     def commutator(self, La: Pytree, Lb: Pytree) -> Pytree:
         """[La, Lb] (the reference's Commutator trait, exp/mod.rs:47-54)."""
         raise NotImplementedError(

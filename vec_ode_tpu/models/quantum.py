@@ -52,6 +52,24 @@ class LandauZener:
         H = jnp.asarray(t).astype(dtype) * self.v * sz + self.delta * sx
         return Cplx(jnp.zeros_like(H), -H)
 
+    def modulated(self, dtype=jnp.float32):
+        """A(t) = v*t * (-i sz) + delta * (-i sx) as a ModulatedOperator."""
+        from ..exp.modulated import ModulatedOperator
+        from ..ops.cplx import Cplx
+
+        sz = jnp.asarray([[0.5, 0.0], [0.0, -0.5]], dtype)
+        sx = jnp.asarray([[0.0, 0.5], [0.5, 0.0]], dtype)
+        basis = Cplx(
+            jnp.zeros((2, 2, 2), dtype), jnp.stack([-sz, -sx])
+        )
+        v, delta = self.v, self.delta
+
+        def coeff(t):
+            t = jnp.asarray(t).astype(dtype)
+            return jnp.stack([v * t, jnp.full_like(t, delta)], axis=-1)
+
+        return ModulatedOperator(basis=basis, coeff_fn=coeff)
+
 
 @dataclasses.dataclass(frozen=True)
 class DrivenDense:
@@ -103,6 +121,26 @@ class DrivenDense:
         Hr = H0.re + c * V.re
         Hi = H0.im + c * V.im
         return Cplx(Hi, -Hr)
+
+    def modulated(self, dtype=jnp.float32):
+        """A(t) = -i H0 + cos(wt) * (-i V) as a
+        :class:`~vec_ode_tpu.exp.ModulatedOperator` — the shared-basis fast
+        path for the exponential integrators (exp/modulated.py)."""
+        from ..exp.modulated import ModulatedOperator
+        from ..ops.cplx import Cplx
+
+        H0, V = self.pair_parts(dtype)
+        basis = Cplx(
+            jnp.stack([H0.im, V.im]),      # re(-iH) = im(H)
+            jnp.stack([-H0.re, -V.re]),    # im(-iH) = -re(H)
+        )
+        w = self.w
+
+        def coeff(t):
+            t = jnp.asarray(t).astype(dtype)
+            return jnp.stack([jnp.ones_like(t), jnp.cos(w * t)], axis=-1)
+
+        return ModulatedOperator(basis=basis, coeff_fn=coeff)
 
     def rhs_pair(self, t, psi, dtype=jnp.float32):
         """dpsi/dt = -i H(t) psi on Cplx states — the TPU ensemble RHS.

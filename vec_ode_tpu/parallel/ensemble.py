@@ -107,6 +107,7 @@ def ensemble_solve(
                 adaptive=adaptive, ctl=ctl,
                 error_norm=enorm, method=method,
                 batch_shape=(b,),
+                pack_carry=getattr(stepper, "prefers_packed_carry", False),
             )
             # match the vmap path's output batching (uniform out_specs under
             # shard_map): broadcast the shared save grid per trajectory
@@ -142,6 +143,7 @@ def ensemble_solve(
                 fn, y0, t_grid, h,
                 adaptive=adaptive, ctl=ctl,
                 error_norm=error_norm, method=method,
+                pack_carry=getattr(stepper, "prefers_packed_carry", False),
             )
 
         in_axes = (0, 0 if params is not None else None,
