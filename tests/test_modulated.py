@@ -302,3 +302,103 @@ def test_magnus_modulated_pallas_interpret_matches_xla_step():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(e_p), np.asarray(e_x),
                                rtol=2e-3, atol=2e-7)
+
+
+class TestFusedLoop:
+    """Whole-loop on-chip integration (ops/pallas_loop.py), interpret mode:
+    must reproduce the XLA driver's statuses, counters and trajectories."""
+
+    def _setup(self, B=16, d=64):
+        model = DrivenDense.make(d=d, seed=0)
+        mod = model.modulated(jnp.float32)
+        rng = np.random.default_rng(21)
+        z = rng.standard_normal((B, d)) + 1j * rng.standard_normal((B, d))
+        z /= np.linalg.norm(z, axis=-1, keepdims=True)
+        y0 = cp.from_complex(z, jnp.float32)
+        from vec_ode_tpu.driver import make_grid
+
+        t_grid = make_grid(jnp.float32(0.0), jnp.float32(0.5),
+                           dtype=jnp.float32)
+        return mod, y0, t_grid
+
+    def _run_fused(self, stepper, y0, t_grid, ctl, adaptive):
+        orig = jax.default_backend
+        try:
+            jax.default_backend = lambda: "tpu"
+            return stepper.fused_loop_solve(y0, t_grid, 1e-2, ctl=ctl,
+                                            adaptive=adaptive)
+        finally:
+            jax.default_backend = orig
+
+    @pytest.mark.parametrize("make", [
+        lambda mod: (vexp.MagnusModulated4(mod, interpret=True),
+                     vexp.MagnusModulated4(mod, use_pallas=False), True),
+        lambda mod: (vexp.CFM4Modulated(mod, interpret=True),
+                     vexp.CFM4Modulated(mod, use_pallas=False), True),
+        lambda mod: (vexp.MidpointModulated(mod, interpret=True),
+                     vexp.MidpointModulated(mod, use_pallas=False), False),
+    ])
+    def test_matches_xla_driver(self, make):
+        mod, y0, t_grid = self._setup()
+        st_f, st_x, adaptive = make(mod)
+        ctl = vo.StepControl(rtol=1e-4, min_dt=1e-5, max_dt=0.2,
+                             max_steps=500)
+
+        sol_f = self._run_fused(st_f, y0, t_grid, ctl, adaptive)
+        assert sol_f is not None, "fused loop did not engage"
+
+        from vec_ode_tpu.driver import integrate
+
+        sol_x = integrate(
+            st_x.make_step_fn(), y0, t_grid,
+            1e-2 if adaptive else 1e-2,
+            adaptive=adaptive, ctl=ctl,
+            error_norm=st_x.error_norm, batch_shape=(y0.re.shape[0],),
+        )
+        assert (np.asarray(sol_f.status) == vo.DONE).all()
+        assert (np.asarray(sol_x.status) == vo.DONE).all()
+        a_f, a_x = np.asarray(sol_f.n_accept), np.asarray(sol_x.n_accept)
+        # controller uses exp(log(f)/order) in-kernel vs power() in XLA:
+        # marginal accepts may flip on a few trajectories
+        assert (a_f == a_x).mean() > 0.8, (a_f, a_x)
+        np.testing.assert_allclose(np.asarray(sol_f.y_final.re),
+                                   np.asarray(sol_x.y_final.re),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(sol_f.y_final.im),
+                                   np.asarray(sol_x.y_final.im),
+                                   rtol=1e-4, atol=1e-4)
+        # ys = [x0, x_final]
+        np.testing.assert_allclose(np.asarray(sol_f.ys.re[:, 0]),
+                                   np.asarray(y0.re), atol=0)
+        np.testing.assert_allclose(np.asarray(sol_f.ys.re[:, 1]),
+                                   np.asarray(sol_f.y_final.re), atol=0)
+
+    def test_max_steps_status(self):
+        mod, y0, t_grid = self._setup()
+        st = vexp.MagnusModulated4(mod, interpret=True)
+        ctl = vo.StepControl(rtol=1e-4, min_dt=1e-5, max_dt=0.2, max_steps=5)
+        sol = self._run_fused(st, y0, t_grid, ctl, True)
+        assert sol is not None
+        assert (np.asarray(sol.status) == vo.ERR_MAX_STEPS).all()
+        assert (np.asarray(sol.n_iters) >= 5).all()
+        # unfinished: ys[1] stays zero (same as the XLA driver's buffer)
+        assert (np.asarray(sol.ys.re[:, 1]) == 0).all()
+
+    def test_ineligible_configs_fall_back(self):
+        mod, y0, t_grid = self._setup()
+        st = vexp.MagnusModulated4(mod, interpret=True)
+        ctl = vo.StepControl(rtol=1e-4)
+        # PI controller -> not eligible
+        assert self._run_fused(
+            st, y0, t_grid, vo.StepControl(rtol=1e-4, pi=True), True
+        ) is None
+        # interior save grid -> not eligible
+        from vec_ode_tpu.driver import make_grid
+
+        g3 = make_grid(jnp.float32(0), jnp.float32(0.5),
+                       save_at=jnp.asarray([0.25], jnp.float32),
+                       dtype=jnp.float32)
+        assert self._run_fused(st, y0, g3, ctl, True) is None
+        # scalar (unbatched) state -> not eligible
+        y0s = cp.Cplx(y0.re[0], y0.im[0])
+        assert self._run_fused(st, y0s, t_grid, ctl, True) is None

@@ -113,6 +113,11 @@ class ModulatedOperator:
 
     basis: Any
     coeff_fn: Callable
+    # optional kernel-compatible view of coeff_fn: t_col (TILE, 1) ->
+    # list of K (TILE, 1) columns built from elementwise jnp ops ONLY.
+    # Enables the fully-fused integrator loop (ops/pallas_loop.py), where
+    # quadrature sampling happens inside the kernel.
+    coeff_cols_fn: Optional[Callable] = None
 
     @property
     def is_cplx(self) -> bool:
@@ -286,6 +291,75 @@ def _apply_chains(op: ModulatedOperator, basis_w, norms, chains, x, *,
     return _unwiden(y, op.is_cplx), e
 
 
+def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
+                    adaptive, chunk=8):
+    """Shared fused-integrator-loop harness (ops/pallas_loop.py): runs the
+    ENTIRE adaptive loop on-chip in chunked kernel invocations and builds a
+    driver-compatible Solution. Returns None when the configuration is not
+    kernel-eligible (the caller falls back to the XLA driver)."""
+    from ..driver import Solution
+    from ..ops.pallas_loop import fused_loop_integrate
+
+    op = stepper.op
+    on_tpu = jax.default_backend() == "tpu" or stepper.interpret
+    if not (stepper.use_pallas and on_tpu):
+        return None
+    if op.coeff_cols_fn is None:
+        return None
+    if t_grid.shape[0] != 2:
+        return None
+    if ctl.pi or ctl.scaled_error:
+        return None
+    parts = (y0.re, y0.im) if op.is_cplx else (y0,)
+    if parts[0].ndim != 2:
+        return None
+    D = sum(p.shape[-1] for p in parts)
+    if D % 128 != 0:
+        return None
+    if t_grid.dtype != parts[0].dtype:
+        return None
+    B = parts[0].shape[0]
+    t_eff = _pick_tile(B)
+    if t_eff < 8:
+        return None
+
+    basis_w = (
+        stepper._ext_basis_w
+        if hasattr(stepper, "_ext_basis_w")
+        else _real_basis(op.basis)
+    )
+    m, theta = _taylor_params(parts[0].dtype, stepper.m)
+    fs, ist, xparts = fused_loop_integrate(
+        t_grid, parts, h0, basis_w, step_cols_fn,
+        C=C, R=R, m=m, theta=theta,
+        max_squarings=stepper.max_squarings,
+        adaptive=adaptive, ctl=ctl, chunk=chunk, tile=t_eff,
+        interpret=stepper.interpret,
+    )
+    x_final = Cplx(*xparts) if op.is_cplx else xparts[0]
+    reached = ist[:, 0] >= 2
+
+    def sel_end(xf, x0z):
+        m_ = reached.reshape(reached.shape + (1,) * (xf.ndim - 1))
+        return jnp.where(m_, xf, jnp.zeros_like(x0z))
+
+    ys = jax.tree_util.tree_map(
+        lambda x0l, xfl: jnp.stack([x0l, sel_end(xfl, x0l)], axis=1),
+        y0, x_final,
+    )
+    return Solution(
+        ts=jnp.broadcast_to(t_grid, (B,) + t_grid.shape),
+        ys=ys,
+        t_final=fs[:, 0],
+        y_final=x_final,
+        status=ist[:, 1],
+        n_accept=ist[:, 3],
+        n_reject=ist[:, 4],
+        n_iters=ist[:, 5],
+        h_final=fs[:, 1],
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class MidpointModulated:
     """Exponential midpoint (Magnus-2) on a modulated operator: the
@@ -346,6 +420,28 @@ class MidpointModulated:
             return xf, None
 
         return step_fn
+
+
+    def _step_cols_fn(self):
+        cc = self.op.coeff_cols_fn
+
+        def step_cols(t, dt):
+            g = cc(t + 0.5 * dt)
+            return [[[dt * g[k] for k in range(self.op.n_terms)]]]
+
+        return step_cols
+
+    def fused_loop_solve(self, y0, t_grid, h0, *, ctl, adaptive,
+                         chunk: int = 8):
+        """Whole-loop on-chip integration (ops/pallas_loop.py); None if the
+        config is not kernel-eligible. Midpoint has no error estimate, so
+        adaptive requests fall back (the driver raises the proper error)."""
+        if adaptive:
+            return None
+        return _fused_loop_run(
+            self, self._step_cols_fn(), 1, 1, y0, t_grid, h0, ctl,
+            adaptive=False, chunk=chunk,
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -448,6 +544,40 @@ class MagnusModulated4:
             )
 
         return step_fn
+
+
+    def _step_cols_fn(self):
+        cc = self.op.coeff_cols_fn
+        pairs = self._pairs
+        K0 = self.op.n_terms
+        adaptive = self.adaptive
+
+        def step_cols(t, dt):
+            tm = t + 0.5 * dt
+            g1 = cc(tm - _C_MID * dt)
+            g2 = cc(tm + _C_MID * dt)
+            w1 = [0.5 * dt * (g1[k] + g2[k]) for k in range(K0)]
+            w2 = [
+                (_B2 * dt * dt) * (g1[j] * g2[k2] - g1[k2] * g2[j])
+                for (j, k2) in pairs
+            ]
+            main = w1 + w2
+            if not adaptive:
+                return [[main]]
+            return [[main], [w1 + [jnp.zeros_like(dt) for _ in pairs]]]
+
+        return step_cols
+
+    def fused_loop_solve(self, y0, t_grid, h0, *, ctl, adaptive,
+                         chunk: int = 8):
+        """Whole-loop on-chip integration (ops/pallas_loop.py); None if the
+        config is not kernel-eligible."""
+        if adaptive != self.adaptive:
+            return None
+        return _fused_loop_run(
+            self, self._step_cols_fn(), 2 if self.adaptive else 1, 1,
+            y0, t_grid, h0, ctl, adaptive=adaptive, chunk=chunk,
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -581,9 +711,64 @@ class CFMModulated:
         return step_fn
 
 
+    def _step_cols_fn(self):
+        cc = self.op.coeff_cols_fn
+        alpha = np.asarray(self.alpha)
+        alpha_err = (
+            None if self.alpha_err is None else np.asarray(self.alpha_err)
+        )
+        c_nodes = np.asarray(self.c)
+        K0 = self.op.n_terms
+        J = len(c_nodes)
+        n_main = alpha.shape[0]
+        n_err = 0 if alpha_err is None else alpha_err.shape[0]
+
+        def step_cols(t, dt):
+            gs = [cc(t + float(cj) * dt) for cj in c_nodes]
+
+            def rows_for(mat, n_rows):
+                rows = []
+                for i in range(n_rows):
+                    row = []
+                    for k in range(K0):
+                        acc = None
+                        for jn in range(J):
+                            if mat[i, jn] == 0.0:
+                                continue
+                            term = float(mat[i, jn]) * gs[jn][k]
+                            acc = term if acc is None else acc + term
+                        row.append(dt * acc)
+                    rows.append(row)
+                return rows
+
+            main = rows_for(alpha, n_main)
+            if alpha_err is None:
+                return [main]
+            err_rows = rows_for(alpha_err, n_err)
+            zero_row = [jnp.zeros_like(dt) for _ in range(K0)]
+            err_rows += [zero_row] * (n_main - n_err)
+            return [main, err_rows]
+
+        return step_cols
+
+    def fused_loop_solve(self, y0, t_grid, h0, *, ctl, adaptive,
+                         chunk: int = 8):
+        """Whole-loop on-chip integration (ops/pallas_loop.py); None if the
+        config is not kernel-eligible."""
+        has_err = self.alpha_err is not None
+        if adaptive != has_err:
+            return None
+        return _fused_loop_run(
+            self, self._step_cols_fn(), 2 if has_err else 1,
+            np.asarray(self.alpha).shape[0],
+            y0, t_grid, h0, ctl, adaptive=adaptive, chunk=chunk,
+        )
+
+
 def CFM4Modulated(op: ModulatedOperator, *, adaptive: bool = True,
-                  m: Optional[int] = None,
-                  max_squarings: int = 16) -> CFMModulated:
+                  m: Optional[int] = None, max_squarings: int = 16,
+                  use_pallas: bool = True,
+                  interpret: bool = False) -> CFMModulated:
     """The reference ExpCFMSolver configuration (cfm.rs:131-162) on the
     modulated fast path: order 4/2 pair on 2-node Gauss-Legendre."""
     from .. import tableaus as tb
@@ -595,4 +780,6 @@ def CFM4Modulated(op: ModulatedOperator, *, adaptive: bool = True,
         alpha_err=tuple(map(tuple, tb.CFM_R2_J1_GL)) if adaptive else None,
         m=m,
         max_squarings=max_squarings,
+        use_pallas=use_pallas,
+        interpret=interpret,
     )

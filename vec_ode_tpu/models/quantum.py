@@ -68,7 +68,11 @@ class LandauZener:
             t = jnp.asarray(t).astype(dtype)
             return jnp.stack([v * t, jnp.full_like(t, delta)], axis=-1)
 
-        return ModulatedOperator(basis=basis, coeff_fn=coeff)
+        def coeff_cols(t):
+            return [v * t, jnp.full_like(t, delta)]
+
+        return ModulatedOperator(basis=basis, coeff_fn=coeff,
+                                 coeff_cols_fn=coeff_cols)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -140,7 +144,11 @@ class DrivenDense:
             t = jnp.asarray(t).astype(dtype)
             return jnp.stack([jnp.ones_like(t), jnp.cos(w * t)], axis=-1)
 
-        return ModulatedOperator(basis=basis, coeff_fn=coeff)
+        def coeff_cols(t):
+            return [jnp.ones_like(t), jnp.cos(w * t)]
+
+        return ModulatedOperator(basis=basis, coeff_fn=coeff,
+                                 coeff_cols_fn=coeff_cols)
 
     def rhs_pair(self, t, psi, dtype=jnp.float32):
         """dpsi/dt = -i H(t) psi on Cplx states — the TPU ensemble RHS.

@@ -1,0 +1,358 @@
+"""Fused adaptive-integrator loop kernel for modulated operators.
+
+The step kernels in ops/pallas_expmv.py moved the exponential action
+on-chip, but each driver iteration still pays the XLA orchestration tax
+(per-dispatch cost on the target backend: the controller + masking +
+bookkeeping of ``driver.step_once`` costs ~10 small dispatches per
+iteration — several times the stepper itself). This module moves the WHOLE
+loop body on-chip: one kernel invocation advances every trajectory by
+``chunk`` driver iterations — stepper, embedded error norm, accept/reject
+controller, step-size update, grid/end handling and all counters — so the
+per-iteration XLA cost collapses to (4 carry buffers + 1 launch) / chunk.
+
+Faithful port of ``driver.step_once`` for the n_grid == 2 case (save grid
+= [t0, tf], the default; interior save grids use the XLA driver), with the
+reference controller semantics (ode.rs:311-334: f = rtol/||err||, accept
+iff f > 1, new_h = clip(alpha * f^(1/order), min_factor, max_factor) * h
+clipped to [min_dt, max_dt]) and the driver's status/event bookkeeping.
+
+Carry layout (per trajectory): floats [t, h, prev_h, err_norm] in one
+(B, 4) buffer; int32 [tgt_idx, status, last_event, n_accept, n_reject,
+n_iters, reject_streak] in one (B, 8) buffer; the state as 1 (real) or 2
+(re, im) (B, d) buffers.
+
+The stepper is injected as ``step_cols_fn(t_col, dt_col) -> cols[c][r][k]``
+building the chain-exponential coefficient columns in-kernel (quadrature
+sampling included — the operator's ``coeff_cols_fn`` must be Pallas-
+compatible elementwise jnp code).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_expmv import _row_matmul
+
+# driver status / event codes (must mirror vec_ode_tpu.driver)
+_RUNNING, _DONE, _ERR_MAX_STEPS, _ERR_STALLED, _ERR_BAD_GRID = 0, 1, 2, 3, 4
+_EVT_NONE, _EVT_STEP, _EVT_CHKPT, _EVT_REJECT, _EVT_END = 0, 1, 2, 3, 4
+
+N_F = 4   # float carry columns: t, h, prev_h, err_norm
+N_I = 8   # int carry columns: tgt, status, event, n_acc, n_rej, n_it, streak
+
+
+def _make_loop_kernel(
+    step_cols_fn: Callable,
+    C: int,
+    R: int,
+    K: int,
+    m: int,
+    theta: float,
+    max_squarings: int,
+    n_state: int,
+    chunk: int,
+    adaptive: bool,
+    ctl,
+):
+    rtol = float(ctl.rtol)
+    alpha = float(ctl.alpha)
+    inv_order = 1.0 / float(ctl.order)
+    min_f, max_f = float(ctl.min_factor), float(ctl.max_factor)
+    min_dt, max_dt = float(ctl.min_dt), float(ctl.max_dt)
+    max_steps = int(ctl.max_steps)
+    max_streak = int(ctl.max_reject_streak)
+
+    def kernel(tg_ref, fs_ref, is_ref, *rest):
+        x_refs = rest[:n_state]
+        basis_ref = rest[n_state]
+        ofs_ref = rest[n_state + 1]
+        ois_ref = rest[n_state + 2]
+        oy_refs = rest[n_state + 3:n_state + 3 + n_state]
+
+        dtype = fs_ref.dtype
+        eps = float(jnp.finfo(dtype).eps)
+        t0 = tg_ref[0, 0]
+        tf = tg_ref[0, 1]
+
+        x = (
+            x_refs[0][:]
+            if n_state == 1
+            else jnp.concatenate([r[:] for r in x_refs], axis=1)
+        )
+        d = x.shape[1] // n_state
+
+        norms = [
+            jnp.max(jnp.sum(jnp.abs(basis_ref[k]), axis=0))
+            for k in range(K)
+        ]
+
+        def chain_apply(xv, cols):
+            """y per chain via scaled Taylor; returns (y0, err_norm_col)."""
+            mx = jnp.zeros((), dtype)
+            for c in range(C):
+                for r in range(R):
+                    b = None
+                    for k in range(K):
+                        col = jnp.abs(cols[c][r][k]) * norms[k]
+                        b = col if b is None else b + col
+                    mx = jnp.maximum(
+                        mx, jnp.max(jnp.where(jnp.isnan(b), 0.0, b))
+                    )
+            s = jnp.clip(
+                jnp.ceil(jnp.log2(jnp.maximum(mx / theta, 1.0))),
+                0, max_squarings,
+            ).astype(jnp.int32)
+            scale = jnp.asarray(2.0, dtype) ** (-s.astype(dtype))
+            n_pass = jnp.left_shift(jnp.ones((), jnp.int32), s)
+
+            outs = []
+            for c in range(C):
+                v = xv
+                for r in range(R):
+                    cs = [cols[c][r][k] * scale for k in range(K)]
+
+                    def taylor_pass(_, v, cs=cs):
+                        acc = v
+                        term = v
+                        for kk in range(1, m + 1):
+                            w = None
+                            for k in range(K):
+                                mv = _row_matmul(term, basis_ref[k])
+                                w = (
+                                    cs[k] * mv
+                                    if w is None
+                                    else w + cs[k] * mv
+                                )
+                            term = w * (1.0 / kk)
+                            acc = acc + term
+                        return acc
+
+                    v = jax.lax.fori_loop(0, n_pass, taylor_pass, v)
+                outs.append(v)
+            if C >= 2:
+                dv = outs[1] - outs[0]
+                en = jnp.sqrt(jnp.sum(dv * dv, axis=1, keepdims=True))
+            else:
+                en = jnp.zeros((x.shape[0], 1), dtype)
+            return outs[0], en
+
+        def iteration(_, carry):
+            t, h, prev_h, err_prev, xv, tgt, status, event, n_acc, n_rej, \
+                n_it, streak = carry
+            running = status == _RUNNING
+            chk_t = jnp.where(tgt == 0, t0, tf)
+            tol = 4.0 * eps * jnp.maximum(1.0, jnp.abs(chk_t))
+            rem = chk_t - t
+            at_grid = jnp.abs(rem) <= tol
+            past_end = tgt >= 1
+            is_end = running & at_grid & past_end
+            is_chk = running & at_grid & ~past_end
+            bad = running & ~at_grid & (rem < 0)
+            stepping = running & ~at_grid & ~bad
+            dt = jnp.where(stepping, jnp.minimum(h, rem), 0.0)
+
+            cols = step_cols_fn(t, dt)
+            y, err = chain_apply(xv, cols)
+
+            if adaptive:
+                measure = err
+                f = rtol / measure
+                fp = alpha * jnp.exp(
+                    jnp.log(f) * inv_order
+                )  # f^(1/order); f>0 or inf/NaN, handled below
+                fp = jnp.clip(fp, min_f, max_f)
+                bad_f = jnp.isnan(f)
+                fp = jnp.where(bad_f, min_f, fp)
+                new_h = jnp.clip(fp * h, min_dt, max_dt)
+                accept = jnp.logical_not(bad_f) & (f > 1.0)
+            else:
+                measure = err_prev
+                new_h, accept = h, jnp.ones_like(stepping)
+
+            adv = stepping & accept
+            rej = stepping & ~accept
+
+            t = jnp.where(adv, t + dt, t)
+            xv = jnp.where(adv, y, xv)
+            if adaptive:
+                prev_h = jnp.where(stepping, h, prev_h)
+                h = jnp.where(stepping, new_h, h)
+            h = jnp.where(at_grid & running, prev_h, h)
+            tgt = tgt + (at_grid & running).astype(jnp.int32)
+
+            status = jnp.where(is_end, _DONE, status)
+            status = jnp.where(bad, _ERR_BAD_GRID, status)
+            n_it = n_it + running.astype(jnp.int32)
+            status = jnp.where(
+                (status == _RUNNING) & (n_it >= max_steps),
+                _ERR_MAX_STEPS, status,
+            )
+            streak = jnp.where(
+                rej, streak + 1, jnp.where(adv, 0, streak)
+            ).astype(jnp.int32)
+            if max_streak > 0:
+                status = jnp.where(
+                    (status == _RUNNING) & (streak >= max_streak),
+                    _ERR_STALLED, status,
+                )
+            event = jnp.where(
+                is_end, _EVT_END,
+                jnp.where(
+                    is_chk, _EVT_CHKPT,
+                    jnp.where(rej, _EVT_REJECT,
+                              jnp.where(adv, _EVT_STEP, _EVT_NONE)),
+                ),
+            ).astype(jnp.int32)
+            err_prev = jnp.where(stepping, measure, err_prev)
+            n_acc = n_acc + adv.astype(jnp.int32)
+            n_rej = n_rej + rej.astype(jnp.int32)
+            return (t, h, prev_h, err_prev, xv, tgt, status, event,
+                    n_acc, n_rej, n_it, streak)
+
+        carry = (
+            fs_ref[:, 0:1], fs_ref[:, 1:2], fs_ref[:, 2:3], fs_ref[:, 3:4],
+            x,
+            is_ref[:, 0:1], is_ref[:, 1:2], is_ref[:, 2:3], is_ref[:, 3:4],
+            is_ref[:, 4:5], is_ref[:, 5:6], is_ref[:, 6:7],
+        )
+        carry = jax.lax.fori_loop(0, chunk, iteration, carry)
+        (t, h, prev_h, err_prev, xv, tgt, status, event, n_acc, n_rej,
+         n_it, streak) = carry
+
+        ofs_ref[:] = jnp.concatenate([t, h, prev_h, err_prev], axis=1)
+        ois_ref[:] = jnp.concatenate(
+            [tgt, status, event, n_acc, n_rej, n_it, streak,
+             jnp.zeros_like(tgt)], axis=1,
+        )
+        for i, yr in enumerate(oy_refs):
+            yr[:] = xv[:, i * d:(i + 1) * d]
+
+    return kernel
+
+
+def fused_loop_chunk(
+    t_grid2: jax.Array,            # (2,) [t0, tf]
+    fs: jax.Array,                 # (B, N_F) float carry
+    ist: jax.Array,                # (B, N_I) int32 carry
+    x_parts: Sequence[jax.Array],  # 1 or 2 (B, d) state buffers
+    basis: jax.Array,              # (K, D, D)
+    step_cols_fn: Callable,
+    *,
+    C: int,
+    R: int,
+    m: int,
+    theta: float,
+    max_squarings: int,
+    chunk: int,
+    adaptive: bool,
+    ctl,
+    tile: int = 256,
+    interpret: bool = False,
+):
+    """Advance every trajectory by ``chunk`` driver iterations in ONE kernel.
+
+    Returns (fs, ist, x_parts) updated."""
+    n_state = len(x_parts)
+    B, d = x_parts[0].shape
+    D = n_state * d
+    K = basis.shape[0]
+    dtype = x_parts[0].dtype
+    kernel = _make_loop_kernel(
+        step_cols_fn, C, R, K, m, float(theta), max_squarings,
+        n_state, chunk, adaptive, ctl,
+    )
+
+    def vec_spec(w, space=pltpu.VMEM):
+        return pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=space)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // tile,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            vec_spec(N_F),
+            vec_spec(N_I),
+            *[vec_spec(d)] * n_state,
+            pl.BlockSpec((K, D, D), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            vec_spec(N_F),
+            vec_spec(N_I),
+            *[vec_spec(d)] * n_state,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N_F), dtype),
+            jax.ShapeDtypeStruct((B, N_I), jnp.int32),
+            *[jax.ShapeDtypeStruct((B, d), dtype) for _ in range(n_state)],
+        ],
+        interpret=interpret,
+    )(
+        t_grid2.reshape(1, 2).astype(dtype),
+        fs, ist, *x_parts,
+        basis.astype(dtype),
+    )
+    return outs[0], outs[1], tuple(outs[2:])
+
+
+def fused_loop_integrate(
+    t_grid: jax.Array,             # (2,) [t0, tf]
+    y0_parts: Sequence[jax.Array],
+    h0,
+    basis: jax.Array,
+    step_cols_fn: Callable,
+    *,
+    C: int,
+    R: int,
+    m: int,
+    theta: float,
+    max_squarings: int,
+    adaptive: bool,
+    ctl,
+    chunk: int = 8,
+    tile: int = 256,
+    interpret: bool = False,
+):
+    """Full integration over [t0, tf]: an XLA while loop of fused chunks.
+
+    Returns the raw (fs, ist, x_parts) final carries; the caller builds the
+    Solution (see exp/modulated.py)."""
+    B = y0_parts[0].shape[0]
+    dtype = y0_parts[0].dtype
+    t0 = jnp.asarray(t_grid[0], dtype)
+    fs = jnp.concatenate(
+        [
+            jnp.broadcast_to(t0, (B,))[:, None],
+            jnp.broadcast_to(jnp.asarray(h0, dtype), (B,))[:, None],
+            jnp.broadcast_to(jnp.asarray(h0, dtype), (B,))[:, None],
+            jnp.zeros((B, 1), dtype),
+        ],
+        axis=1,
+    )
+    ist = jnp.zeros((B, N_I), jnp.int32)
+
+    def cond(carry):
+        _, ist, _ = carry
+        return jnp.any(ist[:, 1] == _RUNNING)
+
+    def body(carry):
+        fs, ist, parts = carry
+        fs, ist, parts = fused_loop_chunk(
+            t_grid, fs, ist, parts, basis, step_cols_fn,
+            C=C, R=R, m=m, theta=theta, max_squarings=max_squarings,
+            chunk=chunk, adaptive=adaptive, ctl=ctl, tile=tile,
+            interpret=interpret,
+        )
+        return fs, ist, parts
+
+    fs, ist, parts = jax.lax.while_loop(
+        cond, body, (fs, ist, tuple(y0_parts))
+    )
+    return fs, ist, parts

@@ -97,11 +97,20 @@ def ensemble_solve(
             )
         enorm = stepper_norm or lc.norm_l2_batched
 
+        fused_solve = getattr(stepper, "fused_loop_solve", None)
+
         def batched(y0, p, h):
             import dataclasses as dc
 
             del p  # params unsupported for natively-batched steppers
             b = jax.tree_util.tree_leaves(y0)[0].shape[0]
+            sol = None
+            if fused_solve is not None and method == "while":
+                # whole-loop on-chip path (ops/pallas_loop.py); None when
+                # the config is not kernel-eligible
+                sol = fused_solve(y0, t_grid, h, ctl=ctl, adaptive=adaptive)
+            if sol is not None:
+                return sol
             sol = integrate(
                 step_fn, y0, t_grid, h,
                 adaptive=adaptive, ctl=ctl,
