@@ -176,3 +176,135 @@ def test_solve_linear_dense_antihermitian_leaf():
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(sol.ys[1])), 1.0, atol=1e-5
     )
+
+
+# ---- per-tableau dense output, batched/scan paths, FSAL slope reuse --------
+
+def test_dopri5_dense_interp_order4():
+    """Interpolation-error convergence slope >= 4 at mid-step points for the
+    DOPRI5 continuous extension (cubic Hermite is only ~3)."""
+    from vec_ode_tpu.tableaus import DOPRI5
+
+    f = lambda t, y: jnp.sin(3.0 * t) * y
+    exact = lambda t: np.exp((1.0 - np.cos(3.0 * np.asarray(t))) / 3.0)
+    save = jnp.asarray(np.linspace(0.13, 1.87, 11))
+    errs = []
+    hs = [0.2, 0.1, 0.05]
+    for h in hs:
+        sol = solve_ivp_dense(
+            f, 0.0, 2.0, jnp.asarray(1.0, jnp.float64),
+            tableau=DOPRI5, adaptive=False, h0=h, save_at=save,
+            ctl=vo.StepControl(max_steps=10000),
+        )
+        errs.append(
+            np.abs(np.asarray(sol.ys[1:-1]) - exact(save)).max()
+        )
+    slopes = np.diff(np.log(errs)) / np.diff(np.log(hs))
+    assert slopes.mean() > 3.9, (errs, slopes)
+
+
+def test_bosh32_dense_matches_solution_order():
+    from vec_ode_tpu.tableaus import BOSH32
+
+    save = jnp.asarray(np.linspace(0.2, 1.8, 5))
+    sol = solve_ivp_dense(
+        lambda t, y: -y, 0.0, 2.0, jnp.asarray(1.0, jnp.float64),
+        tableau=BOSH32, ctl=vo.StepControl(rtol=1e-6), h0=1e-2, save_at=save,
+    )
+    assert bool(sol.success)
+    np.testing.assert_allclose(np.asarray(sol.ys),
+                               np.exp(-np.asarray(sol.ts)), rtol=1e-4)
+
+
+def test_dense_fsal_zero_extra_evals():
+    """With p_dense + FSAL, the dense loop body calls the RHS exactly s-1
+    times (DOPRI5: 6) and once for the initial carry — no interpolation or
+    endpoint-slope evaluations. Counted at trace time (the loop body traces
+    once)."""
+    from vec_ode_tpu.tableaus import DOPRI5, RKF45
+
+    def count_for(tableau):
+        calls = {"n": 0}
+
+        def f(t, y):
+            calls["n"] += 1
+            return -y
+
+        solve_ivp_dense(f, 0.0, 1.0, jnp.asarray(1.0, jnp.float64),
+                        tableau=tableau, ctl=vo.StepControl(rtol=1e-6),
+                        h0=1e-2)
+        return calls["n"]
+
+    assert count_for(DOPRI5) == 1 + 6   # init carry + 6 stages/attempt
+    assert count_for(RKF45) == 6 + 1    # 6 stages (f0 = K[0]) + f1 slope
+
+
+def test_dense_batched_carry_matches_vmap():
+    """Natively-batched dense driver == per-trajectory dense solves."""
+    from vec_ode_tpu.tableaus import DOPRI5
+
+    def fb(t, y):  # batched RHS: t (B,), y (B, 2)
+        rate = jnp.asarray([1.0, 2.0])
+        return -rate * y * (1.0 + 0.1 * jnp.sin(t))[..., None]
+
+    B = 4
+    rng = np.random.default_rng(0)
+    y0 = jnp.asarray(rng.uniform(0.5, 1.5, (B, 2)))
+    save = jnp.asarray([0.35, 0.9])
+    from vec_ode_tpu import lc
+
+    sol_b = solve_ivp_dense(
+        fb, 0.0, 1.5, y0, tableau=DOPRI5,
+        ctl=vo.StepControl(rtol=1e-8), h0=1e-2, save_at=save,
+        batch_shape=(B,), error_norm=lc.norm_l2_batched,
+    )
+    assert (np.asarray(sol_b.status) == vo.DONE).all()
+    for i in range(B):
+        sol_i = solve_ivp_dense(
+            lambda t, y: fb(t, y[None])[0], 0.0, 1.5, y0[i],
+            tableau=DOPRI5, ctl=vo.StepControl(rtol=1e-8), h0=1e-2,
+            save_at=save,
+        )
+        np.testing.assert_allclose(np.asarray(sol_b.ys[i]),
+                                   np.asarray(sol_i.ys), rtol=1e-12,
+                                   atol=1e-14)
+
+
+def test_dense_scan_method_grad():
+    """jax.grad through a dense solve (scan driver) — the differentiable
+    dense path the reference's empty diff module never delivered."""
+    import jax
+
+    from vec_ode_tpu.tableaus import DOPRI5
+
+    save = jnp.asarray([0.5])
+
+    def loss(k):
+        sol = solve_ivp_dense(
+            lambda t, y: -k * y, 0.0, 1.0, jnp.asarray(1.0, jnp.float64),
+            tableau=DOPRI5, ctl=vo.StepControl(rtol=1e-8, max_steps=64),
+            h0=1e-2, save_at=save, method="scan",
+        )
+        return sol.ys[1]  # y(0.5), interpolated
+
+    k0 = 1.3
+    g = jax.grad(loss)(jnp.asarray(k0, jnp.float64))
+    # d/dk e^{-k/2} = -0.5 e^{-k/2}
+    np.testing.assert_allclose(float(g), -0.5 * np.exp(-k0 / 2), rtol=1e-5)
+
+
+def test_dense_pdense_consistent_with_hermite():
+    """Both interpolants agree to their shared order on a smooth problem."""
+    from vec_ode_tpu.tableaus import DOPRI5
+
+    save = jnp.asarray(np.linspace(0.1, 0.9, 7))
+    kw = dict(ctl=vo.StepControl(rtol=1e-10), h0=1e-2, save_at=save)
+    sol_p = solve_ivp_dense(lambda t, y: -y + jnp.cos(t), 0.0, 1.0,
+                            jnp.asarray(0.5, jnp.float64),
+                            tableau=DOPRI5, **kw)
+    sol_h = solve_ivp_dense(lambda t, y: -y + jnp.cos(t), 0.0, 1.0,
+                            jnp.asarray(0.5, jnp.float64),
+                            tableau=DOPRI5, advance_lower=False,
+                            **kw)  # same advance; hermite only if p absent
+    np.testing.assert_allclose(np.asarray(sol_p.ys), np.asarray(sol_h.ys),
+                               rtol=1e-9, atol=1e-11)

@@ -82,6 +82,10 @@ def solve_ivp(
     t_grid = make_grid(t0, tf, save_at, dtype=time_dtype)
     h0 = _check_h0(h0, ctl, adaptive)
     step_fn = stepper.make_step_fn(f)
+    init_carry_fn = (
+        stepper.make_init_carry(f)
+        if getattr(stepper, "has_carry", False) else None
+    )
     sol = integrate(
         step_fn,
         y0,
@@ -92,6 +96,7 @@ def solve_ivp(
         error_norm=error_norm,
         method=method,
         pack_carry=getattr(stepper, "prefers_packed_carry", False),
+        init_carry_fn=init_carry_fn,
     )
     sol = _attach_nfev(sol, stepper)
     if backward:
@@ -127,14 +132,17 @@ def _check_h0(h0, ctl: StepControl, adaptive: bool):
 
 def _attach_nfev(sol: Solution, stepper) -> Solution:
     """RHS-evaluation counter: iterations x stage evaluations per attempt
-    (the per-step cost is static, SURVEY §3.1)."""
+    (the per-step cost is static, SURVEY §3.1), plus any one-time carry
+    seeding (FSAL steppers pay 1 eval for the initial slope and s-1 per
+    attempt thereafter)."""
     import dataclasses as dc
 
     n = getattr(stepper, "nfev_per_step", None)
     if n is None:
         return sol
+    n0 = int(getattr(stepper, "nfev_init", 0))
     return dc.replace(
-        sol, n_rhs_evals=(sol.n_accept + sol.n_reject) * int(n)
+        sol, n_rhs_evals=n0 + (sol.n_accept + sol.n_reject) * int(n)
     )
 
 

@@ -4,22 +4,28 @@ The reference has **no dense output / interpolation** (SURVEY §2.3(5)): its
 only output mechanism is truncating steps to land exactly on t_list times,
 which perturbs the step-size sequence around every save point. This module
 adds the modern alternative: the controller runs free (steps are never
-truncated except at tf) and crossed save times are filled by cubic Hermite
-interpolation from (x, f(t,x)) at both step ends — local accuracy O(h^4),
-matching the advanced RKF45 solution's order.
+truncated except at tf) and crossed save times are filled by interpolation
+from the step's own data.
 
-Design: a separate driver body rather than more flags in
-:func:`~vec_ode_tpu.driver.step_once`, so the reference-parity path stays
-exact. Dense steppers return ``(x_next, err, f0, f1)`` where f0 = f(t, x)
-and f1 = f(t+dt, x_next) (one extra RHS evaluation per accepted step; for
-FSAL tableaus like DOPRI5 the last stage already is f1 — optimization left
-for the stepper).
+Interpolants, per tableau:
+  * tableaus carrying dense coefficients (``p_dense``: DOPRI5 order-4,
+    BOSH32 order-3) use the standard continuous extension
+    y(t+theta dt) = y0 + dt theta sum_j K_j P_j(theta) built from the stage
+    slopes — matching the advanced (b) solution's order, at ZERO extra RHS
+    evaluations;
+  * otherwise cubic Hermite from (x, f) at both step ends — local O(h^4);
+    FSAL tableaus get the right-endpoint slope free, others pay one extra
+    RHS evaluation per attempt.
+
+The dense driver supports ``method="scan"`` (reverse-mode differentiable)
+and natively-batched carries (``batch_shape``), mirroring
+:func:`~vec_ode_tpu.driver.integrate`.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,9 +35,11 @@ from .controller import StepControl, controller_update, end_tolerance, error_mea
 from .driver import (
     DONE,
     ERR_MAX_STEPS,
+    ERR_STALLED,
     RUNNING,
     IntState,
     Solution,
+    _CarryPacker,
     init_state,
 )
 
@@ -58,6 +66,64 @@ def hermite_cubic(x0: Pytree, x1: Pytree, f0: Pytree, f1: Pytree, dt, theta):
     return jax.tree_util.tree_map(leaf, x0, x1, f0, f1)
 
 
+def _grid_match(s, leaf_ndim, bn):
+    """Reshape a batch+(n_grid,) scalar field to broadcast against a
+    batch+(n_grid,)+suffix leaf."""
+    return s.reshape(s.shape + (1,) * (leaf_ndim - s.ndim))
+
+
+def _interp_crossed(interp_kind, tab, x0, x1, idata, dt, theta, bn):
+    """Evaluate the interpolant at every grid time at once.
+
+    theta: batch+(n_grid,); x0/x1/idata leaves: batch+suffix.
+    Returns a pytree of batch+(n_grid,)+suffix interpolated values."""
+    if interp_kind == "p_dense":
+        P = tab.p_dense
+        s, q = P.shape
+        polys = [
+            sum(
+                float(P[j, k]) * theta**k
+                for k in range(q) if P[j, k] != 0.0
+            )
+            for j in range(s)
+        ]
+        dt_th = jnp.asarray(dt)[..., None] * theta  # batch+(n_grid,)
+
+        def leaf(x0_l, *K_ls):
+            x0e = jnp.expand_dims(x0_l, bn)
+            acc = None
+            for j in range(s):
+                if isinstance(polys[j], (int, float)) and polys[j] == 0:
+                    continue
+                term = _grid_match(polys[j], x0e.ndim, bn) * jnp.expand_dims(
+                    K_ls[j], bn
+                )
+                acc = term if acc is None else acc + term
+            return x0e + _grid_match(dt_th, x0e.ndim, bn) * acc
+
+        return jax.tree_util.tree_map(leaf, x0, *idata)
+
+    f0, f1 = idata
+    th = theta
+    h00 = 2 * th**3 - 3 * th**2 + 1
+    h10 = th**3 - 2 * th**2 + th
+    h01 = -2 * th**3 + 3 * th**2
+    h11 = th**3 - th**2
+    hdt = jnp.asarray(dt)[..., None] * jnp.ones_like(th)
+
+    def leaf(a, b, fa, fb):
+        ae = jnp.expand_dims(a, bn)
+        nd = ae.ndim
+        return (
+            _grid_match(h00, nd, bn) * ae
+            + _grid_match(h10 * hdt, nd, bn) * jnp.expand_dims(fa, bn)
+            + _grid_match(h01, nd, bn) * jnp.expand_dims(b, bn)
+            + _grid_match(h11 * hdt, nd, bn) * jnp.expand_dims(fb, bn)
+        )
+
+    return jax.tree_util.tree_map(leaf, x0, x1, f0, f1)
+
+
 def _dense_step(
     state: IntState,
     step_fn_dense: Callable,
@@ -65,11 +131,15 @@ def _dense_step(
     adaptive: bool,
     ctl: StepControl,
     error_norm: Callable,
+    interp_kind: str,
+    tab,
 ) -> IntState:
     """One free-running iteration: only tf truncates dt; crossed interior
-    save times are recorded via Hermite interpolation."""
+    save times are recorded via interpolation. Shape-generic: works for the
+    scalar carry and natively-batched (B,) carries alike."""
     t_grid = state.ts_grid
     n_grid = t_grid.shape[0]
+    bn = jnp.ndim(state.t)
     running = state.status == RUNNING
 
     tf = t_grid[-1]
@@ -79,12 +149,25 @@ def _dense_step(
     # dt=0 on masked lanes keeps discarded evaluations finite (grad-safe)
     dt = jnp.where(stepping, jnp.minimum(state.h, rem), 0.0)
 
-    x_next, err, f0, f1 = step_fn_dense(state.t, state.x, dt)
+    has_carry = len(jax.tree_util.tree_leaves(state.carry)) > 0
+    if has_carry:
+        x_next, err, idata, carry_next = step_fn_dense(
+            state.t, state.x, dt, state.carry
+        )
+    else:
+        x_next, err, idata = step_fn_dense(state.t, state.x, dt)
+        carry_next = ()
 
     if adaptive:
         if err is None:
             raise ValueError("adaptive integration requires an error estimate")
-        measure = error_measure(error_norm, state.x, x_next, err, ctl)
+        # double-where (see driver.step_once): masked lanes' zero err has a
+        # NaN norm-VJP and an inf controller factor; neutralize both
+        err_safe = lc.tree_where(
+            stepping, err, jax.tree_util.tree_map(jnp.ones_like, err)
+        )
+        measure = error_measure(error_norm, state.x, x_next, err_safe, ctl)
+        measure = jnp.where(stepping, measure, jnp.ones_like(measure))
         new_h, accept = controller_update(
             state.h, measure, ctl, prev_err_norm=state.err_norm,
             prev_rejected=state.reject_streak > 0,
@@ -102,40 +185,44 @@ def _dense_step(
     # state; index n_grid-1 (tf) is landed on exactly.
     tol = end_tolerance(t_grid)
     crossed = (
-        do_advance
-        & (t_grid > state.t + tol)
-        & (t_grid <= t_new + tol)
-    )                                           # (n_grid,)
+        do_advance[..., None]
+        & (t_grid > state.t[..., None] + tol)
+        & (t_grid <= t_new[..., None] + tol)
+    )                                            # batch+(n_grid,)
     crossed = crossed | (
-        (jnp.arange(n_grid) == 0) & (state.n_iters == 0) & running
+        (jnp.arange(n_grid) == 0)
+        & (state.n_iters == 0)[..., None]
+        & running[..., None]
     )
+    # double-where: masked lanes carry dt=0, and a tiny-denominator division
+    # would poison reverse-mode with inf * 0 = NaN even though the forward
+    # value is discarded
+    safe_dt = jnp.where(dt > 0, dt, 1.0)
     theta = jnp.clip(
-        (t_grid - state.t) / jnp.maximum(dt, jnp.finfo(dt.dtype).tiny),
-        0.0, 1.0,
+        (t_grid - state.t[..., None]) / safe_dt[..., None], 0.0, 1.0
     )
 
-    def record(buf, a, b, fa, fb):
-        # buf: (n_grid, ...) ; interpolate at all grid times (one
-        # hermite_cubic over the broadcast grid axis), select crossed
-        th = theta.reshape((n_grid,) + (1,) * (buf.ndim - 1)).astype(
-            jnp.finfo(buf.dtype).dtype if jnp.issubdtype(
-                buf.dtype, jnp.inexact) else jnp.float32
-        )
-        interp = hermite_cubic(a[None], b[None], fa[None], fb[None], dt, th)
-        m = crossed.reshape((n_grid,) + (1,) * (buf.ndim - 1))
-        return jnp.where(m, interp, buf)
-
-    ys = jax.tree_util.tree_map(
-        record, state.ys, state.x, x_next, f0, f1
+    interp = _interp_crossed(
+        interp_kind, tab, state.x, x_next, idata, dt, theta, bn
     )
+
+    def record(buf, val):
+        m = _grid_match(crossed, buf.ndim, bn)
+        return jnp.where(m, val, buf)
+
+    ys = jax.tree_util.tree_map(record, state.ys, interp)
 
     t = jnp.where(do_advance, t_new, state.t)
     x = lc.tree_where(do_advance, x_next, state.x)
+    carry = (
+        lc.tree_where(do_advance, carry_next, state.carry)
+        if has_carry else state.carry
+    )
     prev_h = jnp.where(stepping & jnp.asarray(adaptive), state.h,
                        state.prev_h)
     h = jnp.where(stepping & jnp.asarray(adaptive), new_h, state.h)
     tgt_idx = jnp.sum(
-        (t_grid <= t + end_tolerance(t_grid)), axis=0
+        (t_grid <= t[..., None] + end_tolerance(t_grid)), axis=-1
     ).astype(jnp.int32)
 
     status = jnp.where(running & at_end, DONE, state.status)
@@ -149,8 +236,6 @@ def _dense_step(
         jnp.where(do_advance, 0, state.reject_streak),
     ).astype(jnp.int32)
     if ctl.max_reject_streak > 0:
-        from .driver import ERR_STALLED
-
         status = jnp.where(
             (status == RUNNING) & (streak >= ctl.max_reject_streak),
             ERR_STALLED, status,
@@ -163,7 +248,7 @@ def _dense_step(
                            state.err_norm),
         n_accept=state.n_accept + do_advance.astype(jnp.int32),
         n_reject=state.n_reject + do_reject.astype(jnp.int32),
-        n_iters=n_iters, reject_streak=streak, ys=ys,
+        n_iters=n_iters, reject_streak=streak, ys=ys, carry=carry,
     )
 
 
@@ -176,6 +261,12 @@ def integrate_interp(
     adaptive: bool = True,
     ctl: StepControl = StepControl(),
     error_norm: Callable = lc.norm_l2,
+    interp_kind: str = "hermite",
+    tab=None,
+    method: str = "while",
+    batch_shape: tuple = (),
+    init_carry_fn: Optional[Callable] = None,
+    pack_carry: bool = False,
 ) -> Solution:
     """Free-running integration with interpolated saves at ``t_grid``.
 
@@ -184,19 +275,59 @@ def integrate_interp(
     identical to a run with no save points at all. At the final grid time
     the last recorded value is the interpolant of the step that crossed it;
     tf itself is still landed on exactly so ``y_final`` is non-interpolated.
+
+    ``method="scan"`` runs exactly ``ctl.max_steps`` self-masking iterations
+    under ``lax.scan`` — reverse-mode differentiable. ``batch_shape`` builds
+    a natively-batched carry (per-trajectory t/h/status; ``step_fn_dense``
+    must be batched and ``error_norm`` per-trajectory).
     """
-    state = init_state(x0, t_grid, h0)
+    carry0 = () if init_carry_fn is None else init_carry_fn(t_grid[0], x0)
+    state = init_state(x0, t_grid, h0, batch_shape=batch_shape,
+                       stepper_carry=carry0)
     body = partial(
         _dense_step, step_fn_dense=step_fn_dense, adaptive=adaptive,
-        ctl=ctl, error_norm=error_norm,
+        ctl=ctl, error_norm=error_norm, interp_kind=interp_kind, tab=tab,
     )
 
-    final = jax.lax.while_loop(
-        lambda s: jnp.any(s.status == RUNNING), body, state
-    )
+    t_grid_c = state.ts_grid
+    if pack_carry:
+        stripped = state._replace(ts_grid=())
+        packer = _CarryPacker(stripped, batch_ndim=jnp.ndim(state.t))
+        to_c = lambda s: packer.pack(s._replace(ts_grid=()))
+        of_c = lambda b: packer.unpack(b)._replace(ts_grid=t_grid_c)
+        carry_init = packer.pack(stripped)
+    else:
+        to_c = lambda s: s
+        of_c = lambda s: s
+        carry_init = state
+
+    def body_c(c):
+        return to_c(body(of_c(c)))
+
+    if method == "while":
+        final_c = jax.lax.while_loop(
+            lambda c: jnp.any(of_c(c).status == RUNNING), body_c, carry_init
+        )
+    elif method == "scan":
+        final_c, _ = jax.lax.scan(
+            lambda c, _: (body_c(c), None), carry_init, None,
+            length=ctl.max_steps,
+        )
+    else:
+        raise ValueError(f"unknown integrate_interp method: {method!r}")
+    final = of_c(final_c)
+
     # tf is landed on exactly -> overwrite the last slot with the true state
+    bn = jnp.ndim(final.t)
     ys = jax.tree_util.tree_map(
-        lambda buf, leaf: buf.at[-1].set(leaf), final.ys, final.x
+        lambda buf, leaf: jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(buf, 0, buf.shape[bn] - 1, axis=bn),
+                jnp.expand_dims(leaf, bn),
+            ],
+            axis=bn,
+        ),
+        final.ys, final.x,
     )
     return Solution(
         ts=final.ts_grid,
@@ -224,33 +355,72 @@ def solve_ivp_dense(
     save_at=None,
     error_norm: Callable = lc.norm_l2,
     time_dtype=None,
+    advance_lower: Optional[bool] = None,
+    method: str = "while",
+    batch_shape: tuple = (),
 ) -> Solution:
     """solve_ivp with interpolated (non-perturbing) saves.
 
-    One extra RHS evaluation per attempted step provides the right-endpoint
-    slope for the cubic Hermite interpolant.
+    Interpolant selection (see module docstring): tableaus with dense
+    coefficients AND ``advance_lower=False`` use their order-matched
+    continuous extension from the stage slopes (zero extra RHS
+    evaluations; FSAL reuse included); otherwise cubic Hermite, whose
+    right-endpoint slope costs one extra evaluation per attempt unless the
+    tableau is FSAL.
+
+    ``advance_lower`` defaults to the reference semantics (True) for RKF45
+    and to False (advance the b solution) for tableaus with dense
+    coefficients, where the interpolant requires it.
     """
     from .driver import make_grid
-    from .rk import rk_step
+    from .rk import rk_step_stages
     from .tableaus import RKF45
 
     if tableau is None:
         tableau = RKF45
+    if advance_lower is None:
+        advance_lower = tableau.p_dense is None
     if time_dtype is None:
         time_dtype = jnp.result_type(jnp.asarray(t0), jnp.asarray(tf), float)
     t_grid = make_grid(t0, tf, save_at, dtype=time_dtype)
     if h0 is None:
         h0 = ctl.init_h()
 
-    def step_fn_dense(t, x, dt):
-        x_next, err = rk_step(f, t, x, dt, tableau)
-        f0 = f(t, x)          # == K[0]; XLA CSEs the duplicate evaluation
-        f1 = f(t + dt, x_next)
-        return x_next, err, f0, f1
+    use_p = tableau.p_dense is not None and not advance_lower
+    use_fsal = tableau.is_fsal and not advance_lower
+    interp_kind = "p_dense" if use_p else "hermite"
+
+    if use_fsal:
+        def step_fn_dense(t, x, dt, k0):
+            x_next, err, K = rk_step_stages(
+                f, t, x, dt, tableau, advance_lower=False, k0=k0,
+            )
+            idata = tuple(K) if use_p else (K[0], K[-1])
+            return x_next, err, idata, K[-1]
+
+        init_carry_fn = lambda t, x: f(t, x)
+    else:
+        def step_fn_dense(t, x, dt):
+            x_next, err, K = rk_step_stages(
+                f, t, x, dt, tableau, advance_lower=advance_lower,
+            )
+            if use_p:
+                idata = tuple(K)
+            else:
+                f1 = (
+                    K[-1] if (tableau.is_fsal and not advance_lower)
+                    else f(t + dt, x_next)
+                )
+                idata = (K[0], f1)
+            return x_next, err, idata
+
+        init_carry_fn = None
 
     return integrate_interp(
         step_fn_dense, y0, t_grid, h0,
         adaptive=adaptive, ctl=ctl, error_norm=error_norm,
+        interp_kind=interp_kind, tab=tableau, method=method,
+        batch_shape=batch_shape, init_carry_fn=init_carry_fn,
     )
 
 
@@ -267,6 +437,7 @@ def solve_linear_dense(
     save_at=None,
     error_norm: Callable = lc.norm_l2,
     time_dtype=None,
+    method: str = "while",
 ) -> Solution:
     """solve_linear with interpolated saves: the Hermite endpoint slopes are
     the operator action dx/dt = A(t) x via the split's ``apply_l``.
@@ -274,8 +445,6 @@ def solve_linear_dense(
     ``stepper`` is an exp stepper carrying its split (ExpMidpoint / Magnus4 /
     CFM...) or a split-pair solver (SplitMidpoint, whose op_fn yields
     (La, Lb))."""
-    import jax.numpy as jnp
-
     from .driver import make_grid
 
     if time_dtype is None:
@@ -289,6 +458,18 @@ def solve_linear_dense(
 
         def slope(t, x):
             return split.apply_l(op_fn(t), x)
+    elif hasattr(stepper, "op") and stepper.op is not None:
+        op = stepper.op
+
+        def slope(t, x):
+            A = op.assemble(t)
+            from .ops.cplx import Cplx, cmatvec
+
+            if isinstance(A, Cplx):
+                return cmatvec(A, x)
+            from .utils.prec import HIGHEST
+
+            return jnp.einsum("...ij,...j->...i", A, x, precision=HIGHEST)
     elif hasattr(stepper, "sp_a"):
         from .exp.splits import _Pair
 
@@ -305,9 +486,10 @@ def solve_linear_dense(
 
     def step_fn_dense(t, x, dt):
         x_next, err = inner(t, x, dt)
-        return x_next, err, slope(t, x), slope(t + dt, x_next)
+        return x_next, err, (slope(t, x), slope(t + dt, x_next))
 
     return integrate_interp(
         step_fn_dense, y0, t_grid, h0,
         adaptive=adaptive, ctl=ctl, error_norm=error_norm,
+        interp_kind="hermite", tab=None, method=method,
     )

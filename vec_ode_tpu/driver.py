@@ -73,6 +73,8 @@ class IntState(NamedTuple):
     reject_streak: jax.Array  # consecutive rejects (livelock detector)
     ys: Pytree            # (n_grid, ...) recorded states at the save grid
     ts_grid: jax.Array    # (n_grid,) save grid, ts_grid[0]=t0, [-1]=tf
+    carry: Pytree = ()    # optional stepper carry (e.g. the FSAL last-stage
+                          # slope); () for carry-free steppers
 
 
 def make_grid(t0, tf, save_at=None, dtype=None):
@@ -110,6 +112,7 @@ def init_state(
     t_grid: jax.Array,
     h0,
     batch_shape: tuple = (),
+    stepper_carry: Pytree = (),
 ) -> IntState:
     """Initialize the loop carry (the ODEData::new analog, ode.rs:141-150).
 
@@ -146,6 +149,7 @@ def init_state(
         reject_streak=zero_i,
         ys=ys,
         ts_grid=t_grid,
+        carry=stepper_carry,
     )
 
 
@@ -194,26 +198,35 @@ def step_once(
     dt = jnp.where(stepping, jnp.minimum(state.h, rem), 0.0)
 
     # --- try_step: run the stepper kernel ------------------------------------
+    has_carry = len(jax.tree_util.tree_leaves(state.carry)) > 0
+    args = (state.t, state.x, dt) + (
+        (state.carry,) if has_carry else ()
+    )
     with jax.named_scope("vec_ode.try_step"):
         if batched:
             # per-trajectory masking: evaluate for all lanes (dt=0 no-ops)
-            x_next, err = step_fn(state.t, state.x, dt)
+            out = step_fn(*args)
         else:
             # scalar driver: skip the (possibly expensive) stepper entirely
             # on grid-hit iterations — the reference's Chkpt branch does no
             # stepper work either (ode.rs:192-195)
-            out_sds = jax.eval_shape(step_fn, state.t, state.x, dt)
+            out_sds = jax.eval_shape(step_fn, *args)
 
             def _zeros_like_sds(sds):
                 return jax.tree_util.tree_map(
                     lambda a: jnp.zeros(a.shape, a.dtype), sds
                 )
 
-            x_next, err = jax.lax.cond(
+            out = jax.lax.cond(
                 stepping,
-                lambda: step_fn(state.t, state.x, dt),
+                lambda: step_fn(*args),
                 lambda: _zeros_like_sds(out_sds),
             )
+    if has_carry:
+        x_next, err, carry_next = out
+    else:
+        x_next, err = out
+        carry_next = ()
 
     # --- handle_step_adaptive (ode.rs:311-334) -------------------------------
     # (named scopes label the HLO for jax.profiler / xprof traces)
@@ -221,7 +234,17 @@ def step_once(
         if err is None:
             raise ValueError("adaptive integration requires an error estimate")
         with jax.named_scope("vec_ode.controller"):
-            measure = error_measure(error_norm, state.x, x_next, err, ctl)
+            # masked (dt=0) lanes produce err=0, whose norm has a NaN
+            # reverse-mode (d||err||/derr = err/||err|| = 0/0) and whose
+            # f = rtol/0 = inf poisons the controller's VJP. Double-where:
+            # neutralize the norm INPUT and the measure; the masked lanes'
+            # h/accept are discarded anyway.
+            err_safe = lc.tree_where(
+                stepping, err, jax.tree_util.tree_map(jnp.ones_like, err)
+            )
+            measure = error_measure(error_norm, state.x, x_next, err_safe,
+                                    ctl)
+            measure = jnp.where(stepping, measure, jnp.ones_like(measure))
             new_h, accept = controller_update(
                 state.h, measure, ctl, prev_err_norm=state.err_norm,
                 prev_rejected=state.reject_streak > 0,
@@ -236,6 +259,12 @@ def step_once(
     # --- apply_step (ode.rs:402-428), masked ----------------------------------
     t = jnp.where(do_advance, state.t + dt, state.t)
     x = lc.tree_where(do_advance, x_next, state.x)
+    # stepper carry advances only with the state (on reject/no-op the old
+    # carry — e.g. the FSAL slope f(t, x) — is still valid: t, x unchanged)
+    carry = (
+        lc.tree_where(do_advance, carry_next, state.carry)
+        if has_carry else state.carry
+    )
 
     # update_step_size on every attempted step (ode.rs:202-205, 326)
     prev_h = jnp.where(stepping & jnp.asarray(adaptive), state.h, state.prev_h)
@@ -306,6 +335,7 @@ def step_once(
         reject_streak=streak,
         ys=ys,
         ts_grid=state.ts_grid,
+        carry=carry,
     )
 
 
@@ -426,8 +456,13 @@ def integrate(
     method: str = "while",
     batch_shape: tuple = (),
     pack_carry: bool = False,
+    init_carry_fn: Optional[Callable] = None,
 ) -> Solution:
     """Run the full integration loop over [t_grid[0], t_grid[-1]].
+
+    ``init_carry_fn(t0, x0)`` (optional) seeds a stepper carry threaded
+    through the loop as ``step_fn(t, x, dt, carry) -> (x_next, err,
+    carry_next)`` — e.g. the FSAL first-stage slope (rk.py).
 
     The user-loop pattern of the reference
     (``while let ODEState::Ok(_) = solver.step()``, impls/nalgebra.rs:61-64)
@@ -443,7 +478,9 @@ def integrate(
         rematerialization-friendly via ``jax.checkpoint``. Pick a tight
         ``ctl.max_steps`` — every iteration costs a stepper evaluation.
     """
-    state = init_state(x0, t_grid, h0, batch_shape=batch_shape)
+    carry0 = () if init_carry_fn is None else init_carry_fn(t_grid[0], x0)
+    state = init_state(x0, t_grid, h0, batch_shape=batch_shape,
+                       stepper_carry=carry0)
     return resume(
         state, step_fn, adaptive=adaptive, ctl=ctl, error_norm=error_norm,
         method=method, batched=bool(batch_shape), pack_carry=pack_carry,

@@ -27,20 +27,25 @@ Pytree = Any
 
 
 def _match_scalar(k, leaf):
-    """Cast a scalar coefficient to the leaf dtype.
+    """Cast a (possibly per-trajectory) scalar coefficient to the leaf dtype
+    and align it for broadcasting.
 
     Python scalars are weakly typed (no promotion hazard). Traced scalars are
     cast so that e.g. an f64 time-step never promotes an f32/c64 state leaf to
     a wider dtype: state math stays in the state dtype, time math in the time
-    dtype.
+    dtype. A batched coefficient (leading batch axes only, e.g. a (B,) dt
+    against (B, d) leaves in the natively-batched driver) gets trailing axes
+    appended so it scales per trajectory.
     """
     if isinstance(k, (int, float, complex)):
         return k
     k = jnp.asarray(k)
-    ld = jnp.asarray(leaf).dtype
-    if k.dtype == ld:
-        return k
-    return k.astype(ld)
+    leaf = jnp.asarray(leaf)
+    if k.dtype != leaf.dtype:
+        k = k.astype(leaf.dtype)
+    if 0 < k.ndim < leaf.ndim:
+        k = k.reshape(k.shape + (1,) * (leaf.ndim - k.ndim))
+    return k
 
 
 def scale(v: Pytree, k) -> Pytree:

@@ -153,6 +153,13 @@ def ensemble_solve(
                 adaptive=adaptive, ctl=ctl,
                 error_norm=error_norm, method=method,
                 pack_carry=getattr(stepper, "prefers_packed_carry", False),
+                init_carry_fn=(
+                    stepper.make_init_carry(
+                        rhs_or_op if params is None
+                        else (lambda t, y: rhs_or_op(t, y, p))
+                    )
+                    if getattr(stepper, "has_carry", False) else None
+                ),
             )
 
         in_axes = (0, 0 if params is not None else None,

@@ -86,6 +86,100 @@ def rk_step(
     return x_next, err
 
 
+def rk_step_stages(
+    f: Callable,
+    t,
+    x0: Pytree,
+    dt,
+    tab: ButcherTableau,
+    *,
+    embedded: bool = True,
+    advance_lower: bool = True,
+    k0: Optional[Pytree] = None,
+) -> Tuple[Pytree, Optional[Pytree], list]:
+    """Like :func:`rk_step` / :func:`rk_step_fsal` but also returns the
+    stage slopes K (for dense-output interpolants). ``k0`` supplies the
+    FSAL first stage; when given, ``advance_lower`` must be False."""
+    if k0 is not None and advance_lower:
+        raise ValueError("FSAL stage reuse requires advance_lower=False")
+    s = tab.stages
+    K = [None] * s
+    K[0] = f(t, x0) if k0 is None else k0
+    for i in range(1, s):
+        ti = t + float(tab.c[i]) * dt
+        idx = [j for j in range(i) if tab.a[i, j] != 0.0]
+        if idx:
+            incr = lc.lincomb([K[j] for j in idx],
+                              [float(tab.a[i, j]) for j in idx])
+            xi = lc.axpy(dt, incr, x0)
+        else:
+            xi = x0
+        K[i] = f(ti, xi)
+
+    bidx = [j for j in range(s) if tab.b[j] != 0.0]
+    x_b = lc.axpy(dt, lc.lincomb([K[j] for j in bidx],
+                                 [float(tab.b[j]) for j in bidx]), x0)
+    if not embedded or tab.b_err is None:
+        return x_b, None, K
+    db = tab.b - tab.b_err
+    eidx = [j for j in range(s) if db[j] != 0.0]
+    err = lc.scale(
+        lc.lincomb([K[j] for j in eidx], [float(db[j]) for j in eidx]), dt
+    )
+    x_next = lc.sub(x_b, err) if advance_lower else x_b
+    return x_next, err, K
+
+
+def rk_step_fsal(
+    f: Callable,
+    t,
+    x0: Pytree,
+    dt,
+    tab: ButcherTableau,
+    k0: Pytree,
+    *,
+    embedded: bool = True,
+) -> Tuple[Pytree, Optional[Pytree], Pytree]:
+    """FSAL variant of :func:`rk_step`: the first stage slope K[0] = f(t, x0)
+    is taken from the carry (the previous accepted step's last stage), and
+    the last stage K[s-1] = f(t+dt, x_b) is returned as the next carry —
+    s-1 RHS evaluations per attempt instead of s.
+
+    Requires an FSAL tableau (``tab.is_fsal``) and advancing the b solution
+    (``advance_lower=False``): the last stage is evaluated at x_b, so
+    reusing it as the next first stage is only exact when x_b is what the
+    step advances. The reference never exploits this (its rk_step always
+    evaluates stage 1, rk.rs:111).
+    """
+    s = tab.stages
+    K = [None] * s
+    K[0] = k0
+    for i in range(1, s):
+        ti = t + float(tab.c[i]) * dt
+        idx = [j for j in range(i) if tab.a[i, j] != 0.0]
+        if idx:
+            incr = lc.lincomb([K[j] for j in idx],
+                              [float(tab.a[i, j]) for j in idx])
+            xi = lc.axpy(dt, incr, x0)
+        else:
+            xi = x0
+        K[i] = f(ti, xi)
+
+    # FSAL: stage s's state IS x_b (a[s-1] == b), so K[s-1] = f(t+dt, x_b)
+    x_b = lc.axpy(dt, lc.lincomb(
+        [K[j] for j in range(s) if tab.b[j] != 0.0],
+        [float(tab.b[j]) for j in range(s) if tab.b[j] != 0.0]), x0)
+
+    if not embedded or tab.b_err is None:
+        return x_b, None, K[s - 1]
+    db = tab.b - tab.b_err
+    idx = [j for j in range(s) if db[j] != 0.0]
+    err = lc.scale(
+        lc.lincomb([K[j] for j in idx], [float(db[j]) for j in idx]), dt
+    )
+    return x_b, err, K[s - 1]
+
+
 @dataclasses.dataclass(frozen=True)
 class RungeKutta:
     """Stepper factory for the driver. ``RungeKutta(RKF45)`` is the analog of
@@ -95,16 +189,53 @@ class RungeKutta:
     tableau: ButcherTableau = RKF45
     advance_lower: bool = True   # reference-compat: advance 4th-order solution
     embedded: bool = True
+    # FSAL slope reuse (None = auto: on for FSAL tableaus advancing the b
+    # solution). Threads the last stage through the driver carry so DOPRI5
+    # costs 6 RHS evals/attempt instead of 7 (BOSH32: 3 instead of 4).
+    fsal: Optional[bool] = None
 
     # RHS signature is f(t, y) (vs op_fn(t) for exp steppers) — used by
     # ensemble_solve to thread per-trajectory params correctly
     takes_state = True
 
     @property
+    def use_fsal(self) -> bool:
+        auto = self.tableau.is_fsal and not self.advance_lower
+        if self.fsal is None:
+            return auto
+        if self.fsal and not auto:
+            raise ValueError(
+                "fsal=True requires an FSAL tableau (c[-1]=1, a[-1]=b) and "
+                "advance_lower=False (the reused stage sits at x_b)"
+            )
+        return self.fsal
+
+    # driver-carry protocol (driver.step_once): step_fn takes and returns
+    # the carry; make_init_carry seeds it at (t0, x0)
+    @property
+    def has_carry(self) -> bool:
+        return self.use_fsal
+
+    @property
     def nfev_per_step(self) -> int:
-        return self.tableau.stages
+        return self.tableau.stages - (1 if self.use_fsal else 0)
+
+    @property
+    def nfev_init(self) -> int:
+        return 1 if self.use_fsal else 0
+
+    def make_init_carry(self, f: Callable) -> Callable:
+        return lambda t, x: f(t, x)
 
     def make_step_fn(self, f: Callable) -> Callable:
+        if self.use_fsal:
+            def step_fn_fsal(t, x, dt, k0):
+                return rk_step_fsal(
+                    f, t, x, dt, self.tableau, k0, embedded=self.embedded,
+                )
+
+            return step_fn_fsal
+
         def step_fn(t, x, dt):
             return rk_step(
                 f, t, x, dt, self.tableau,

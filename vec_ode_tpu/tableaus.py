@@ -45,10 +45,26 @@ class ButcherTableau:
     b_err: Optional[np.ndarray] = None
     order: int = 0         # order of the b weights
     err_order: int = 0     # order of the b_err weights (0 if none)
+    # optional dense-output interpolant: (s, q) matrix P with
+    # y(t + theta*dt) = y0 + dt * theta * sum_j K_j * sum_q P[j, q] theta^q
+    # (the standard continuous-extension form; scipy stores the same P).
+    # Valid for the ADVANCED b solution (endpoints match at theta = 1).
+    p_dense: Optional[np.ndarray] = None
+    dense_order: int = 0   # local accuracy order of the interpolant
 
     @property
     def stages(self) -> int:
         return len(self.b)
+
+    @property
+    def is_fsal(self) -> bool:
+        """First-Same-As-Last: the last stage is evaluated at (t+dt, x_b)
+        (c_s = 1, a[s-1, :] = b), so an ACCEPTED step's last slope is the
+        next step's first stage — 1 fewer RHS eval per step when advancing
+        the b solution (DOPRI5, BOSH32)."""
+        return bool(
+            self.c[-1] == 1.0 and np.allclose(self.a[-1, :], self.b)
+        )
 
     def __post_init__(self):
         s = self.stages
@@ -58,7 +74,8 @@ class ButcherTableau:
             assert self.b_err.shape == (s,)
 
 
-def _tab(name, a, b, c, b_err=None, order=0, err_order=0):
+def _tab(name, a, b, c, b_err=None, order=0, err_order=0, p_dense=None,
+         dense_order=0):
     return ButcherTableau(
         name=name,
         a=np.asarray(a, dtype=np.float64),
@@ -67,6 +84,8 @@ def _tab(name, a, b, c, b_err=None, order=0, err_order=0):
         b_err=None if b_err is None else np.asarray(b_err, dtype=np.float64),
         order=order,
         err_order=err_order,
+        p_dense=None if p_dense is None else np.asarray(p_dense, np.float64),
+        dense_order=dense_order,
     )
 
 
@@ -131,7 +150,7 @@ HEUN_RK2 = _tab(
     "heun_rk2", a=[[0, 0], [1, 0]], b=[1 / 2, 1 / 2], c=[0, 1], order=2
 )
 
-# --- Dormand-Prince 5(4) (extra capability; FSAL not exploited yet) ---------
+# --- Dormand-Prince 5(4) (FSAL; see rk.rk_step_fsal) ------------------------
 DOPRI5 = _tab(
     "dopri5",
     a=[
@@ -151,6 +170,24 @@ DOPRI5 = _tab(
     c=[0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1, 1],
     order=5,
     err_order=4,
+    # order-4 continuous extension (Shampine 1986, the interpolant scipy's
+    # RK45 ships): published constants, valid for the b (5th-order) advance
+    p_dense=[
+        [1, -8048581381 / 2820520608, 8663915743 / 2820520608,
+         -12715105075 / 11282082432],
+        [0, 0, 0, 0],
+        [0, 131558114200 / 32700410799, -68118460800 / 10900136933,
+         87487479700 / 32700410799],
+        [0, -1754552775 / 470086768, 14199869525 / 1410260304,
+         -10690763975 / 1880347072],
+        [0, 127303824393 / 49829197408, -318862633887 / 49829197408,
+         701980252875 / 199316789632],
+        [0, -282668133 / 205662961, 2019193451 / 616988883,
+         -1453857185 / 822651844],
+        [0, 40617522 / 29380423, -110615467 / 29380423,
+         69997945 / 29380423],
+    ],
+    dense_order=4,
 )
 
 # --- Bogacki-Shampine 3(2) ---------------------------------------------------
@@ -167,6 +204,14 @@ BOSH32 = _tab(
     c=[0, 1 / 2, 3 / 4, 1],
     order=3,
     err_order=2,
+    # order-3 continuous extension (Bogacki & Shampine; scipy's RK23 P)
+    p_dense=[
+        [1, -4 / 3, 5 / 9],
+        [0, 1, -2 / 3],
+        [0, 4 / 3, -8 / 9],
+        [0, -1, 1],
+    ],
+    dense_order=3,
 )
 
 # --- Cash-Karp 5(4) ----------------------------------------------------------
