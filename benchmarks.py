@@ -230,6 +230,48 @@ def bench_magnus4_modulated(results):
     )
 
 
+def bench_lz_sweep_efficiency(results):
+    """Straggler accounting on a heterogeneous Landau-Zener sweep: plain
+    batched loop vs host-compacted re-batching (VERDICT r1 item 6)."""
+    from vec_ode_tpu.parallel import ensemble_solve_compact, step_efficiency
+
+    B = 256
+    vs = jnp.asarray(np.linspace(0.4, 8.0, B), jnp.float32)
+    psi0 = np.zeros((B, 2), np.complex64)
+    psi0[:, 0] = 1.0
+    y0 = (cp.from_complex(psi0, jnp.float32), vs[:, None])
+
+    def rhs(t, y):
+        psi, v = y
+        sz = jnp.asarray([[0.5, 0.0], [0.0, -0.5]], jnp.float32)
+        sx = jnp.asarray([[0.0, 0.5], [0.5, 0.0]], jnp.float32)
+        H = sz * (v[0] * t) + 0.4 * sx
+        return (cp.Cplx(H @ psi.im, -(H @ psi.re)), jnp.zeros_like(v))
+
+    ctl = vo.StepControl(rtol=1e-4, min_dt=1e-5, max_dt=0.5,
+                         max_steps=100000)
+    sol = ensemble_solve(rhs, y0, -8.0, 8.0, ctl=ctl, h0=1e-2,
+                         time_dtype=jnp.float32)
+    eff_plain = float(step_efficiency(sol))
+
+    t0 = time.perf_counter()
+    sol_c, stats = ensemble_solve_compact(
+        rhs, y0, -8.0, 8.0, ctl=ctl, h0=1e-2, time_dtype=jnp.float32,
+        chunk_iters=16, min_batch=4, bucket_multiple=4,
+    )
+    wall = time.perf_counter() - t0
+    results.append({
+        "metric": f"LZ-sweep straggler efficiency, {B} heterogeneous "
+                  "trajectories (useful/executed lane-iters)",
+        "value": round(stats["efficiency"], 4), "unit": "fraction",
+        "detail": {
+            "plain_batched_efficiency": round(eff_plain, 4),
+            "compact_wall_s": round(wall, 2),
+            "useful_lane_iters": stats["useful_lane_iters"],
+        },
+    })
+
+
 ALL = {
     "rk4_vdp": bench_rk4_vdp,
     "magnus2_lz": bench_magnus2_lz,
@@ -237,6 +279,7 @@ ALL = {
     "magnus4_driven": bench_magnus4_driven,
     "cfm4_modulated": bench_cfm4_modulated,
     "magnus4_modulated": bench_magnus4_modulated,
+    "lz_sweep_efficiency": bench_lz_sweep_efficiency,
 }
 
 

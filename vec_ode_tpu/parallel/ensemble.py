@@ -216,3 +216,198 @@ def shard_batch(y0_batch: Pytree, mesh: Mesh) -> Pytree:
     return jax.tree_util.tree_map(
         lambda a: jax.device_put(a, sharding), y0_batch
     )
+
+def step_efficiency(sol: Solution, n_shards: int = 1):
+    """Straggler accounting for a batched/ensemble Solution.
+
+    The batched while_loop runs every lane until the slowest trajectory in
+    its shard finishes, so executed lane-iterations = max(n_iters) * B per
+    shard while useful ones = sum(n_iters). Returns useful/executed in
+    [0, 1] (1.0 = no straggler waste). ``n_shards`` splits the leading batch
+    axis the way the mesh did (each device runs its own loop)."""
+    ni = jnp.asarray(sol.n_iters)
+    ni = ni.reshape(n_shards, -1)
+    executed = jnp.sum(jnp.max(ni, axis=1) * ni.shape[1])
+    return jnp.sum(ni) / executed
+
+
+def _run_chunk(state, step_fn, *, adaptive, ctl, error_norm, chunk):
+    """Advance a batched carry by at most ``chunk`` driver iterations."""
+    from functools import partial as _partial
+
+    from ..driver import RUNNING as _RUNNING
+    from ..driver import step_once
+
+    body = _partial(
+        step_once, step_fn=step_fn, adaptive=adaptive, ctl=ctl,
+        error_norm=error_norm, batched=True,
+    )
+
+    def cond(c):
+        k, s = c
+        return (k < chunk) & jnp.any(s.status == _RUNNING)
+
+    def bd(c):
+        k, s = c
+        return k + 1, body(s)
+
+    _, out = jax.lax.while_loop(cond, bd, (jnp.zeros((), jnp.int32), state))
+    return out
+
+
+def ensemble_solve_compact(
+    rhs_or_op: Callable,
+    y0_batch: Pytree,
+    t0,
+    tf,
+    *,
+    stepper=None,
+    h0: Optional[float] = None,
+    adaptive: bool = True,
+    ctl: StepControl = StepControl(),
+    save_at=None,
+    error_norm: Callable = lc.norm_l2,
+    time_dtype=None,
+    chunk_iters: int = 64,
+    min_batch: int = 8,
+    bucket_multiple: Optional[int] = None,
+):
+    """Straggler-mitigated ensemble integration: host-driven chunks with
+    re-batching of unfinished lanes.
+
+    The plain batched loop wastes (1 - step_efficiency) of its lane
+    iterations stepping already-DONE trajectories until the slowest one
+    finishes. This variant runs ``chunk_iters``-bounded chunks and, between
+    chunks, COMPACTS the batch to the still-running lanes (padded to the
+    next power of two >= ``min_batch`` to bound recompilation), so fast
+    trajectories stop consuming device work as soon as their power-of-two
+    bucket drains.
+
+    Compacted sizes are rounded up to a multiple of ``bucket_multiple``
+    (default max(min_batch, B//16)) — finer granularity compacts earlier
+    (higher efficiency) at the cost of more distinct batch shapes to
+    compile (at most ~B/bucket_multiple).
+
+    Host-driven (not jittable, no mesh); returns
+    ``(Solution, {"executed_lane_iters", "useful_lane_iters",
+    "efficiency"})`` where efficiency = useful/executed — the counter the
+    plain path exposes post-hoc via :func:`step_efficiency`.
+    """
+    import numpy as np
+
+    from ..driver import RUNNING as _RUNNING
+    from ..driver import init_state, make_grid
+
+    if stepper is None:
+        stepper = RungeKutta()
+    if getattr(stepper, "is_batched", False):
+        step_fn = stepper.make_step_fn(rhs_or_op)
+        enorm = getattr(stepper, "error_norm", None) or lc.norm_l2_batched
+    else:
+        # vmap the per-trajectory stepper into a batched step_fn
+        base = stepper.make_step_fn(rhs_or_op)
+        step_fn = jax.vmap(base, in_axes=(0, 0, 0))
+        enorm = (
+            jax.vmap(error_norm)
+            if error_norm is lc.norm_l2 else error_norm
+        )
+    if time_dtype is None:
+        time_dtype = jnp.result_type(jnp.asarray(t0), jnp.asarray(tf), float)
+    t_grid = make_grid(t0, tf, save_at, dtype=time_dtype)
+    if h0 is None:
+        h0 = ctl.init_h()
+
+    B = jax.tree_util.tree_leaves(y0_batch)[0].shape[0]
+    state = init_state(y0_batch, t_grid, h0, batch_shape=(B,))
+    ts_grid = state.ts_grid
+
+    run = jax.jit(
+        lambda s: _run_chunk(
+            s, step_fn, adaptive=adaptive, ctl=ctl, error_norm=enorm,
+            chunk=chunk_iters,
+        )
+    )
+
+    # host-side result assembly (original lane order)
+    done_states: dict = {}
+    active = np.arange(B)
+    executed = 0
+
+    m = bucket_multiple or max(min_batch, B // 16, 1)
+
+    def bucket(n):
+        return max(min_batch, -(-n // m) * m, 1)
+
+    while True:
+        n_act = len(active)
+        iters_before = np.asarray(state.n_iters)[:n_act]
+        state = run(state)
+        # pad lanes (frozen DONE copies beyond n_act) are excluded from all
+        # host-side bookkeeping
+        status = np.asarray(state.status)[:n_act]
+        executed += int(
+            np.max(np.asarray(state.n_iters)[:n_act] - iters_before) * n_act
+        )
+        running = status == _RUNNING
+        if not running.any():
+            for j, lane in enumerate(active):
+                done_states[int(lane)] = jax.tree_util.tree_map(
+                    lambda a, j=j: np.asarray(a)[j],
+                    state._replace(ts_grid=()),
+                )
+            break
+        n_run = int(running.sum())
+        new_b = bucket(n_run)
+        if new_b >= n_act:
+            continue
+        # bank finished lanes, compact to the running ones
+        for j in np.nonzero(~running)[0]:
+            done_states[int(active[j])] = jax.tree_util.tree_map(
+                lambda a, j=j: np.asarray(a)[j], state._replace(ts_grid=()),
+            )
+        keep = np.nonzero(running)[0]
+        pad = np.concatenate([keep, np.repeat(keep[:1], new_b - n_run)])
+        stripped = state._replace(ts_grid=())
+        state = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a)[pad]), stripped
+        )._replace(ts_grid=ts_grid)
+        if new_b > n_run:
+            # padding lanes: freeze them (DONE) so they cost nothing real
+            st = np.array(np.asarray(state.status), copy=True)
+            st[n_run:] = 1  # DONE
+            state = state._replace(status=jnp.asarray(st))
+        active = active[keep]
+
+    import dataclasses as dc
+
+    def gather(field):
+        return jnp.asarray(
+            np.stack([getattr(done_states[i], field) for i in range(B)])
+        )
+
+    ys = jax.tree_util.tree_map(
+        lambda *leaves: jnp.asarray(np.stack(leaves)),
+        *[done_states[i].ys for i in range(B)],
+    )
+    x = jax.tree_util.tree_map(
+        lambda *leaves: jnp.asarray(np.stack(leaves)),
+        *[done_states[i].x for i in range(B)],
+    )
+    sol = Solution(
+        ts=jnp.broadcast_to(ts_grid, (B,) + ts_grid.shape),
+        ys=ys,
+        t_final=gather("t"),
+        y_final=x,
+        status=gather("status"),
+        n_accept=gather("n_accept"),
+        n_reject=gather("n_reject"),
+        n_iters=gather("n_iters"),
+        h_final=gather("h"),
+    )
+    useful = int(np.asarray(sol.n_iters).sum())
+    stats = {
+        "executed_lane_iters": executed,
+        "useful_lane_iters": useful,
+        "efficiency": useful / max(executed, 1),
+    }
+    return sol, stats

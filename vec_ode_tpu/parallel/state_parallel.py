@@ -62,8 +62,27 @@ def _solution_specs(axis: Optional[str], traj_axis: Optional[str] = None):
     )
 
 
+def local_rows(assemble: Callable, mesh: Mesh,
+               axis: Optional[str] = None) -> Callable:
+    """Turn a GLOBAL operator assembly ``assemble(t) -> (D, D)`` into the
+    per-shard ``assemble_local(t) -> (D/n, D)`` the state-sharded solvers
+    consume: each device assembles the full operator and keeps its row
+    block (convenient; for large D write assemble_local directly so each
+    device only builds its rows)."""
+    axis = axis or mesh.axis_names[-1]
+    n = mesh.shape[axis]
+
+    def assemble_local(t):
+        A = assemble(t)
+        rows = A.shape[0] // n
+        i = jax.lax.axis_index(axis)
+        return jax.lax.dynamic_slice_in_dim(A, i * rows, rows, axis=0)
+
+    return assemble_local
+
+
 def solve_linear_state_sharded(
-    A: jax.Array,
+    A,
     y0: jax.Array,
     t0,
     tf,
@@ -77,11 +96,17 @@ def solve_linear_state_sharded(
     save_at=None,
     time_dtype=None,
 ) -> Solution:
-    """Integrate dx/dt = A x with A (D, D) row-sharded over ``mesh[axis]``.
+    """Integrate dx/dt = A(t) x with the operator row-sharded over
+    ``mesh[axis]``.
 
-    ``A`` and ``y0`` are passed as full (host/global) arrays; sharding is
-    applied by shard_map in_specs. Returns a Solution whose state outputs are
-    sharded over ``axis`` and whose scalars are replicated.
+    ``A`` is either a constant (D, D) array (passed as a full host/global
+    array; shard_map in_specs shard it), or a TIME-DEPENDENT callable
+    ``assemble_local(t) -> (D_local, D)`` evaluated per shard INSIDE
+    shard_map — use ``jax.lax.axis_index(axis)`` for the row-block index,
+    or wrap a global assembly with :func:`local_rows`. This covers driven
+    Hamiltonians and other A(t): the exponential steppers' whole domain.
+    ``y0`` is the full (D,) state. Returns a Solution whose state outputs
+    are sharded over ``axis`` and whose scalars are replicated.
     """
     if stepper is None:
         stepper = RungeKutta()
@@ -91,36 +116,51 @@ def solve_linear_state_sharded(
     t_grid = make_grid(t0, tf, save_at, dtype=time_dtype)
     if h0 is None:
         h0 = ctl.init_h()
+    a_fn = A if callable(A) else None
 
-    def run(A_local, y_local):
-        def rhs(t, y_loc):
-            y_full = jax.lax.all_gather(y_loc, axis, axis=0, tiled=True)
-            return jnp.einsum(
-                "ij,j->i", A_local, y_full, precision=HIGHEST
+    def make_run(with_a_arg):
+        def run(*args):
+            if with_a_arg:
+                A_local, y_local = args
+            else:
+                (y_local,) = args
+
+            def rhs(t, y_loc):
+                y_full = jax.lax.all_gather(y_loc, axis, axis=0, tiled=True)
+                a_loc = a_fn(t) if a_fn is not None else A_local
+                return jnp.einsum(
+                    "ij,j->i", a_loc, y_full, precision=HIGHEST
+                )
+
+            def err_norm(e):
+                sq = jnp.sum(jnp.real(e * jnp.conj(e)))
+                return jnp.sqrt(jax.lax.psum(sq, axis))
+
+            step_fn = stepper.make_step_fn(rhs)
+            return integrate(
+                step_fn, y_local, t_grid, h0,
+                adaptive=adaptive, ctl=ctl, error_norm=err_norm,
             )
 
-        def err_norm(e):
-            sq = jnp.sum(jnp.real(e * jnp.conj(e)))
-            return jnp.sqrt(jax.lax.psum(sq, axis))
+        return run
 
-        step_fn = stepper.make_step_fn(rhs)
-        return integrate(
-            step_fn, y_local, t_grid, h0,
-            adaptive=adaptive, ctl=ctl, error_norm=err_norm,
+    if a_fn is None:
+        mapped = jax.shard_map(
+            make_run(True), mesh=mesh,
+            in_specs=(P(axis, None), P(axis)),
+            out_specs=_solution_specs(axis), check_vma=False,
         )
-
+        return mapped(A, y0)
     mapped = jax.shard_map(
-        run,
-        mesh=mesh,
-        in_specs=(P(axis, None), P(axis)),
-        out_specs=_solution_specs(axis),
-        check_vma=False,
+        make_run(False), mesh=mesh,
+        in_specs=(P(axis),),
+        out_specs=_solution_specs(axis), check_vma=False,
     )
-    return mapped(A, y0)
+    return mapped(y0)
 
 
 def ensemble_solve_state_sharded(
-    A: jax.Array,
+    A,
     y0_batch: jax.Array,
     t0,
     tf,
@@ -139,8 +179,10 @@ def ensemble_solve_state_sharded(
 
     The trajectory batch is sharded over ``traj_axis`` (no communication);
     each trajectory's D-dim state is sharded over ``state_axis`` (all_gather
-    per RHS eval + psum per step, riding ICI). A is row-sharded over
-    ``state_axis`` and replicated over ``traj_axis``.
+    per RHS eval + psum per step, riding ICI). ``A`` is a constant (D, D)
+    array (row-sharded over ``state_axis``, replicated over ``traj_axis``)
+    or a time-dependent ``assemble_local(t) -> (D_local, D)`` callable (see
+    :func:`solve_linear_state_sharded` / :func:`local_rows`).
     """
     if stepper is None:
         stepper = RungeKutta()
@@ -149,36 +191,54 @@ def ensemble_solve_state_sharded(
     t_grid = make_grid(t0, tf, save_at, dtype=time_dtype)
     if h0 is None:
         h0 = ctl.init_h()
+    a_fn = A if callable(A) else None
 
-    def run(A_local, y_local):  # A: (D/s, D); y: (B/t, D/s)
-        def rhs(t, y_loc):
-            y_full = jax.lax.all_gather(y_loc, state_axis, axis=0, tiled=True)
-            return jnp.einsum(
-                "ij,j->i", A_local, y_full, precision=HIGHEST
-            )
+    def make_run(with_a_arg):
+        def run(*args):  # A: (D/s, D); y: (B/t, D/s)
+            if with_a_arg:
+                A_local, y_local = args
+            else:
+                (y_local,) = args
 
-        def err_norm(e):
-            sq = jnp.sum(jnp.real(e * jnp.conj(e)))
-            return jnp.sqrt(jax.lax.psum(sq, state_axis))
+            def rhs(t, y_loc):
+                y_full = jax.lax.all_gather(y_loc, state_axis, axis=0,
+                                            tiled=True)
+                a_loc = a_fn(t) if a_fn is not None else A_local
+                return jnp.einsum(
+                    "ij,j->i", a_loc, y_full, precision=HIGHEST
+                )
 
-        step_fn = stepper.make_step_fn(rhs)
+            def err_norm(e):
+                sq = jnp.sum(jnp.real(e * jnp.conj(e)))
+                return jnp.sqrt(jax.lax.psum(sq, state_axis))
 
-        def single(y0):
-            return integrate(
-                step_fn, y0, t_grid, h0,
-                adaptive=adaptive, ctl=ctl, error_norm=err_norm,
-            )
+            step_fn = stepper.make_step_fn(rhs)
 
-        return jax.vmap(single)(y_local)
+            def single(y0):
+                return integrate(
+                    step_fn, y0, t_grid, h0,
+                    adaptive=adaptive, ctl=ctl, error_norm=err_norm,
+                )
 
+            return jax.vmap(single)(y_local)
+
+        return run
+
+    if a_fn is None:
+        mapped = jax.shard_map(
+            make_run(True), mesh=mesh,
+            in_specs=(P(state_axis, None), P(traj_axis, state_axis)),
+            out_specs=_solution_specs(state_axis, traj_axis),
+            check_vma=False,
+        )
+        return mapped(A, y0_batch)
     mapped = jax.shard_map(
-        run,
-        mesh=mesh,
-        in_specs=(P(state_axis, None), P(traj_axis, state_axis)),
+        make_run(False), mesh=mesh,
+        in_specs=(P(traj_axis, state_axis),),
         out_specs=_solution_specs(state_axis, traj_axis),
         check_vma=False,
     )
-    return mapped(A, y0_batch)
+    return mapped(y0_batch)
 
 
 def mesh_2d(n_traj_shards: int, n_state_shards: int,
