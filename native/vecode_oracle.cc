@@ -17,12 +17,26 @@
 // oracle callback-free; an event trace (1=step, 2=chkpt, 3=reject, 4=end)
 // is returned for exact controller-sequence comparison.
 
+#include <cfloat>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
 
 namespace {
+
+// approx::relative_eq(a, b, epsilon, max_relative) for f64 defaults —
+// transcribed INDEPENDENTLY from the approx crate's documented semantics
+// (the reference calls it with b = 0 in check_step, base/ode.rs:389-393):
+//   |a - b| <= epsilon                       (absolute clause)
+//   || |a - b| <= max_relative * max(|a|,|b|) (relative clause)
+// Against b = 0 the relative clause only holds for a == 0, so the test is
+// effectively |rem| <= DBL_EPSILON.
+bool relative_eq_zero(double a) {
+  const double abs_diff = std::fabs(a);
+  if (abs_diff <= DBL_EPSILON) return true;
+  return abs_diff <= DBL_EPSILON * std::fabs(a);
+}
 
 struct Tableau {
   double a[6][6];
@@ -80,7 +94,7 @@ int vecode_solve_linear_rkf45(
     int dim, const double* A, const double* y0, double t0, double tf,
     double h0, double rtol, double min_dt, double max_dt, double alpha,
     double order, int adaptive, int reference_typo, int advance_lower,
-    int max_steps,
+    int strict_end, int max_steps,
     // outputs
     double* y_final, double* t_final, double* h_final, int* n_accept,
     int* n_reject, int* n_events, int8_t* events) {
@@ -99,9 +113,16 @@ int vecode_solve_linear_rkf45(
     if (tgt > 1) break;  // End already consumed
     const double chk = t_list[tgt];
     const double rem = chk - t;
-    const double end_eps =
-        4.0 * 2.220446049250313e-16 * std::max(1.0, std::fabs(chk));
-    if (std::fabs(rem) <= end_eps) {
+    bool at_grid;
+    if (strict_end) {
+      // reference-exact: approx::relative_eq(rem, 0) (ode.rs:391)
+      at_grid = relative_eq_zero(rem);
+    } else {
+      const double end_eps =
+          4.0 * 2.220446049250313e-16 * std::max(1.0, std::fabs(chk));
+      at_grid = std::fabs(rem) <= end_eps;
+    }
+    if (at_grid) {
       // Chkpt or End (checkpoint_update: tgt+=1, h = prev_h, ode.rs:192-195)
       tgt += 1;
       h = prev_h;

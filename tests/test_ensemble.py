@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import vec_ode_tpu as vo
 from vec_ode_tpu.models import DrivenDense
@@ -272,3 +273,19 @@ def test_ensemble_solve_compact_matches_and_improves():
                                rtol=0, atol=5e-14)
     assert stats["efficiency"] > eff_plain, (stats, eff_plain)
     assert stats["efficiency"] > 0.97, stats
+
+
+def test_ensemble_h0_range_validation():
+    """with_init_step range check (ode.rs:287-296) now also guards the
+    ensemble path (VERDICT r1 housekeeping)."""
+    y0 = jnp.ones((4, 2))
+    ctl = vo.StepControl(min_dt=1e-6, max_dt=0.5)
+    f = lambda t, y: -y
+    with pytest.raises(ValueError, match="not inside the range"):
+        ensemble_solve(f, y0, 0.0, 1.0, ctl=ctl, h0=1.0)
+    with pytest.raises(ValueError, match="not inside the range"):
+        ensemble_solve(f, y0, 0.0, 1.0, ctl=ctl,
+                       h0=jnp.asarray([1e-2, 1e-2, 0.9, 1e-2]))
+    # fixed-step mode is exempt (as in the reference's no_adaptive flow)
+    sol = ensemble_solve(f, y0, 0.0, 1.0, ctl=ctl, h0=1e-2)
+    assert (np.asarray(sol.status) == vo.DONE).all()

@@ -150,3 +150,63 @@ def test_property_sweep_random_configs(lib):
             np.asarray(state.x), want["y_final"], rtol=1e-10, atol=1e-12,
             err_msg=msg,
         )
+
+
+def test_strict_end_test_event_parity():
+    """strict_end_test=True (reference-exact approx::relative_eq end test,
+    ode.rs:389-393) reproduces the oracle's strict-mode event sequence —
+    the oracle implements relative_eq independently (vecode_oracle.cc)."""
+    from vec_ode_tpu.utils import oracle
+
+    rng = np.random.default_rng(11)
+    d = 4
+    A = -np.eye(d) + 0.2 * rng.standard_normal((d, d))
+    y0 = rng.standard_normal(d)
+    kw = dict(rtol=1e-6, min_dt=1e-8, max_dt=0.5, h0=1e-2)
+
+    ref = oracle.solve_linear_rkf45(
+        A, y0, 0.0, 1.0, kw["h0"], rtol=kw["rtol"], min_dt=kw["min_dt"],
+        max_dt=kw["max_dt"], strict_end=True,
+    )
+    assert ref["status"] == 1
+
+    ctl = vo.StepControl(rtol=kw["rtol"], min_dt=kw["min_dt"],
+                         max_dt=kw["max_dt"], strict_end_test=True)
+    state, events = jax_events(A, y0, 0.0, 1.0, kw["h0"], ctl)
+    assert int(state.status) == vo.DONE
+    np.testing.assert_array_equal(np.asarray(events, np.int8),
+                                  ref["events"])
+    np.testing.assert_allclose(np.asarray(state.x), ref["y_final"],
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_strict_end_test_large_t_equivalence():
+    """|t| >> 1 grid hitting: round 1 assumed the reference's unscaled eps
+    end test deadlocks at large |t|; it does NOT — the truncated step's
+    rem = tf - t is EXACT near the grid time (Sterbenz), so t + rem lands
+    exactly and both tolerances see rem == 0. This test documents the
+    equivalence (identical event sequences vs the independent C++ oracle in
+    BOTH modes at t ~ 1e12)."""
+    from vec_ode_tpu.utils import oracle
+
+    A = -np.eye(1)
+    y0 = np.ones(1)
+    t0 = 1.0e12 + 0.3
+    tf = t0 + 1.0
+    base = dict(rtol=1e-6, min_dt=1e-9, max_dt=0.5, max_steps=4000)
+
+    evs = {}
+    for strict in (False, True):
+        ref = oracle.solve_linear_rkf45(
+            A, y0, t0, tf, 1e-2, rtol=base["rtol"], min_dt=base["min_dt"],
+            max_dt=base["max_dt"], strict_end=strict,
+            max_steps=base["max_steps"],
+        )
+        assert ref["status"] == 1
+        ctl = vo.StepControl(strict_end_test=strict, **base)
+        state, events = jax_events(A, y0, t0, tf, 1e-2, ctl)
+        assert int(state.status) == vo.DONE
+        np.testing.assert_array_equal(np.asarray(events, np.int8),
+                                      ref["events"])
+        evs[strict] = np.asarray(events, np.int8)
+    np.testing.assert_array_equal(evs[False], evs[True])

@@ -56,6 +56,14 @@ class StepControl:
     # ERR_STALLED after this many consecutive rejects; 0 = reference
     # behavior (silent livelock until max_steps)
     max_reject_streak: int = 0
+    # reference-exact end/grid-hit test: |rem| <= machine eps, UNSCALED
+    # (approx::relative_eq(rem, 0) with default epsilon, ode.rs:389-393).
+    # The default False uses 4*eps*max(1, |t|) as a defensive margin; in
+    # practice the two are behaviorally identical (test-verified to 1e12):
+    # dt is truncated to rem = chk - t, which is EXACT near the grid time
+    # (Sterbenz), so t + dt lands exactly and rem becomes 0 under either
+    # tolerance. The flag exists for bit-level reference compatibility.
+    strict_end_test: bool = False
     # opt-in PI (Gustafsson) step control: h *= alpha * f^kI * (f/f_prev)^kP
     # with kI = 0.7/pi_order, kP = 0.4/pi_order, falling back to the I-term
     # right after rejections. pi_order must be the ERROR-decay order
@@ -155,12 +163,19 @@ def error_measure(err_norm_fn, x, x_next, err, ctl: StepControl):
     return err_norm_fn(scaled) * ctl.rtol
 
 
-def end_tolerance(t_ref):
+def end_tolerance(t_ref, strict: bool = False):
     """Absolute tolerance for 'remaining time is zero' tests.
 
-    The reference uses approx::relative_eq(rem, 0) with f64 machine epsilon
-    (ode.rs:389-399), which is an absolute eps test against 0. That deadlocks
-    for |t| >> 1, so we scale by max(1, |t_ref|)."""
+    The reference uses approx::relative_eq(rem, 0) with machine epsilon
+    (ode.rs:389-393): against zero the relative clause is vacuous, so it is
+    an UNSCALED absolute eps test. The default scales by max(1, |t_ref|)
+    as a defensive margin for |t| >> 1; ``strict=True``
+    (StepControl.strict_end_test) reproduces the reference bit-for-bit.
+    Measured (and explained by Sterbenz exactness of rem = chk - t near the
+    grid time) the two behave identically up to |t| ~ 1e12 — see
+    tests/test_oracle_parity.py."""
     t_ref = jnp.asarray(t_ref)
     eps = jnp.finfo(t_ref.dtype).eps
+    if strict:
+        return jnp.full(jnp.shape(t_ref), eps, t_ref.dtype)
     return 4.0 * eps * jnp.maximum(1.0, jnp.abs(t_ref))

@@ -144,7 +144,7 @@ def _dense_step(
 
     tf = t_grid[-1]
     rem = tf - state.t
-    at_end = jnp.abs(rem) <= end_tolerance(tf)
+    at_end = jnp.abs(rem) <= end_tolerance(tf, ctl.strict_end_test)
     stepping = running & ~at_end
     # dt=0 on masked lanes keeps discarded evaluations finite (grad-safe)
     dt = jnp.where(stepping, jnp.minimum(state.h, rem), 0.0)

@@ -186,7 +186,7 @@ def step_once(
     idx = jnp.minimum(state.tgt_idx, n_grid - 1)
     chk_t = jnp.take(t_grid, idx, axis=0)
     rem = chk_t - state.t
-    at_grid = jnp.abs(rem) <= end_tolerance(chk_t)
+    at_grid = jnp.abs(rem) <= end_tolerance(chk_t, ctl.strict_end_test)
     past_end = state.tgt_idx >= n_grid - 1
     is_end = running & at_grid & past_end
     is_chkpt = running & at_grid & ~past_end

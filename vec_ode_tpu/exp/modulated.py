@@ -308,7 +308,7 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
         return None
     if t_grid.shape[0] != 2:
         return None
-    if ctl.pi or ctl.scaled_error:
+    if ctl.pi or ctl.scaled_error or ctl.strict_end_test:
         return None
     parts = (y0.re, y0.im) if op.is_cplx else (y0,)
     if parts[0].ndim != 2:

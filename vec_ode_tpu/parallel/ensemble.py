@@ -33,6 +33,31 @@ from ..rk import RungeKutta
 Pytree = Any
 
 
+def _check_h0(h0, ctl: StepControl, adaptive: bool):
+    """with_init_step validation (ode.rs:287-296) for the ensemble path:
+    concrete scalar OR per-trajectory h0 values must lie inside
+    [min_dt, max_dt] in adaptive mode (traced warm starts are the caller's
+    contract)."""
+    import numpy as np
+
+    if h0 is None:
+        return ctl.init_h()
+    if not adaptive:
+        return h0
+    try:
+        arr = np.asarray(h0)
+    except Exception:
+        return h0  # traced: cannot inspect
+    if arr.dtype.kind in "fi" and arr.size and (
+        (arr < ctl.min_dt).any() or (arr > ctl.max_dt).any()
+    ):
+        raise ValueError(
+            f"Step {h0} is not inside the range "
+            f"({ctl.min_dt}, {ctl.max_dt})"
+        )
+    return h0
+
+
 def ensemble_solve(
     rhs_or_op: Callable,
     y0_batch: Pytree,
@@ -73,8 +98,7 @@ def ensemble_solve(
     if time_dtype is None:
         time_dtype = jnp.result_type(jnp.asarray(t0), jnp.asarray(tf), float)
     t_grid = make_grid(t0, tf, save_at, dtype=time_dtype)
-    if h0 is None:
-        h0 = ctl.init_h()
+    h0 = _check_h0(h0, ctl, adaptive)
     if params is None:
         step_fn = stepper.make_step_fn(rhs_or_op)
     else:

@@ -3,8 +3,9 @@
 The reference's 'checkpoints' are time-grid hits, not fault tolerance
 (SURVEY §5). This adds actual fault tolerance: the integration carry
 (:class:`~vec_ode_tpu.driver.IntState`) is a flat pytree of arrays, so it
-serializes directly — with orbax when available, else a numpy ``.npz``
-fallback — and :func:`~vec_ode_tpu.driver.resume` continues from it.
+serializes directly — with orbax when available (StandardCheckpointer, the
+current non-deprecated surface), else a numpy ``.npz`` fallback — and
+:func:`~vec_ode_tpu.driver.resume` continues from it.
 """
 
 from __future__ import annotations
@@ -25,8 +26,9 @@ def save_state(path, state: IntState) -> None:
     try:
         import orbax.checkpoint as ocp
 
-        ckptr = ocp.PyTreeCheckpointer()
+        ckptr = ocp.StandardCheckpointer()
         ckptr.save(path.resolve(), jax.device_get(state), force=True)
+        ckptr.wait_until_finished()
         return
     except ImportError:
         pass
@@ -46,10 +48,13 @@ def load_state(path, like: Optional[IntState] = None) -> IntState:
         import orbax.checkpoint as ocp
 
         if path.exists() and path.is_dir():
-            ckptr = ocp.PyTreeCheckpointer()
+            if like is None:
+                raise ValueError(
+                    "load_state from orbax requires a template `like`"
+                )
+            ckptr = ocp.StandardCheckpointer()
             restored = ckptr.restore(
-                path.resolve(),
-                item=jax.device_get(like) if like is not None else None,
+                path.resolve(), jax.device_get(like)
             )
             return jax.tree_util.tree_map(jax.numpy.asarray, restored)
     except ImportError:

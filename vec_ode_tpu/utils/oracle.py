@@ -51,6 +51,7 @@ def load() -> ctypes.CDLL:
         ctypes.c_double, ctypes.c_double,           # min_dt, max_dt
         ctypes.c_double, ctypes.c_double,           # alpha, order
         ctypes.c_int, ctypes.c_int, ctypes.c_int,   # adaptive, typo, lower
+        ctypes.c_int,                               # strict_end
         ctypes.c_int,                               # max_steps
         dp, dp, dp, ip, ip, ip, i8p,                # outputs
     ]
@@ -78,6 +79,7 @@ def solve_linear_rkf45(
     adaptive: bool = True,
     reference_typo: bool = False,
     advance_lower: bool = True,
+    strict_end: bool = False,
     max_steps: int = 1_000_000,
 ):
     """Run the oracle. Returns a dict with y_final, t_final, h_final,
@@ -102,6 +104,7 @@ def solve_linear_rkf45(
         y0.ctypes.data_as(dp),
         t0, tf, h0, rtol, min_dt, max_dt, alpha, order,
         int(adaptive), int(reference_typo), int(advance_lower),
+        int(strict_end),
         max_steps,
         y_final.ctypes.data_as(dp),
         ctypes.byref(t_final),
