@@ -21,6 +21,7 @@ import numpy as np
 import vec_ode_tpu as vo
 from vec_ode_tpu.models import DrivenDense
 from vec_ode_tpu.ops import cplx as cp
+from vec_ode_tpu.ops.pallas_rk import FusedModulatedLinearRK
 from vec_ode_tpu.parallel import ensemble_mesh, ensemble_solve, shard_batch
 
 N_TRAJ = 16384
@@ -28,6 +29,39 @@ DIM = 64
 RTOL = 1e-8
 TF = 1.0
 NORTH_STAR = 1.0e6  # aggregate adaptive RKF45 steps/sec (BASELINE.json)
+
+
+def kernel_parity_on_device(model):
+    """Run the fused Pallas RK step AND the pure-XLA step on the real TPU
+    with identical inputs; return the max state/error-norm deviation (the
+    recorded evidence VERDICT r1 asked for — round 1 only asserted
+    interpret mode)."""
+    from vec_ode_tpu.ops.pallas_rk import fused_rk_step, xla_rk_step
+
+    if jax.default_backend() != "tpu":
+        return {"skipped": "not on TPU"}
+    rng = np.random.default_rng(7)
+    B, d = 1024, DIM
+    stepper = FusedModulatedLinearRK.from_driven_dense(model, jnp.float32)
+    xw = jnp.asarray(rng.standard_normal((B, 2 * d)) * 0.1, jnp.float32)
+    t = jnp.asarray(rng.uniform(0, 1, B), jnp.float32)
+    dt = jnp.asarray(rng.uniform(1e-3, 5e-2, B), jnp.float32)
+    M0 = jnp.asarray(stepper.M0, jnp.float32)
+    M1 = jnp.asarray(stepper.M1, jnp.float32)
+    y_k, e_k = jax.jit(
+        lambda t, dt, xw: fused_rk_step(t, dt, xw, M0, M1,
+                                        u_fn=stepper.u_fn)
+    )(t, dt, xw)
+    y_x, e_x = jax.jit(
+        lambda t, dt, xw: xla_rk_step(t, dt, xw, M0, M1,
+                                      u_fn=stepper.u_fn)
+    )(t, dt, xw)
+    dy = float(jnp.max(jnp.abs(y_k - y_x)))
+    de = float(jnp.max(jnp.abs(e_k - e_x)))
+    scale = float(jnp.max(jnp.abs(y_x)))
+    assert dy <= 1e-5 * max(scale, 1.0), (dy, scale)
+    assert de <= 1e-6 + 1e-3 * float(jnp.max(e_x)), de
+    return {"max_state_diff": dy, "max_errnorm_diff": de, "ok": True}
 
 
 def main():
@@ -46,10 +80,9 @@ def main():
     if mesh is not None:
         y0 = shard_batch(y0, mesh)
 
-    # Pallas-fused RK step: the entire 6-stage step + error norm in one
-    # kernel per trajectory tile (ops/pallas_rk.py)
-    from vec_ode_tpu.ops.pallas_rk import FusedModulatedLinearRK
-
+    # Pallas-fused RK: the 6-stage step + error norm in one kernel per
+    # trajectory tile (ops/pallas_rk.py); for the default [t0, tf] grid the
+    # WHOLE adaptive loop runs on-chip in chunks (ops/pallas_loop.py)
     stepper = FusedModulatedLinearRK.from_driven_dense(model, jnp.float32)
 
     REPS = 16  # chained full solves per call: amortizes the ~100ms fixed
@@ -98,18 +131,30 @@ def main():
             float(np.asarray(yf.re[0, 0])),
         )
 
+    # on-device kernel parity: the Pallas fused step vs the pure-XLA step
+    # on REAL TPU inputs (round 1 only asserted interpret mode; VERDICT item)
+    parity = kernel_parity_on_device(model)
+
     # warmup/compile with identical shapes (tf is traced, so no recompile)
     run_sync(0.0, 0.02)
 
-    reps = 3
-    t_start = time.perf_counter()
+    reps = 5
+    walls = []
     for _ in range(reps):
+        t_start = time.perf_counter()
         na, nr, ni, _ = run_sync(0.0, TF)
-    wall = (time.perf_counter() - t_start) / reps
+        walls.append(time.perf_counter() - t_start)
+    walls.sort()
+    wall = walls[len(walls) // 2]   # median; the tunnel's variance is large
 
     total_steps = int(np.sum(na))
     total_rejects = int(np.sum(nr))
     steps_per_sec = total_steps / wall
+
+    # roofline context: RHS eval = 2 embedded (1, 2d) @ (2d, 2d) matvecs
+    attempts = total_steps + total_rejects
+    flops_per_step = 6 * 2 * 2 * (2 * DIM) ** 2   # 6 stages x 2 matmuls
+    eff_tflops = attempts * flops_per_step / wall / 1e12
 
     result = {
         "metric": (
@@ -121,10 +166,13 @@ def main():
         "vs_baseline": round(steps_per_sec / NORTH_STAR, 4),
         "detail": {
             "wall_s": round(wall, 3),
+            "wall_s_best": round(walls[0], 3),
             "accepted_steps": total_steps,
             "rejected_steps": total_rejects,
-            "rhs_evals_per_sec": round(6 * (total_steps + total_rejects) / wall, 1),
+            "rhs_evals_per_sec": round(6 * attempts / wall, 1),
             "mean_steps_per_traj": round(total_steps / N_TRAJ, 2),
+            "effective_tflops_f32_highest": round(eff_tflops, 2),
+            "on_device_kernel_parity": parity,
         },
     }
     print(json.dumps(result))

@@ -298,7 +298,7 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
     driver-compatible Solution. Returns None when the configuration is not
     kernel-eligible (the caller falls back to the XLA driver)."""
     from ..driver import Solution
-    from ..ops.pallas_loop import fused_loop_integrate
+    from ..ops.pallas_loop import fused_loop_integrate, make_chain_step_builder
 
     op = stepper.op
     on_tpu = jax.default_backend() == "tpu" or stepper.interpret
@@ -329,10 +329,12 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
         else _real_basis(op.basis)
     )
     m, theta = _taylor_params(parts[0].dtype, stepper.m)
+    builder = make_chain_step_builder(
+        C, R, basis_w.shape[0], m, float(theta), stepper.max_squarings,
+        step_cols_fn,
+    )
     fs, ist, xparts = fused_loop_integrate(
-        t_grid, parts, h0, basis_w, step_cols_fn,
-        C=C, R=R, m=m, theta=theta,
-        max_squarings=stepper.max_squarings,
+        t_grid, parts, h0, [basis_w], builder,
         adaptive=adaptive, ctl=ctl, chunk=chunk, tile=t_eff,
         interpret=stepper.interpret,
     )

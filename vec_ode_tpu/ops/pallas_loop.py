@@ -1,8 +1,8 @@
-"""Fused adaptive-integrator loop kernel for modulated operators.
+"""Fused adaptive-integrator loop kernel.
 
-The step kernels in ops/pallas_expmv.py moved the exponential action
-on-chip, but each driver iteration still pays the XLA orchestration tax
-(per-dispatch cost on the target backend: the controller + masking +
+The step kernels (ops/pallas_expmv.py, ops/pallas_rk.py) moved the stepper
+math on-chip, but each driver iteration still pays the XLA orchestration
+tax (per-dispatch cost on the target backend: the controller + masking +
 bookkeeping of ``driver.step_once`` costs ~10 small dispatches per
 iteration — several times the stepper itself). This module moves the WHOLE
 loop body on-chip: one kernel invocation advances every trajectory by
@@ -21,15 +21,16 @@ Carry layout (per trajectory): floats [t, h, prev_h, err_norm] in one
 n_iters, reject_streak] in one (B, 8) buffer; the state as 1 (real) or 2
 (re, im) (B, d) buffers.
 
-The stepper is injected as ``step_cols_fn(t_col, dt_col) -> cols[c][r][k]``
-building the chain-exponential coefficient columns in-kernel (quadrature
-sampling included — the operator's ``coeff_cols_fn`` must be Pallas-
-compatible elementwise jnp code).
+The STEPPER is injected as ``step_builder(const_refs) -> step(t_col,
+dt_col, x_wide) -> (y_wide, err_norm_col)`` built over the kernel-resident
+constant inputs (shared basis matrices, embedded operators, ...) — the
+same loop scaffolding serves the modulated exponential integrators
+(exp/modulated.py) and the fused modulated-linear RK stepper
+(ops/pallas_rk.py).
 """
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Sequence
 
 import jax
@@ -48,14 +49,9 @@ N_I = 8   # int carry columns: tgt, status, event, n_acc, n_rej, n_it, streak
 
 
 def _make_loop_kernel(
-    step_cols_fn: Callable,
-    C: int,
-    R: int,
-    K: int,
-    m: int,
-    theta: float,
-    max_squarings: int,
+    step_builder: Callable,
     n_state: int,
+    n_const: int,
     chunk: int,
     adaptive: bool,
     ctl,
@@ -68,12 +64,13 @@ def _make_loop_kernel(
     max_steps = int(ctl.max_steps)
     max_streak = int(ctl.max_reject_streak)
 
-    def kernel(tg_ref, fs_ref, is_ref, *rest):
-        x_refs = rest[:n_state]
-        basis_ref = rest[n_state]
-        ofs_ref = rest[n_state + 1]
-        ois_ref = rest[n_state + 2]
-        oy_refs = rest[n_state + 3:n_state + 3 + n_state]
+    def kernel(*refs):
+        tg_ref, fs_ref, is_ref = refs[:3]
+        x_refs = refs[3:3 + n_state]
+        const_refs = refs[3 + n_state:3 + n_state + n_const]
+        ofs_ref = refs[3 + n_state + n_const]
+        ois_ref = refs[4 + n_state + n_const]
+        oy_refs = refs[5 + n_state + n_const:5 + 2 * n_state + n_const]
 
         dtype = fs_ref.dtype
         eps = float(jnp.finfo(dtype).eps)
@@ -87,60 +84,7 @@ def _make_loop_kernel(
         )
         d = x.shape[1] // n_state
 
-        norms = [
-            jnp.max(jnp.sum(jnp.abs(basis_ref[k]), axis=0))
-            for k in range(K)
-        ]
-
-        def chain_apply(xv, cols):
-            """y per chain via scaled Taylor; returns (y0, err_norm_col)."""
-            mx = jnp.zeros((), dtype)
-            for c in range(C):
-                for r in range(R):
-                    b = None
-                    for k in range(K):
-                        col = jnp.abs(cols[c][r][k]) * norms[k]
-                        b = col if b is None else b + col
-                    mx = jnp.maximum(
-                        mx, jnp.max(jnp.where(jnp.isnan(b), 0.0, b))
-                    )
-            s = jnp.clip(
-                jnp.ceil(jnp.log2(jnp.maximum(mx / theta, 1.0))),
-                0, max_squarings,
-            ).astype(jnp.int32)
-            scale = jnp.asarray(2.0, dtype) ** (-s.astype(dtype))
-            n_pass = jnp.left_shift(jnp.ones((), jnp.int32), s)
-
-            outs = []
-            for c in range(C):
-                v = xv
-                for r in range(R):
-                    cs = [cols[c][r][k] * scale for k in range(K)]
-
-                    def taylor_pass(_, v, cs=cs):
-                        acc = v
-                        term = v
-                        for kk in range(1, m + 1):
-                            w = None
-                            for k in range(K):
-                                mv = _row_matmul(term, basis_ref[k])
-                                w = (
-                                    cs[k] * mv
-                                    if w is None
-                                    else w + cs[k] * mv
-                                )
-                            term = w * (1.0 / kk)
-                            acc = acc + term
-                        return acc
-
-                    v = jax.lax.fori_loop(0, n_pass, taylor_pass, v)
-                outs.append(v)
-            if C >= 2:
-                dv = outs[1] - outs[0]
-                en = jnp.sqrt(jnp.sum(dv * dv, axis=1, keepdims=True))
-            else:
-                en = jnp.zeros((x.shape[0], 1), dtype)
-            return outs[0], en
+        step = step_builder(const_refs)
 
         def iteration(_, carry):
             t, h, prev_h, err_prev, xv, tgt, status, event, n_acc, n_rej, \
@@ -157,8 +101,7 @@ def _make_loop_kernel(
             stepping = running & ~at_grid & ~bad
             dt = jnp.where(stepping, jnp.minimum(h, rem), 0.0)
 
-            cols = step_cols_fn(t, dt)
-            y, err = chain_apply(xv, cols)
+            y, err = step(t, dt, xv)
 
             if adaptive:
                 measure = err
@@ -236,19 +179,144 @@ def _make_loop_kernel(
     return kernel
 
 
+def make_chain_step_builder(C: int, R: int, K: int, m: int, theta: float,
+                            max_squarings: int, step_cols_fn: Callable):
+    """Step builder for modulated-operator exponential steppers: the chain
+    coefficient rows come from ``step_cols_fn(t_col, dt_col)`` (quadrature
+    sampling in-kernel) and the propagator action runs as a per-tile-scaled
+    Taylor chain over the shared basis (const input 0: (K, D, D))."""
+
+    def builder(const_refs):
+        (basis_ref,) = const_refs
+        norms = [
+            jnp.max(jnp.sum(jnp.abs(basis_ref[k]), axis=0))
+            for k in range(K)
+        ]
+
+        def step(t, dt, xv):
+            dtype = xv.dtype
+            cols = step_cols_fn(t, dt)
+            mx = jnp.zeros((), dtype)
+            for c in range(C):
+                for r in range(R):
+                    b = None
+                    for k in range(K):
+                        col = jnp.abs(cols[c][r][k]) * norms[k]
+                        b = col if b is None else b + col
+                    mx = jnp.maximum(
+                        mx, jnp.max(jnp.where(jnp.isnan(b), 0.0, b))
+                    )
+            s = jnp.clip(
+                jnp.ceil(jnp.log2(jnp.maximum(mx / theta, 1.0))),
+                0, max_squarings,
+            ).astype(jnp.int32)
+            scale = jnp.asarray(2.0, dtype) ** (-s.astype(dtype))
+            n_pass = jnp.left_shift(jnp.ones((), jnp.int32), s)
+
+            outs = []
+            for c in range(C):
+                v = xv
+                for r in range(R):
+                    cs = [cols[c][r][k] * scale for k in range(K)]
+
+                    def taylor_pass(_, v, cs=cs):
+                        acc = v
+                        term = v
+                        for kk in range(1, m + 1):
+                            w = None
+                            for k in range(K):
+                                mv = _row_matmul(term, basis_ref[k])
+                                w = (
+                                    cs[k] * mv
+                                    if w is None
+                                    else w + cs[k] * mv
+                                )
+                            term = w * (1.0 / kk)
+                            acc = acc + term
+                        return acc
+
+                    v = jax.lax.fori_loop(0, n_pass, taylor_pass, v)
+                outs.append(v)
+            if C >= 2:
+                dv = outs[1] - outs[0]
+                en = jnp.sqrt(jnp.sum(dv * dv, axis=1, keepdims=True))
+            else:
+                en = jnp.zeros((xv.shape[0], 1), dtype)
+            return outs[0], en
+
+        return step
+
+    return builder
+
+
+def make_rk_step_builder(tab, u_fn: Callable, advance_lower: bool):
+    """Step builder for the modulated-linear RK stepper: dx/dt =
+    (M0 + u(t) M1) x with shared embedded matrices (const inputs 0, 1) and
+    a kernel-compatible per-trajectory modulation u(t) — the in-loop twin
+    of ops/pallas_rk._make_kernel."""
+    s = tab.stages
+    a = tab.a
+    b = tab.b
+    db = None if tab.b_err is None else (tab.b - tab.b_err)
+    c = tab.c
+
+    def builder(const_refs):
+        m0_ref, m1_ref = const_refs
+
+        def f(ti, xi):
+            u = u_fn(ti)                        # (TILE, 1)
+            return _row_matmul(xi, m0_ref[:]) + u * _row_matmul(
+                xi, m1_ref[:]
+            )
+
+        def step(t, dt, xw):
+            K = [None] * s
+            K[0] = f(t, xw)
+            for i in range(1, s):
+                ti = t + float(c[i]) * dt
+                acc = None
+                for j in range(i):
+                    if a[i, j] == 0.0:
+                        continue
+                    term = float(a[i, j]) * K[j]
+                    acc = term if acc is None else acc + term
+                xi = xw if acc is None else xw + dt * acc
+                K[i] = f(ti, xi)
+
+            xb_acc = None
+            for j in range(s):
+                if b[j] == 0.0:
+                    continue
+                term = float(b[j]) * K[j]
+                xb_acc = term if xb_acc is None else xb_acc + term
+            x_b = xw + dt * xb_acc
+
+            if db is None:
+                return x_b, jnp.zeros((xw.shape[0], 1), xw.dtype)
+            err_acc = None
+            for j in range(s):
+                if db[j] == 0.0:
+                    continue
+                term = float(db[j]) * K[j]
+                err_acc = term if err_acc is None else err_acc + term
+            err = dt * err_acc
+            x_next = (x_b - err) if advance_lower else x_b
+            en = jnp.sqrt(jnp.sum(err * err, axis=1, keepdims=True))
+            return x_next, en
+
+        return step
+
+    return builder
+
+
 def fused_loop_chunk(
     t_grid2: jax.Array,            # (2,) [t0, tf]
     fs: jax.Array,                 # (B, N_F) float carry
     ist: jax.Array,                # (B, N_I) int32 carry
     x_parts: Sequence[jax.Array],  # 1 or 2 (B, d) state buffers
-    basis: jax.Array,              # (K, D, D)
-    step_cols_fn: Callable,
+    const_inputs: Sequence[jax.Array],
+    step_builder: Callable,
     *,
-    C: int,
-    R: int,
-    m: int,
-    theta: float,
-    max_squarings: int,
     chunk: int,
     adaptive: bool,
     ctl,
@@ -260,16 +328,19 @@ def fused_loop_chunk(
     Returns (fs, ist, x_parts) updated."""
     n_state = len(x_parts)
     B, d = x_parts[0].shape
-    D = n_state * d
-    K = basis.shape[0]
     dtype = x_parts[0].dtype
     kernel = _make_loop_kernel(
-        step_cols_fn, C, R, K, m, float(theta), max_squarings,
-        n_state, chunk, adaptive, ctl,
+        step_builder, n_state, len(const_inputs), chunk, adaptive, ctl,
     )
 
-    def vec_spec(w, space=pltpu.VMEM):
-        return pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=space)
+    def vec_spec(w):
+        return pl.BlockSpec((tile, w), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(arr):
+        nd = arr.ndim
+        return pl.BlockSpec(arr.shape, lambda i, nd=nd: (0,) * nd,
+                            memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
         kernel,
@@ -280,8 +351,7 @@ def fused_loop_chunk(
             vec_spec(N_F),
             vec_spec(N_I),
             *[vec_spec(d)] * n_state,
-            pl.BlockSpec((K, D, D), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            *[const_spec(a) for a in const_inputs],
         ],
         out_specs=[
             vec_spec(N_F),
@@ -297,7 +367,7 @@ def fused_loop_chunk(
     )(
         t_grid2.reshape(1, 2).astype(dtype),
         fs, ist, *x_parts,
-        basis.astype(dtype),
+        *[a.astype(dtype) for a in const_inputs],
     )
     return outs[0], outs[1], tuple(outs[2:])
 
@@ -306,14 +376,9 @@ def fused_loop_integrate(
     t_grid: jax.Array,             # (2,) [t0, tf]
     y0_parts: Sequence[jax.Array],
     h0,
-    basis: jax.Array,
-    step_cols_fn: Callable,
+    const_inputs: Sequence[jax.Array],
+    step_builder: Callable,
     *,
-    C: int,
-    R: int,
-    m: int,
-    theta: float,
-    max_squarings: int,
     adaptive: bool,
     ctl,
     chunk: int = 8,
@@ -345,8 +410,7 @@ def fused_loop_integrate(
     def body(carry):
         fs, ist, parts = carry
         fs, ist, parts = fused_loop_chunk(
-            t_grid, fs, ist, parts, basis, step_cols_fn,
-            C=C, R=R, m=m, theta=theta, max_squarings=max_squarings,
+            t_grid, fs, ist, parts, const_inputs, step_builder,
             chunk=chunk, adaptive=adaptive, ctl=ctl, tile=tile,
             interpret=interpret,
         )

@@ -244,6 +244,70 @@ class FusedModulatedLinearRK:
             M0=M0, M1=M1, u_fn=lambda t: jnp.cos(w * t), **kw
         )
 
+    def fused_loop_solve(self, y0, t_grid, h0, *, ctl, adaptive,
+                         chunk: int = 8):
+        """Whole-loop on-chip integration (ops/pallas_loop.py): the entire
+        adaptive RK driver — stages, embedded error, controller, counters —
+        runs in chunked kernel invocations. Returns None when the config is
+        not kernel-eligible (interior grids, PI/scaled/strict controller
+        options, lane-misaligned shapes) so the caller falls back to the
+        XLA driver + per-step kernel."""
+        from ..driver import Solution
+        from ..ops.cplx import Cplx
+        from .pallas_loop import fused_loop_integrate, make_rk_step_builder
+
+        if not (self.use_pallas and jax.default_backend() == "tpu"):
+            return None
+        if t_grid.shape[0] != 2:
+            return None
+        if ctl.pi or ctl.scaled_error or ctl.strict_end_test:
+            return None
+        if not adaptive or self.tableau.b_err is None:
+            return None
+        if y0.re.ndim != 2:
+            return None
+        B, d = y0.re.shape
+        # loop-kernel tile is pinned to 128: tile=256 at 64+ grid cells
+        # crashes the TPU runtime (empirically; the per-step kernel is fine
+        # at 256 — the loop kernel holds more live state per cell)
+        loop_tile = 128
+        if (2 * d) % 128 != 0 or B % loop_tile != 0:
+            return None
+        if t_grid.dtype != y0.re.dtype:
+            return None
+
+        builder = make_rk_step_builder(
+            self.tableau, self.u_fn, self.advance_lower
+        )
+        M0 = jnp.asarray(self.M0, y0.re.dtype)
+        M1 = jnp.asarray(self.M1, y0.re.dtype)
+        fs, ist, parts = fused_loop_integrate(
+            t_grid, (y0.re, y0.im), h0, [M0, M1], builder,
+            adaptive=True, ctl=ctl, chunk=chunk, tile=loop_tile,
+        )
+        x_final = Cplx(*parts)
+        reached = ist[:, 0] >= 2
+
+        def sel_end(xf):
+            m_ = reached.reshape(reached.shape + (1,) * (xf.ndim - 1))
+            return jnp.where(m_, xf, jnp.zeros_like(xf))
+
+        ys = jax.tree_util.tree_map(
+            lambda x0l, xfl: jnp.stack([x0l, sel_end(xfl)], axis=1),
+            y0, x_final,
+        )
+        return Solution(
+            ts=jnp.broadcast_to(t_grid, (B,) + t_grid.shape),
+            ys=ys,
+            t_final=fs[:, 0],
+            y_final=x_final,
+            status=ist[:, 1],
+            n_accept=ist[:, 3],
+            n_reject=ist[:, 4],
+            n_iters=ist[:, 5],
+            h_final=fs[:, 1],
+        )
+
     def make_step_fn(self, rhs=None):
         if rhs is not None:
             raise ValueError(
