@@ -173,10 +173,9 @@ def bench_magnus4_driven(results):
     })
 
 
-def _bench_modulated(results, make_stepper, label):
-    """Shared harness: adaptive exp integrator on the 256x64-dim driven
+def _bench_modulated(results, make_stepper, label, B=256):
+    """Shared harness: adaptive exp integrator on the Bx64-dim driven
     Hamiltonian via the modulated shared-basis fast path (exp/modulated.py)."""
-    B = 256
     model = DrivenDense.make(d=64, seed=0)
     rng = np.random.default_rng(3)
     psi0 = rng.standard_normal((B, 64)) + 1j * rng.standard_normal((B, 64))
@@ -210,7 +209,7 @@ def _bench_modulated(results, make_stepper, label):
 
     wall, (steps, _) = timed(sync)
     results.append({
-        "metric": f"{label}, 256x64-dim complex (modulated shared-basis "
+        "metric": f"{label}, {B}x64-dim complex (modulated shared-basis "
                   "Taylor action, no per-trajectory expm)",
         "value": round(steps / wall, 1), "unit": "steps/sec",
     })
@@ -227,6 +226,13 @@ def bench_magnus4_modulated(results):
     _bench_modulated(
         results, lambda mod: vexp.MagnusModulated4(mod),
         "adaptive Magnus-4 steps/sec",
+    )
+
+
+def bench_magnus4_modulated_4k(results):
+    _bench_modulated(
+        results, lambda mod: vexp.MagnusModulated4(mod),
+        "adaptive Magnus-4 steps/sec", B=4096,
     )
 
 
@@ -279,6 +285,7 @@ ALL = {
     "magnus4_driven": bench_magnus4_driven,
     "cfm4_modulated": bench_cfm4_modulated,
     "magnus4_modulated": bench_magnus4_modulated,
+    "magnus4_modulated_4k": bench_magnus4_modulated_4k,
     "lz_sweep_efficiency": bench_lz_sweep_efficiency,
 }
 
