@@ -309,6 +309,11 @@ def integrate_interp(
             lambda c: jnp.any(of_c(c).status == RUNNING), body_c, carry_init
         )
     elif method == "scan":
+        if ctl.max_steps > 65536:
+            raise ValueError(
+                f"method='scan' runs EXACTLY ctl.max_steps={ctl.max_steps} "
+                "iterations; set a tight StepControl.max_steps"
+            )
         final_c, _ = jax.lax.scan(
             lambda c, _: (body_c(c), None), carry_init, None,
             length=ctl.max_steps,

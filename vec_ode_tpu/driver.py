@@ -554,6 +554,13 @@ def resume(
             lambda b: jnp.any(status_of(b) == RUNNING), body_packed, carry0
         )
     elif method == "scan":
+        if ctl.max_steps > 65536:
+            raise ValueError(
+                f"method='scan' runs EXACTLY ctl.max_steps={ctl.max_steps} "
+                "iterations (every one pays a stepper evaluation). Set a "
+                "tight StepControl.max_steps (the default 1,000,000 is a "
+                "while-loop safety cap, not a scan length)."
+            )
         final_bufs, _ = jax.lax.scan(
             lambda b, _: (body_packed(b), None), carry0, None,
             length=ctl.max_steps,
