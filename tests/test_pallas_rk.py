@@ -145,3 +145,51 @@ def test_fused_non_embedded_tableau_adaptive_raises():
     sol = ensemble_solve(None, y0, 0.0, 0.1, stepper=st4, adaptive=False,
                          h0=1e-2, time_dtype=jnp.float64)
     assert all(int(s) == vo.DONE for s in sol.status)
+
+
+def test_rk_fused_loop_interpret_matches_driver(monkeypatch):
+    """The RK on-chip loop (ops/pallas_loop.make_rk_step_builder +
+    FusedModulatedLinearRK.fused_loop_solve) must reproduce the XLA driver's
+    statuses, counters and trajectories (interpret mode; on-TPU parity is
+    exercised by bench.py / the verify flows)."""
+    import vec_ode_tpu as vo
+    from vec_ode_tpu.driver import integrate, make_grid
+    from vec_ode_tpu.models import DrivenDense
+    from vec_ode_tpu.ops import cplx as cp
+    from vec_ode_tpu.ops import pallas_loop
+    from vec_ode_tpu.ops.pallas_rk import FusedModulatedLinearRK
+
+    model = DrivenDense.make(d=64, seed=0)
+    rng = np.random.default_rng(31)
+    B = 16
+    z = rng.standard_normal((B, 64)) + 1j * rng.standard_normal((B, 64))
+    z /= np.linalg.norm(z, axis=-1, keepdims=True)
+    y0 = cp.from_complex(z, jnp.float32)
+    ctl = vo.StepControl(rtol=1e-4, min_dt=1e-6, max_dt=0.25, max_steps=500)
+    t_grid = make_grid(jnp.float32(0), jnp.float32(0.3), dtype=jnp.float32)
+
+    st = FusedModulatedLinearRK.from_driven_dense(model, jnp.float32)
+
+    # force pallas interpret mode + tiny tile so B=16 is tileable
+    orig_chunk = pallas_loop.fused_loop_chunk
+
+    def chunk_interp(*args, **kw):
+        kw["interpret"] = True
+        kw["tile"] = 8
+        return orig_chunk(*args, **kw)
+
+    monkeypatch.setattr(pallas_loop, "fused_loop_chunk", chunk_interp)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    sol_f = st.fused_loop_solve(y0, t_grid, 1e-2, ctl=ctl, adaptive=True)
+    assert sol_f is not None, "fused RK loop did not engage"
+
+    sol_x = integrate(
+        st.make_step_fn(), y0, t_grid, 1e-2, adaptive=True, ctl=ctl,
+        error_norm=st.error_norm, batch_shape=(B,),
+    )
+    assert (np.asarray(sol_f.status) == vo.DONE).all()
+    a_f, a_x = np.asarray(sol_f.n_accept), np.asarray(sol_x.n_accept)
+    assert (a_f == a_x).mean() > 0.8, (a_f, a_x)
+    np.testing.assert_allclose(np.asarray(sol_f.y_final.re),
+                               np.asarray(sol_x.y_final.re),
+                               rtol=2e-4, atol=2e-4)

@@ -3,6 +3,7 @@
 from . import cplx
 from .cplx import Cplx
 from .expm import expm, expm_apply, expm_frechet
+from .pallas_expmv import chain_expmv_pallas, chain_expmv_xla
 from .pallas_rk import FusedModulatedLinearRK, fused_rk_step, xla_rk_step
 
 __all__ = [
@@ -14,4 +15,6 @@ __all__ = [
     "FusedModulatedLinearRK",
     "fused_rk_step",
     "xla_rk_step",
+    "chain_expmv_pallas",
+    "chain_expmv_xla",
 ]

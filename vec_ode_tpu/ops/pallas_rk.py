@@ -267,11 +267,13 @@ class FusedModulatedLinearRK:
         if y0.re.ndim != 2:
             return None
         B, d = y0.re.shape
-        # loop-kernel tile is pinned to 128: tile=256 at 64+ grid cells
-        # crashes the TPU runtime (empirically; the per-step kernel is fine
-        # at 256 — the loop kernel holds more live state per cell)
-        loop_tile = 128
-        if (2 * d) % 128 != 0 or B % loop_tile != 0:
+        # loop-kernel tile caps at 128: tile=256 at 64+ grid cells crashes
+        # the TPU runtime (empirically; the per-step kernel is fine at 256 —
+        # the loop kernel holds more live state per cell)
+        loop_tile = min(128, B)
+        while loop_tile > 0 and B % loop_tile != 0:
+            loop_tile //= 2
+        if (2 * d) % 128 != 0 or loop_tile < 8:
             return None
         if t_grid.dtype != y0.re.dtype:
             return None
