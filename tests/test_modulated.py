@@ -384,6 +384,39 @@ class TestFusedLoop:
         # unfinished: ys[1] stays zero (same as the XLA driver's buffer)
         assert (np.asarray(sol.ys.re[:, 1]) == 0).all()
 
+    def test_interior_save_grid_matches_xla_driver(self):
+        """save_at grids are hit exactly and recorded IN-KERNEL; the
+        recorded states must match the XLA driver's ys."""
+        mod, y0, _ = self._setup()
+        from vec_ode_tpu.driver import integrate, make_grid
+
+        g3 = make_grid(jnp.float32(0.0), jnp.float32(0.5),
+                       save_at=jnp.asarray([0.17, 0.33], jnp.float32),
+                       dtype=jnp.float32)
+        ctl = vo.StepControl(rtol=1e-4, min_dt=1e-5, max_dt=0.2,
+                             max_steps=500)
+        st_f = vexp.MagnusModulated4(mod, interpret=True)
+        sol_f = self._run_fused(st_f, y0, g3, ctl, True)
+        assert sol_f is not None, "fused loop did not engage on save grid"
+
+        st_x = vexp.MagnusModulated4(mod, use_pallas=False)
+        sol_x = integrate(
+            st_x.make_step_fn(), y0, g3, 1e-2, adaptive=True, ctl=ctl,
+            error_norm=st_x.error_norm, batch_shape=(y0.re.shape[0],),
+        )
+        assert (np.asarray(sol_f.status) == vo.DONE).all()
+        assert (np.asarray(sol_x.status) == vo.DONE).all()
+        assert sol_f.ys.re.shape[1] == 4
+        np.testing.assert_allclose(np.asarray(sol_f.ys.re),
+                                   np.asarray(sol_x.ys.re),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(sol_f.ys.im),
+                                   np.asarray(sol_x.ys.im),
+                                   rtol=1e-4, atol=1e-4)
+        # grid-hit bookkeeping matches too (tgt cursor consumed the grid)
+        np.testing.assert_array_equal(np.asarray(sol_f.n_iters),
+                                      np.asarray(sol_x.n_iters))
+
     def test_ineligible_configs_fall_back(self):
         mod, y0, t_grid = self._setup()
         st = vexp.MagnusModulated4(mod, interpret=True)
@@ -392,13 +425,14 @@ class TestFusedLoop:
         assert self._run_fused(
             st, y0, t_grid, vo.StepControl(rtol=1e-4, pi=True), True
         ) is None
-        # interior save grid -> not eligible
+        # LARGE interior save grid -> not eligible (in-kernel save bufs)
         from vec_ode_tpu.driver import make_grid
 
-        g3 = make_grid(jnp.float32(0), jnp.float32(0.5),
-                       save_at=jnp.asarray([0.25], jnp.float32),
-                       dtype=jnp.float32)
-        assert self._run_fused(st, y0, g3, ctl, True) is None
+        g_big = make_grid(
+            jnp.float32(0), jnp.float32(0.5),
+            save_at=jnp.asarray(np.linspace(0.04, 0.46, 12), jnp.float32),
+            dtype=jnp.float32)
+        assert self._run_fused(st, y0, g_big, ctl, True) is None
         # scalar (unbatched) state -> not eligible
         y0s = cp.Cplx(y0.re[0], y0.im[0])
         assert self._run_fused(st, y0s, t_grid, ctl, True) is None

@@ -306,7 +306,7 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
         return None
     if op.coeff_cols_fn is None:
         return None
-    if t_grid.shape[0] != 2:
+    if t_grid.shape[0] > 10:   # interior saves live in kernel carry bufs
         return None
     if ctl.pi or ctl.scaled_error or ctl.strict_end_test:
         return None
@@ -333,21 +333,30 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
         C, R, basis_w.shape[0], m, float(theta), stepper.max_squarings,
         step_cols_fn,
     )
-    fs, ist, xparts = fused_loop_integrate(
+    fs, ist, xparts, saves = fused_loop_integrate(
         t_grid, parts, h0, [basis_w], builder,
         adaptive=adaptive, ctl=ctl, chunk=chunk, tile=t_eff,
         interpret=stepper.interpret,
     )
     x_final = Cplx(*xparts) if op.is_cplx else xparts[0]
-    reached = ist[:, 0] >= 2
+    n_grid = t_grid.shape[0]
+    n_ps = len(parts)
+    interior = [
+        Cplx(*saves[g * n_ps:(g + 1) * n_ps]) if op.is_cplx
+        else saves[g]
+        for g in range(n_grid - 2)
+    ]
+    reached = ist[:, 0] >= n_grid
 
     def sel_end(xf, x0z):
         m_ = reached.reshape(reached.shape + (1,) * (xf.ndim - 1))
         return jnp.where(m_, xf, jnp.zeros_like(x0z))
 
     ys = jax.tree_util.tree_map(
-        lambda x0l, xfl: jnp.stack([x0l, sel_end(xfl, x0l)], axis=1),
-        y0, x_final,
+        lambda x0l, *rest: jnp.stack(
+            [x0l, *rest[:-1], sel_end(rest[-1], x0l)], axis=1
+        ),
+        y0, *interior, x_final,
     )
     return Solution(
         ts=jnp.broadcast_to(t_grid, (B,) + t_grid.shape),

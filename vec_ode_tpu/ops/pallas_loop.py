@@ -10,8 +10,9 @@ loop body on-chip: one kernel invocation advances every trajectory by
 controller, step-size update, grid/end handling and all counters — so the
 per-iteration XLA cost collapses to (4 carry buffers + 1 launch) / chunk.
 
-Faithful port of ``driver.step_once`` for the n_grid == 2 case (save grid
-= [t0, tf], the default; interior save grids use the XLA driver), with the
+Faithful port of ``driver.step_once`` for small save grids (the default
+[t0, tf] plus up to a handful of interior save_at times, hit exactly and
+recorded in-kernel; large grids use the XLA driver), with the
 reference controller semantics (ode.rs:311-334: f = rtol/||err||, accept
 iff f > 1, new_h = clip(alpha * f^(1/order), min_factor, max_factor) * h
 clipped to [min_dt, max_dt]) and the driver's status/event bookkeeping.
@@ -55,6 +56,7 @@ def _make_loop_kernel(
     chunk: int,
     adaptive: bool,
     ctl,
+    n_grid: int = 2,
 ):
     rtol = float(ctl.rtol)
     alpha = float(ctl.alpha)
@@ -64,18 +66,24 @@ def _make_loop_kernel(
     max_steps = int(ctl.max_steps)
     max_streak = int(ctl.max_reject_streak)
 
+    # interior save slots (t_grid[1:-1]) are recorded in-kernel; slot 0
+    # (= x0) and the final slot (= x at DONE) are reconstructed by the host
+    n_save = max(n_grid - 2, 0)
+
     def kernel(*refs):
         tg_ref, fs_ref, is_ref = refs[:3]
         x_refs = refs[3:3 + n_state]
-        const_refs = refs[3 + n_state:3 + n_state + n_const]
-        ofs_ref = refs[3 + n_state + n_const]
-        ois_ref = refs[4 + n_state + n_const]
-        oy_refs = refs[5 + n_state + n_const:5 + 2 * n_state + n_const]
+        ysin_refs = refs[3 + n_state:3 + n_state + n_save * n_state]
+        base = 3 + n_state + n_save * n_state
+        const_refs = refs[base:base + n_const]
+        ofs_ref = refs[base + n_const]
+        ois_ref = refs[base + n_const + 1]
+        oy_refs = refs[base + n_const + 2:base + n_const + 2 + n_state]
+        oys_refs = refs[base + n_const + 2 + n_state:]
 
         dtype = fs_ref.dtype
         eps = float(jnp.finfo(dtype).eps)
-        t0 = tg_ref[0, 0]
-        tf = tg_ref[0, 1]
+        tf = tg_ref[0, n_grid - 1]
 
         x = (
             x_refs[0][:]
@@ -83,18 +91,33 @@ def _make_loop_kernel(
             else jnp.concatenate([r[:] for r in x_refs], axis=1)
         )
         d = x.shape[1] // n_state
+        saves = [
+            (
+                ysin_refs[g][:]
+                if n_state == 1
+                else jnp.concatenate(
+                    [ysin_refs[g * n_state + i][:] for i in range(n_state)],
+                    axis=1,
+                )
+            )
+            for g in range(n_save)
+        ]
 
         step = step_builder(const_refs)
 
         def iteration(_, carry):
-            t, h, prev_h, err_prev, xv, tgt, status, event, n_acc, n_rej, \
-                n_it, streak = carry
+            (t, h, prev_h, err_prev, xv, tgt, status, event, n_acc, n_rej,
+             n_it, streak, saves) = carry
             running = status == _RUNNING
-            chk_t = jnp.where(tgt == 0, t0, tf)
+            # chk_t = t_grid[min(tgt, n_grid-1)], static select over the
+            # (small) grid — Mosaic has no per-lane SMEM gather
+            chk_t = jnp.full_like(t, tf)
+            for g in range(n_grid - 1):
+                chk_t = jnp.where(tgt == g, tg_ref[0, g], chk_t)
             tol = 4.0 * eps * jnp.maximum(1.0, jnp.abs(chk_t))
             rem = chk_t - t
             at_grid = jnp.abs(rem) <= tol
-            past_end = tgt >= 1
+            past_end = tgt >= n_grid - 1
             is_end = running & at_grid & past_end
             is_chk = running & at_grid & ~past_end
             bad = running & ~at_grid & (rem < 0)
@@ -120,6 +143,13 @@ def _make_loop_kernel(
 
             adv = stepping & accept
             rej = stepping & ~accept
+
+            # record interior save slots at their grid-hit iterations
+            # (state.x at the Chkpt emission point, as in driver.step_once)
+            saves = [
+                jnp.where(at_grid & running & (tgt == g + 1), xv, saves[g])
+                for g in range(n_save)
+            ]
 
             t = jnp.where(adv, t + dt, t)
             xv = jnp.where(adv, y, xv)
@@ -156,17 +186,18 @@ def _make_loop_kernel(
             n_acc = n_acc + adv.astype(jnp.int32)
             n_rej = n_rej + rej.astype(jnp.int32)
             return (t, h, prev_h, err_prev, xv, tgt, status, event,
-                    n_acc, n_rej, n_it, streak)
+                    n_acc, n_rej, n_it, streak, saves)
 
         carry = (
             fs_ref[:, 0:1], fs_ref[:, 1:2], fs_ref[:, 2:3], fs_ref[:, 3:4],
             x,
             is_ref[:, 0:1], is_ref[:, 1:2], is_ref[:, 2:3], is_ref[:, 3:4],
             is_ref[:, 4:5], is_ref[:, 5:6], is_ref[:, 6:7],
+            saves,
         )
         carry = jax.lax.fori_loop(0, chunk, iteration, carry)
         (t, h, prev_h, err_prev, xv, tgt, status, event, n_acc, n_rej,
-         n_it, streak) = carry
+         n_it, streak, saves) = carry
 
         ofs_ref[:] = jnp.concatenate([t, h, prev_h, err_prev], axis=1)
         ois_ref[:] = jnp.concatenate(
@@ -175,6 +206,9 @@ def _make_loop_kernel(
         )
         for i, yr in enumerate(oy_refs):
             yr[:] = xv[:, i * d:(i + 1) * d]
+        for g in range(n_save):
+            for i in range(n_state):
+                oys_refs[g * n_state + i][:] = saves[g][:, i * d:(i + 1) * d]
 
     return kernel
 
@@ -310,10 +344,11 @@ def make_rk_step_builder(tab, u_fn: Callable, advance_lower: bool):
 
 
 def fused_loop_chunk(
-    t_grid2: jax.Array,            # (2,) [t0, tf]
+    t_grid2: jax.Array,            # (n_grid,) save grid, [t0, ..., tf]
     fs: jax.Array,                 # (B, N_F) float carry
     ist: jax.Array,                # (B, N_I) int32 carry
     x_parts: Sequence[jax.Array],  # 1 or 2 (B, d) state buffers
+    saves: Sequence[jax.Array],    # (n_grid-2)*n_state interior save bufs
     const_inputs: Sequence[jax.Array],
     step_builder: Callable,
     *,
@@ -325,12 +360,14 @@ def fused_loop_chunk(
 ):
     """Advance every trajectory by ``chunk`` driver iterations in ONE kernel.
 
-    Returns (fs, ist, x_parts) updated."""
+    Returns (fs, ist, x_parts, saves) updated."""
     n_state = len(x_parts)
     B, d = x_parts[0].shape
     dtype = x_parts[0].dtype
+    n_grid = t_grid2.shape[0]
     kernel = _make_loop_kernel(
         step_builder, n_state, len(const_inputs), chunk, adaptive, ctl,
+        n_grid=n_grid,
     )
 
     def vec_spec(w):
@@ -342,38 +379,41 @@ def fused_loop_chunk(
         return pl.BlockSpec(arr.shape, lambda i, nd=nd: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
+    n_save_bufs = len(saves)
     outs = pl.pallas_call(
         kernel,
         grid=(B // tile,),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (0, 0),
+            pl.BlockSpec((1, n_grid), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             vec_spec(N_F),
             vec_spec(N_I),
-            *[vec_spec(d)] * n_state,
+            *[vec_spec(d)] * (n_state + n_save_bufs),
             *[const_spec(a) for a in const_inputs],
         ],
         out_specs=[
             vec_spec(N_F),
             vec_spec(N_I),
-            *[vec_spec(d)] * n_state,
+            *[vec_spec(d)] * (n_state + n_save_bufs),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, N_F), dtype),
             jax.ShapeDtypeStruct((B, N_I), jnp.int32),
-            *[jax.ShapeDtypeStruct((B, d), dtype) for _ in range(n_state)],
+            *[jax.ShapeDtypeStruct((B, d), dtype)
+              for _ in range(n_state + n_save_bufs)],
         ],
         interpret=interpret,
     )(
-        t_grid2.reshape(1, 2).astype(dtype),
-        fs, ist, *x_parts,
+        t_grid2.reshape(1, n_grid).astype(dtype),
+        fs, ist, *x_parts, *saves,
         *[a.astype(dtype) for a in const_inputs],
     )
-    return outs[0], outs[1], tuple(outs[2:])
+    return (outs[0], outs[1], tuple(outs[2:2 + n_state]),
+            tuple(outs[2 + n_state:]))
 
 
 def fused_loop_integrate(
-    t_grid: jax.Array,             # (2,) [t0, tf]
+    t_grid: jax.Array,             # (n_grid,) save grid [t0, ..., tf]
     y0_parts: Sequence[jax.Array],
     h0,
     const_inputs: Sequence[jax.Array],
@@ -385,12 +425,15 @@ def fused_loop_integrate(
     tile: int = 256,
     interpret: bool = False,
 ):
-    """Full integration over [t0, tf]: an XLA while loop of fused chunks.
+    """Full integration over [t_grid[0], t_grid[-1]]: an XLA while loop of
+    fused chunks; interior grid times are hit exactly and recorded
+    in-kernel.
 
-    Returns the raw (fs, ist, x_parts) final carries; the caller builds the
-    Solution (see exp/modulated.py)."""
+    Returns (fs, ist, x_parts, saves) final carries; the caller builds the
+    Solution (ys = [x0, *saves, x_final]) — see exp/modulated.py."""
     B = y0_parts[0].shape[0]
     dtype = y0_parts[0].dtype
+    n_grid = t_grid.shape[0]
     t0 = jnp.asarray(t_grid[0], dtype)
     fs = jnp.concatenate(
         [
@@ -402,21 +445,23 @@ def fused_loop_integrate(
         axis=1,
     )
     ist = jnp.zeros((B, N_I), jnp.int32)
+    saves0 = tuple(
+        jnp.zeros_like(p) for _ in range(n_grid - 2) for p in y0_parts
+    )
 
     def cond(carry):
-        _, ist, _ = carry
+        ist = carry[1]
         return jnp.any(ist[:, 1] == _RUNNING)
 
     def body(carry):
-        fs, ist, parts = carry
-        fs, ist, parts = fused_loop_chunk(
-            t_grid, fs, ist, parts, const_inputs, step_builder,
+        fs, ist, parts, saves = carry
+        return fused_loop_chunk(
+            t_grid, fs, ist, parts, saves, const_inputs, step_builder,
             chunk=chunk, adaptive=adaptive, ctl=ctl, tile=tile,
             interpret=interpret,
         )
-        return fs, ist, parts
 
-    fs, ist, parts = jax.lax.while_loop(
-        cond, body, (fs, ist, tuple(y0_parts))
+    fs, ist, parts, saves = jax.lax.while_loop(
+        cond, body, (fs, ist, tuple(y0_parts), saves0)
     )
-    return fs, ist, parts
+    return fs, ist, parts, saves

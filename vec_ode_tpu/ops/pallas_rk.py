@@ -258,7 +258,7 @@ class FusedModulatedLinearRK:
 
         if not (self.use_pallas and jax.default_backend() == "tpu"):
             return None
-        if t_grid.shape[0] != 2:
+        if t_grid.shape[0] > 10:   # interior saves live in kernel carry bufs
             return None
         if ctl.pi or ctl.scaled_error or ctl.strict_end_test:
             return None
@@ -283,20 +283,25 @@ class FusedModulatedLinearRK:
         )
         M0 = jnp.asarray(self.M0, y0.re.dtype)
         M1 = jnp.asarray(self.M1, y0.re.dtype)
-        fs, ist, parts = fused_loop_integrate(
+        fs, ist, parts, saves = fused_loop_integrate(
             t_grid, (y0.re, y0.im), h0, [M0, M1], builder,
             adaptive=True, ctl=ctl, chunk=chunk, tile=loop_tile,
         )
         x_final = Cplx(*parts)
-        reached = ist[:, 0] >= 2
+        n_grid = t_grid.shape[0]
+        interior = [Cplx(saves[2 * g], saves[2 * g + 1])
+                    for g in range(n_grid - 2)]
+        reached = ist[:, 0] >= n_grid
 
         def sel_end(xf):
             m_ = reached.reshape(reached.shape + (1,) * (xf.ndim - 1))
             return jnp.where(m_, xf, jnp.zeros_like(xf))
 
         ys = jax.tree_util.tree_map(
-            lambda x0l, xfl: jnp.stack([x0l, sel_end(xfl)], axis=1),
-            y0, x_final,
+            lambda x0l, *rest: jnp.stack(
+                [x0l, *rest[:-1], sel_end(rest[-1])], axis=1
+            ),
+            y0, *interior, x_final,
         )
         return Solution(
             ts=jnp.broadcast_to(t_grid, (B,) + t_grid.shape),
