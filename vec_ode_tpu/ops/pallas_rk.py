@@ -267,6 +267,12 @@ class FusedModulatedLinearRK:
         if y0.re.ndim != 2:
             return None
         B, d = y0.re.shape
+        # measured crossover: the loop kernel (tile<=128, chunked) wins below
+        # ~2k trajectories where per-iteration dispatch dominates; above,
+        # the per-step kernel (tile 256, XLA-pipelined across iterations) is
+        # ~15-20% faster — fall back there
+        if B > 2048:
+            return None
         # loop-kernel tile caps at 128: tile=256 at 64+ grid cells crashes
         # the TPU runtime (empirically; the per-step kernel is fine at 256 —
         # the loop kernel holds more live state per cell)
