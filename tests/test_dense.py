@@ -308,3 +308,36 @@ def test_dense_pdense_consistent_with_hermite():
                             **kw)  # same advance; hermite only if p absent
     np.testing.assert_allclose(np.asarray(sol_p.ys), np.asarray(sol_h.ys),
                                rtol=1e-9, atol=1e-11)
+
+
+def test_solve_linear_dense_modulated_stepper():
+    """Dense output with a modulated-operator stepper: slopes via
+    op.assemble (the `op` branch in solve_linear_dense)."""
+    from vec_ode_tpu import exp as vexp
+    from vec_ode_tpu.dense import solve_linear_dense
+    from vec_ode_tpu.models import DrivenDense
+    from vec_ode_tpu.ops import cplx as cp
+
+    model = DrivenDense.make(d=6, seed=2)
+    mod = model.modulated(jnp.float64)
+    rng = np.random.default_rng(3)
+    z = rng.standard_normal(6) + 1j * rng.standard_normal(6)
+    z /= np.linalg.norm(z)
+    psi0 = cp.from_complex(z, jnp.float64)
+    save = jnp.asarray([0.3, 0.8])
+
+    sol = solve_linear_dense(
+        None, 0.0, 1.2, psi0, stepper=vexp.MagnusModulated4(mod),
+        adaptive=True, ctl=vo.StepControl(rtol=1e-8, max_dt=0.2),
+        save_at=save,
+    )
+    assert bool(np.asarray(sol.status) == vo.DONE)
+    # reference: grid-hitting solve at the same times
+    sol_ref = vo.solve_linear(
+        None, 0.0, 1.2, psi0, stepper=vexp.MagnusModulated4(mod),
+        adaptive=True, ctl=vo.StepControl(rtol=1e-8, max_dt=0.2),
+        save_at=save,
+    )
+    np.testing.assert_allclose(np.asarray(sol.ys.re),
+                               np.asarray(sol_ref.ys.re),
+                               rtol=1e-5, atol=1e-7)

@@ -289,3 +289,32 @@ def test_ensemble_h0_range_validation():
     # fixed-step mode is exempt (as in the reference's no_adaptive flow)
     sol = ensemble_solve(f, y0, 0.0, 1.0, ctl=ctl, h0=1e-2)
     assert (np.asarray(sol.status) == vo.DONE).all()
+
+
+def test_compact_with_fsal_stepper():
+    """ensemble_solve_compact threads the FSAL carry (regression: the
+    vmapped carry-stepper needs 4-arg in_axes and a seeded carry)."""
+    from vec_ode_tpu.parallel import ensemble_solve_compact
+    from vec_ode_tpu.tableaus import DOPRI5
+
+    rng = np.random.default_rng(2)
+    rates = jnp.asarray([0.5, 1.0, 3.0, 9.0])
+    y0 = (jnp.ones((4, 1)), rates[:, None])
+
+    def rhs(t, y):
+        x, r = y
+        return (-r * x, jnp.zeros_like(r))
+
+    st = vo.RungeKutta(DOPRI5, advance_lower=False)
+    assert st.has_carry
+    ctl = vo.StepControl(rtol=1e-8, min_dt=1e-8, max_dt=0.5)
+    sol_c, stats = ensemble_solve_compact(
+        rhs, y0, 0.0, 1.0, stepper=st, ctl=ctl, h0=1e-2,
+        chunk_iters=16, min_batch=1, bucket_multiple=1,
+    )
+    sol_p = ensemble_solve(rhs, y0, 0.0, 1.0, stepper=st, ctl=ctl, h0=1e-2)
+    assert (np.asarray(sol_c.status) == vo.DONE).all()
+    np.testing.assert_array_equal(np.asarray(sol_c.n_accept),
+                                  np.asarray(sol_p.n_accept))
+    np.testing.assert_allclose(np.asarray(sol_c.y_final[0]),
+                               np.asarray(sol_p.y_final[0]), rtol=0, atol=0)

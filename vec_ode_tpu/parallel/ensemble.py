@@ -324,13 +324,16 @@ def ensemble_solve_compact(
 
     if stepper is None:
         stepper = RungeKutta()
+    has_carry = getattr(stepper, "has_carry", False)
     if getattr(stepper, "is_batched", False):
         step_fn = stepper.make_step_fn(rhs_or_op)
         enorm = getattr(stepper, "error_norm", None) or lc.norm_l2_batched
     else:
         # vmap the per-trajectory stepper into a batched step_fn
         base = stepper.make_step_fn(rhs_or_op)
-        step_fn = jax.vmap(base, in_axes=(0, 0, 0))
+        step_fn = jax.vmap(
+            base, in_axes=(0, 0, 0, 0) if has_carry else (0, 0, 0)
+        )
         enorm = (
             jax.vmap(error_norm)
             if error_norm is lc.norm_l2 else error_norm
@@ -342,7 +345,14 @@ def ensemble_solve_compact(
         h0 = ctl.init_h()
 
     B = jax.tree_util.tree_leaves(y0_batch)[0].shape[0]
-    state = init_state(y0_batch, t_grid, h0, batch_shape=(B,))
+    carry0 = ()
+    if has_carry:
+        # seed the stepper carry (e.g. the FSAL slope) per trajectory
+        carry0 = jax.vmap(
+            stepper.make_init_carry(rhs_or_op), in_axes=(None, 0)
+        )(t_grid[0], y0_batch)
+    state = init_state(y0_batch, t_grid, h0, batch_shape=(B,),
+                       stepper_carry=carry0)
     ts_grid = state.ts_grid
 
     run = jax.jit(
