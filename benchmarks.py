@@ -173,9 +173,14 @@ def bench_magnus4_driven(results):
     })
 
 
-def _bench_modulated(results, make_stepper, label, B=256):
+def _bench_modulated(results, make_stepper, label, B=256, length=16):
     """Shared harness: adaptive exp integrator on the Bx64-dim driven
-    Hamiltonian via the modulated shared-basis fast path (exp/modulated.py)."""
+    Hamiltonian via the modulated shared-basis fast path (exp/modulated.py).
+
+    ``length`` solves are chained inside one jitted scan: the tunnel's
+    ~60 ms fixed per-dispatch latency would otherwise dominate (at B=256 a
+    whole solve is ~1.5 ms of device time) — the chained aggregate is the
+    sustained device rate, still conservatively INCLUDING one dispatch."""
     model = DrivenDense.make(d=64, seed=0)
     rng = np.random.default_rng(3)
     psi0 = rng.standard_normal((B, 64)) + 1j * rng.standard_normal((B, 64))
@@ -200,7 +205,7 @@ def _bench_modulated(results, make_stepper, label, B=256):
             return (yn, acc + sol.n_accept), None
 
         zeros = jnp.zeros((y0.re.shape[0],), jnp.int32)
-        (yf, acc), _ = jax.lax.scan(body, (y0, zeros), None, length=4)
+        (yf, acc), _ = jax.lax.scan(body, (y0, zeros), None, length=length)
         return acc, yf
 
     def sync():

@@ -373,6 +373,35 @@ class TestFusedLoop:
         np.testing.assert_allclose(np.asarray(sol_f.ys.re[:, 1]),
                                    np.asarray(sol_f.y_final.re), atol=0)
 
+    def test_persistent_matches_chunked(self):
+        """The persistent (single-launch, in-kernel while) loop and the
+        chunked (XLA while of 8-iteration kernels) loop share the iteration
+        body — results must be bit-identical, including counters."""
+        mod, y0, t_grid = self._setup()
+        st = vexp.MagnusModulated4(mod, interpret=True)
+        ctl = vo.StepControl(rtol=1e-4, min_dt=1e-5, max_dt=0.2,
+                             max_steps=500)
+        orig = jax.default_backend
+        try:
+            jax.default_backend = lambda: "tpu"
+            sol_p = st.fused_loop_solve(y0, t_grid, 1e-2, ctl=ctl,
+                                        adaptive=True, persistent=True)
+            sol_c = st.fused_loop_solve(y0, t_grid, 1e-2, ctl=ctl,
+                                        adaptive=True, persistent=False)
+        finally:
+            jax.default_backend = orig
+        assert sol_p is not None and sol_c is not None
+        for name in ("status", "n_accept", "n_reject", "n_iters"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(sol_p, name)),
+                np.asarray(getattr(sol_c, name)), err_msg=name)
+        np.testing.assert_array_equal(np.asarray(sol_p.t_final),
+                                      np.asarray(sol_c.t_final))
+        np.testing.assert_array_equal(np.asarray(sol_p.y_final.re),
+                                      np.asarray(sol_c.y_final.re))
+        np.testing.assert_array_equal(np.asarray(sol_p.y_final.im),
+                                      np.asarray(sol_c.y_final.im))
+
     def test_max_steps_status(self):
         mod, y0, t_grid = self._setup()
         st = vexp.MagnusModulated4(mod, interpret=True)

@@ -292,9 +292,11 @@ def _apply_chains(op: ModulatedOperator, basis_w, norms, chains, x, *,
 
 
 def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
-                    adaptive, chunk=8):
+                    adaptive, chunk=8, persistent=None):
     """Shared fused-integrator-loop harness (ops/pallas_loop.py): runs the
-    ENTIRE adaptive loop on-chip in chunked kernel invocations and builds a
+    ENTIRE adaptive loop on-chip — by default as ONE persistent kernel
+    launch per solve (in-kernel while loop; ``persistent=False`` falls back
+    to chunked launches of ``chunk`` iterations) — and builds a
     driver-compatible Solution. Returns None when the configuration is not
     kernel-eligible (the caller falls back to the XLA driver)."""
     from ..driver import Solution
@@ -335,7 +337,8 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
     )
     fs, ist, xparts, saves = fused_loop_integrate(
         t_grid, parts, h0, [basis_w], builder,
-        adaptive=adaptive, ctl=ctl, chunk=chunk, tile=t_eff,
+        adaptive=adaptive, ctl=ctl, chunk=chunk,
+        persistent=(persistent is None or persistent), tile=t_eff,
         interpret=stepper.interpret,
     )
     x_final = Cplx(*xparts) if op.is_cplx else xparts[0]
@@ -443,7 +446,7 @@ class MidpointModulated:
         return step_cols
 
     def fused_loop_solve(self, y0, t_grid, h0, *, ctl, adaptive,
-                         chunk: int = 8):
+                         chunk: int = 8, persistent=None):
         """Whole-loop on-chip integration (ops/pallas_loop.py); None if the
         config is not kernel-eligible. Midpoint has no error estimate, so
         adaptive requests fall back (the driver raises the proper error)."""
@@ -451,7 +454,7 @@ class MidpointModulated:
             return None
         return _fused_loop_run(
             self, self._step_cols_fn(), 1, 1, y0, t_grid, h0, ctl,
-            adaptive=False, chunk=chunk,
+            adaptive=False, chunk=chunk, persistent=persistent,
         )
 
 
@@ -580,7 +583,7 @@ class MagnusModulated4:
         return step_cols
 
     def fused_loop_solve(self, y0, t_grid, h0, *, ctl, adaptive,
-                         chunk: int = 8):
+                         chunk: int = 8, persistent=None):
         """Whole-loop on-chip integration (ops/pallas_loop.py); None if the
         config is not kernel-eligible."""
         if adaptive != self.adaptive:
@@ -588,6 +591,7 @@ class MagnusModulated4:
         return _fused_loop_run(
             self, self._step_cols_fn(), 2 if self.adaptive else 1, 1,
             y0, t_grid, h0, ctl, adaptive=adaptive, chunk=chunk,
+            persistent=persistent,
         )
 
 
@@ -763,7 +767,7 @@ class CFMModulated:
         return step_cols
 
     def fused_loop_solve(self, y0, t_grid, h0, *, ctl, adaptive,
-                         chunk: int = 8):
+                         chunk: int = 8, persistent=None):
         """Whole-loop on-chip integration (ops/pallas_loop.py); None if the
         config is not kernel-eligible."""
         has_err = self.alpha_err is not None
@@ -773,6 +777,7 @@ class CFMModulated:
             self, self._step_cols_fn(), 2 if has_err else 1,
             np.asarray(self.alpha).shape[0],
             y0, t_grid, h0, ctl, adaptive=adaptive, chunk=chunk,
+            persistent=persistent,
         )
 
 

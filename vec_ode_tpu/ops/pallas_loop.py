@@ -9,6 +9,12 @@ loop body on-chip: one kernel invocation advances every trajectory by
 ``chunk`` driver iterations — stepper, embedded error norm, accept/reject
 controller, step-size update, grid/end handling and all counters — so the
 per-iteration XLA cost collapses to (4 carry buffers + 1 launch) / chunk.
+In PERSISTENT mode (``chunk=None`` / ``fused_loop_integrate(persistent=
+True)``, the default in the steppers) the kernel instead loops in-kernel
+until every lane of its tile has finished: the whole solve is ONE launch,
+and each grid tile stops at ITS OWN last running lane rather than the
+global maximum (measured on-TPU: bit-identical to chunked, ~equal at one
+tile, ~5-7% faster at 16+ tiles from the per-tile early exit).
 
 Faithful port of ``driver.step_once`` for small save grids (the default
 [t0, tf] plus up to a handful of interior save_at times, hit exactly and
@@ -53,11 +59,16 @@ def _make_loop_kernel(
     step_builder: Callable,
     n_state: int,
     n_const: int,
-    chunk: int,
+    chunk,
     adaptive: bool,
     ctl,
     n_grid: int = 2,
 ):
+    """chunk: int -> advance every lane by ``chunk`` iterations (the caller
+    loops over chunks in XLA); None -> PERSISTENT kernel: an in-kernel
+    while_loop runs until every lane in the tile has left RUNNING (bounded
+    by ``ctl.max_steps``, which forces ERR_MAX_STEPS) — the whole solve is
+    ONE kernel launch."""
     rtol = float(ctl.rtol)
     alpha = float(ctl.alpha)
     inv_order = 1.0 / float(ctl.order)
@@ -105,7 +116,7 @@ def _make_loop_kernel(
 
         step = step_builder(const_refs)
 
-        def iteration(_, carry):
+        def iteration(carry):
             (t, h, prev_h, err_prev, xv, tgt, status, event, n_acc, n_rej,
              n_it, streak, saves) = carry
             running = status == _RUNNING
@@ -195,7 +206,21 @@ def _make_loop_kernel(
             is_ref[:, 4:5], is_ref[:, 5:6], is_ref[:, 6:7],
             saves,
         )
-        carry = jax.lax.fori_loop(0, chunk, iteration, carry)
+        if chunk is None:
+            # persistent: loop in-kernel until the tile's last lane leaves
+            # RUNNING (int32 max rather than jnp.any — Mosaic-safe scalar
+            # reduction); max_steps forces every lane out in bounded time
+            def still_running(carry):
+                status = carry[6]
+                return jnp.max(
+                    jnp.where(status == _RUNNING, 1, 0).astype(jnp.int32)
+                ) > 0
+
+            carry = jax.lax.while_loop(still_running, iteration, carry)
+        else:
+            carry = jax.lax.fori_loop(
+                0, chunk, lambda _, c: iteration(c), carry
+            )
         (t, h, prev_h, err_prev, xv, tgt, status, event, n_acc, n_rej,
          n_it, streak, saves) = carry
 
@@ -352,13 +377,15 @@ def fused_loop_chunk(
     const_inputs: Sequence[jax.Array],
     step_builder: Callable,
     *,
-    chunk: int,
+    chunk,
     adaptive: bool,
     ctl,
     tile: int = 256,
     interpret: bool = False,
 ):
-    """Advance every trajectory by ``chunk`` driver iterations in ONE kernel.
+    """Advance every trajectory by ``chunk`` driver iterations in ONE kernel
+    (``chunk=None``: to COMPLETION — persistent kernel, see
+    ``_make_loop_kernel``).
 
     Returns (fs, ist, x_parts, saves) updated."""
     n_state = len(x_parts)
@@ -422,12 +449,15 @@ def fused_loop_integrate(
     adaptive: bool,
     ctl,
     chunk: int = 8,
+    persistent: bool = False,
     tile: int = 256,
     interpret: bool = False,
 ):
     """Full integration over [t_grid[0], t_grid[-1]]: an XLA while loop of
-    fused chunks; interior grid times are hit exactly and recorded
-    in-kernel.
+    fused chunks, or — with ``persistent=True`` — ONE kernel launch whose
+    in-kernel while loop runs each tile to completion (no XLA loop at all;
+    the per-solve launch cost drops from n_iters/chunk launches to 1).
+    Interior grid times are hit exactly and recorded in-kernel either way.
 
     Returns (fs, ist, x_parts, saves) final carries; the caller builds the
     Solution (ys = [x0, *saves, x_final]) — see exp/modulated.py."""
@@ -448,6 +478,13 @@ def fused_loop_integrate(
     saves0 = tuple(
         jnp.zeros_like(p) for _ in range(n_grid - 2) for p in y0_parts
     )
+
+    if persistent:
+        return fused_loop_chunk(
+            t_grid, fs, ist, tuple(y0_parts), saves0, const_inputs,
+            step_builder, chunk=None, adaptive=adaptive, ctl=ctl,
+            tile=tile, interpret=interpret,
+        )
 
     def cond(carry):
         ist = carry[1]

@@ -245,13 +245,14 @@ class FusedModulatedLinearRK:
         )
 
     def fused_loop_solve(self, y0, t_grid, h0, *, ctl, adaptive,
-                         chunk: int = 8):
+                         chunk: int = 8, persistent=None):
         """Whole-loop on-chip integration (ops/pallas_loop.py): the entire
         adaptive RK driver — stages, embedded error, controller, counters —
-        runs in chunked kernel invocations. Returns None when the config is
-        not kernel-eligible (interior grids, PI/scaled/strict controller
-        options, lane-misaligned shapes) so the caller falls back to the
-        XLA driver + per-step kernel."""
+        runs on-chip, by default as ONE persistent kernel launch per solve
+        (``persistent=False``: chunked launches of ``chunk`` iterations).
+        Returns None when the config is not kernel-eligible (interior
+        grids, PI/scaled/strict controller options, lane-misaligned shapes)
+        so the caller falls back to the XLA driver + per-step kernel."""
         from ..driver import Solution
         from ..ops.cplx import Cplx
         from .pallas_loop import fused_loop_integrate, make_rk_step_builder
@@ -291,7 +292,8 @@ class FusedModulatedLinearRK:
         M1 = jnp.asarray(self.M1, y0.re.dtype)
         fs, ist, parts, saves = fused_loop_integrate(
             t_grid, (y0.re, y0.im), h0, [M0, M1], builder,
-            adaptive=True, ctl=ctl, chunk=chunk, tile=loop_tile,
+            adaptive=True, ctl=ctl, chunk=chunk,
+            persistent=(persistent is None or persistent), tile=loop_tile,
         )
         x_final = Cplx(*parts)
         n_grid = t_grid.shape[0]
