@@ -373,6 +373,97 @@ class TestFusedLoop:
         np.testing.assert_allclose(np.asarray(sol_f.ys.re[:, 1]),
                                    np.asarray(sol_f.y_final.re), atol=0)
 
+    def test_pi_controller_matches_xla_driver(self):
+        """Opt-in PI (Gustafsson) control now runs IN-KERNEL: statuses,
+        trajectories, and (mostly) accept counts must match the XLA driver
+        with the same ctl.pi configuration."""
+        mod, y0, t_grid = self._setup()
+        ctl = vo.StepControl(rtol=1e-4, min_dt=1e-5, max_dt=0.2,
+                             max_steps=500, pi=True, pi_order=4.0)
+        st_f = vexp.MagnusModulated4(mod, interpret=True)
+        sol_f = self._run_fused(st_f, y0, t_grid, ctl, True)
+        assert sol_f is not None, "fused loop did not engage with ctl.pi"
+
+        from vec_ode_tpu.driver import integrate
+
+        st_x = vexp.MagnusModulated4(mod, use_pallas=False)
+        sol_x = integrate(
+            st_x.make_step_fn(), y0, t_grid, 1e-2, adaptive=True, ctl=ctl,
+            error_norm=st_x.error_norm, batch_shape=(y0.re.shape[0],),
+        )
+        assert (np.asarray(sol_f.status) == vo.DONE).all()
+        a_f, a_x = np.asarray(sol_f.n_accept), np.asarray(sol_x.n_accept)
+        # exp(log)/power marginal flips, as in test_matches_xla_driver
+        assert (a_f == a_x).mean() > 0.8, (a_f, a_x)
+        np.testing.assert_allclose(np.asarray(sol_f.y_final.re),
+                                   np.asarray(sol_x.y_final.re),
+                                   rtol=1e-4, atol=1e-4)
+        # PI control must actually differ from the I controller
+        ctl_i = vo.StepControl(rtol=1e-4, min_dt=1e-5, max_dt=0.2,
+                               max_steps=500)
+        sol_i = self._run_fused(st_f, y0, t_grid, ctl_i, True)
+        assert (np.asarray(sol_i.n_accept) != a_f).any()
+
+    def test_strict_end_test_in_kernel(self):
+        """strict_end_test (the reference's unscaled eps end test) is now
+        kernel-eligible; for |t| ~ 1 it is behaviorally identical to the
+        default scaled test (see controller.end_tolerance) — results must
+        be bit-identical."""
+        mod, y0, t_grid = self._setup()
+        st = vexp.MagnusModulated4(mod, interpret=True)
+        base = dict(rtol=1e-4, min_dt=1e-5, max_dt=0.2, max_steps=500)
+        sol_s = self._run_fused(st, y0, t_grid,
+                                vo.StepControl(strict_end_test=True, **base),
+                                True)
+        sol_d = self._run_fused(st, y0, t_grid, vo.StepControl(**base), True)
+        assert sol_s is not None
+        assert (np.asarray(sol_s.status) == vo.DONE).all()
+        np.testing.assert_array_equal(np.asarray(sol_s.n_accept),
+                                      np.asarray(sol_d.n_accept))
+        np.testing.assert_array_equal(np.asarray(sol_s.y_final.re),
+                                      np.asarray(sol_d.y_final.re))
+
+    def test_scaled_error_in_kernel(self):
+        """ctl.scaled_error engages the fused loop (scaling lives in the
+        step builder, which holds the error vector). Oracle: hand-scaled
+        controller semantics — with states on the unit sphere, scaled_error
+        at (atol ~ 0, rtol) behaves like the plain norm at measure/rtol'
+        where the scale is ~ rtol*|x|; we check statuses, step-count
+        plausibility, and accuracy against the unscaled solve."""
+        mod, y0, t_grid = self._setup()
+        st = vexp.MagnusModulated4(mod, interpret=True)
+        ctl_s = vo.StepControl(rtol=1e-4, atol=1e-10, scaled_error=True,
+                               min_dt=1e-5, max_dt=0.2, max_steps=500)
+        sol_s = self._run_fused(st, y0, t_grid, ctl_s, True)
+        assert sol_s is not None, "fused loop did not engage with scaled"
+        assert (np.asarray(sol_s.status) == vo.DONE).all()
+        ctl_u = vo.StepControl(rtol=1e-4, min_dt=1e-5, max_dt=0.2,
+                               max_steps=500)
+        sol_u = self._run_fused(st, y0, t_grid, ctl_u, True)
+        # |psi| = 1 per trajectory => per-component scale ~ rtol*|x_i| makes
+        # the scaled measure STRICTER than the raw norm here (mean |x_i| =
+        # 1/sqrt(d) < 1): more steps, and an accurate trajectory
+        assert (np.asarray(sol_s.n_accept) >= np.asarray(sol_u.n_accept)).all()
+        np.testing.assert_allclose(np.asarray(sol_s.y_final.re),
+                                   np.asarray(sol_u.y_final.re),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_scaled_error_xla_fallback_raises(self):
+        """When the fused loop cannot engage, scaled_error with a
+        norm-returning stepper must raise the dedicated error, not a
+        tree-structure crash."""
+        from vec_ode_tpu.parallel import ensemble_solve
+
+        mod, y0, _ = self._setup()
+        st = vexp.MagnusModulated4(mod, use_pallas=False)  # never engages
+        with pytest.raises(ValueError, match="norm-returning stepper"):
+            ensemble_solve(
+                None, y0, 0.0, 0.5, stepper=st, adaptive=True,
+                ctl=vo.StepControl(rtol=1e-4, scaled_error=True,
+                                   min_dt=1e-5, max_dt=0.2),
+                h0=1e-2, time_dtype=jnp.float32,
+            )
+
     def test_persistent_matches_chunked(self):
         """The persistent (single-launch, in-kernel while) loop and the
         chunked (XLA while of 8-iteration kernels) loop share the iteration
@@ -450,10 +541,8 @@ class TestFusedLoop:
         mod, y0, t_grid = self._setup()
         st = vexp.MagnusModulated4(mod, interpret=True)
         ctl = vo.StepControl(rtol=1e-4)
-        # PI controller -> not eligible
-        assert self._run_fused(
-            st, y0, t_grid, vo.StepControl(rtol=1e-4, pi=True), True
-        ) is None
+        # (PI / scaled_error / strict_end_test are now ELIGIBLE — covered
+        # by the dedicated tests above)
         # LARGE interior save grid -> not eligible (in-kernel save bufs)
         from vec_ode_tpu.driver import make_grid
 

@@ -193,3 +193,74 @@ def test_rk_fused_loop_interpret_matches_driver(monkeypatch):
     np.testing.assert_allclose(np.asarray(sol_f.y_final.re),
                                np.asarray(sol_x.y_final.re),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_rk_fused_loop_scaled_error_matches_vector_stepper(monkeypatch):
+    """ctl.scaled_error in the RK loop kernel: the builder scales the error
+    VECTOR exactly as controller.error_measure does for vector-error
+    steppers. Oracle: the plain (non-batched) RungeKutta stepper with the
+    same tableau and the same modulated-linear RHS, vmapped by the driver,
+    where the XLA path natively implements scaled_error."""
+    import vec_ode_tpu as vo
+    from vec_ode_tpu.driver import make_grid
+    from vec_ode_tpu.models import DrivenDense
+    from vec_ode_tpu.ops import cplx as cp
+    from vec_ode_tpu.ops import pallas_loop
+    from vec_ode_tpu.ops.pallas_rk import FusedModulatedLinearRK
+    from vec_ode_tpu.parallel import ensemble_solve
+
+    model = DrivenDense.make(d=64, seed=0)
+    rng = np.random.default_rng(33)
+    B = 16
+    z = rng.standard_normal((B, 64)) + 1j * rng.standard_normal((B, 64))
+    z /= np.linalg.norm(z, axis=-1, keepdims=True)
+    y0 = cp.from_complex(z, jnp.float32)
+    ctl = vo.StepControl(rtol=1e-4, atol=1e-8, scaled_error=True,
+                         min_dt=1e-6, max_dt=0.25, max_steps=500)
+    t_grid = make_grid(jnp.float32(0), jnp.float32(0.3), dtype=jnp.float32)
+
+    st = FusedModulatedLinearRK.from_driven_dense(model, jnp.float32)
+    orig_chunk = pallas_loop.fused_loop_chunk
+
+    def chunk_interp(*args, **kw):
+        kw["interpret"] = True
+        kw["tile"] = 8
+        return orig_chunk(*args, **kw)
+
+    monkeypatch.setattr(pallas_loop, "fused_loop_chunk", chunk_interp)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    sol_f = st.fused_loop_solve(y0, t_grid, 1e-2, ctl=ctl, adaptive=True)
+    assert sol_f is not None, "fused RK loop did not engage with scaled"
+    assert (np.asarray(sol_f.status) == vo.DONE).all()
+
+    # vector-error oracle: same widened real-pair linear RHS, same tableau,
+    # scalar driver vmapped by ensemble_solve; scaled_error handled by
+    # controller.error_measure on the error vector
+    M0 = jnp.asarray(st.M0, jnp.float32)
+    M1 = jnp.asarray(st.M1, jnp.float32)
+
+    def rhs(t, xw):
+        from vec_ode_tpu.utils.prec import HIGHEST
+        u = jnp.cos(jnp.float32(model.w) * t)
+        return (jnp.einsum("ij,j->i", M0, xw, precision=HIGHEST)
+                + u * jnp.einsum("ij,j->i", M1, xw, precision=HIGHEST))
+
+    yw0 = jnp.concatenate([y0.re, y0.im], axis=-1)
+    sol_v = ensemble_solve(rhs, yw0, 0.0, 0.3,
+                           stepper=vo.RungeKutta(vo.RKF45), adaptive=True,
+                           ctl=ctl, h0=1e-2, time_dtype=jnp.float32)
+    assert (np.asarray(sol_v.status) == vo.DONE).all()
+    a_f, a_v = np.asarray(sol_f.n_accept), np.asarray(sol_v.n_accept)
+    assert (a_f == a_v).mean() > 0.8, (a_f, a_v)
+    yf_f = np.concatenate([np.asarray(sol_f.y_final.re),
+                           np.asarray(sol_f.y_final.im)], axis=-1)
+    np.testing.assert_allclose(yf_f, np.asarray(sol_v.y_final),
+                               rtol=2e-4, atol=2e-4)
+    # and scaled at tiny atol on unit-sphere states is stricter than plain
+    sol_u = st.fused_loop_solve(
+        y0, t_grid, 1e-2,
+        ctl=vo.StepControl(rtol=1e-4, min_dt=1e-6, max_dt=0.25,
+                           max_steps=500),
+        adaptive=True)
+    assert (np.asarray(sol_f.n_accept)
+            >= np.asarray(sol_u.n_accept)).all()

@@ -310,8 +310,6 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
         return None
     if t_grid.shape[0] > 10:   # interior saves live in kernel carry bufs
         return None
-    if ctl.pi or ctl.scaled_error or ctl.strict_end_test:
-        return None
     parts = (y0.re, y0.im) if op.is_cplx else (y0,)
     if parts[0].ndim != 2:
         return None
@@ -334,6 +332,7 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
     builder = make_chain_step_builder(
         C, R, basis_w.shape[0], m, float(theta), stepper.max_squarings,
         step_cols_fn,
+        scaled=(ctl.atol, ctl.rtol) if ctl.scaled_error else None,
     )
     fs, ist, xparts, saves = fused_loop_integrate(
         t_grid, parts, h0, [basis_w], builder,

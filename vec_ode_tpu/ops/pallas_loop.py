@@ -22,6 +22,10 @@ recorded in-kernel; large grids use the XLA driver), with the
 reference controller semantics (ode.rs:311-334: f = rtol/||err||, accept
 iff f > 1, new_h = clip(alpha * f^(1/order), min_factor, max_factor) * h
 clipped to [min_dt, max_dt]) and the driver's status/event bookkeeping.
+The controller extensions run in-kernel too: opt-in PI (Gustafsson)
+control (controller.py:109-135), ``scaled_error`` norms (scaling happens
+in the step builders, which hold the error VECTOR), and the reference's
+``strict_end_test``.
 
 Carry layout (per trajectory): floats [t, h, prev_h, err_norm] in one
 (B, 4) buffer; int32 [tgt_idx, status, last_event, n_accept, n_reject,
@@ -76,6 +80,10 @@ def _make_loop_kernel(
     min_dt, max_dt = float(ctl.min_dt), float(ctl.max_dt)
     max_steps = int(ctl.max_steps)
     max_streak = int(ctl.max_reject_streak)
+    pi = bool(ctl.pi)
+    k_i = 0.7 / float(ctl.pi_order)
+    k_p = 0.4 / float(ctl.pi_order)
+    strict_end = bool(ctl.strict_end_test)
 
     # interior save slots (t_grid[1:-1]) are recorded in-kernel; slot 0
     # (= x0) and the final slot (= x at DONE) are reconstructed by the host
@@ -125,7 +133,12 @@ def _make_loop_kernel(
             chk_t = jnp.full_like(t, tf)
             for g in range(n_grid - 1):
                 chk_t = jnp.where(tgt == g, tg_ref[0, g], chk_t)
-            tol = 4.0 * eps * jnp.maximum(1.0, jnp.abs(chk_t))
+            # end test: controller.end_tolerance (strict = the reference's
+            # unscaled approx::relative_eq(rem, 0), ode.rs:389-393)
+            if strict_end:
+                tol = jnp.full_like(chk_t, eps)
+            else:
+                tol = 4.0 * eps * jnp.maximum(1.0, jnp.abs(chk_t))
             rem = chk_t - t
             at_grid = jnp.abs(rem) <= tol
             past_end = tgt >= n_grid - 1
@@ -140,9 +153,24 @@ def _make_loop_kernel(
             if adaptive:
                 measure = err
                 f = rtol / measure
-                fp = alpha * jnp.exp(
-                    jnp.log(f) * inv_order
-                )  # f^(1/order); f>0 or inf/NaN, handled below
+                # f^p via exp(log(f)*p): f >= 0; 0 -> 0, inf -> inf, NaN
+                # handled by bad_f below (same convention as the I-term)
+                fp_i = alpha * jnp.exp(jnp.log(f) * inv_order)
+                if pi:
+                    # Gustafsson PI (controller.controller_update):
+                    # alpha * f^kI * (f/f_prev)^kP, I-term after rejects
+                    f_prev = rtol / err_prev
+                    f_prev = jnp.where(
+                        jnp.isfinite(f_prev) & (f_prev > 0.0), f_prev, f
+                    )
+                    ratio = jnp.clip(f / f_prev, 1e-8, 1e8)
+                    ratio = jnp.where(jnp.isnan(ratio), 1.0, ratio)
+                    fp_pi = alpha * jnp.exp(
+                        jnp.log(f) * k_i + jnp.log(ratio) * k_p
+                    )
+                    fp = jnp.where(streak > 0, fp_i, fp_pi)
+                else:
+                    fp = fp_i
                 fp = jnp.clip(fp, min_f, max_f)
                 bad_f = jnp.isnan(f)
                 fp = jnp.where(bad_f, min_f, fp)
@@ -239,11 +267,16 @@ def _make_loop_kernel(
 
 
 def make_chain_step_builder(C: int, R: int, K: int, m: int, theta: float,
-                            max_squarings: int, step_cols_fn: Callable):
+                            max_squarings: int, step_cols_fn: Callable,
+                            scaled=None):
     """Step builder for modulated-operator exponential steppers: the chain
     coefficient rows come from ``step_cols_fn(t_col, dt_col)`` (quadrature
     sampling in-kernel) and the propagator action runs as a per-tile-scaled
-    Taylor chain over the shared basis (const input 0: (K, D, D))."""
+    Taylor chain over the shared basis (const input 0: (K, D, D)).
+
+    ``scaled=(atol, rtol)`` switches the error norm to the controller's
+    ``scaled_error`` mode (controller.error_measure): per-component
+    err/(atol + rtol*max(|x|, |x_next|)), L2-normed, times rtol."""
 
     def builder(const_refs):
         (basis_ref,) = const_refs
@@ -298,7 +331,15 @@ def make_chain_step_builder(C: int, R: int, K: int, m: int, theta: float,
                 outs.append(v)
             if C >= 2:
                 dv = outs[1] - outs[0]
+                if scaled is not None:
+                    atol_s, rtol_s = scaled
+                    sc = atol_s + rtol_s * jnp.maximum(
+                        jnp.abs(xv), jnp.abs(outs[0])
+                    )
+                    dv = dv / sc
                 en = jnp.sqrt(jnp.sum(dv * dv, axis=1, keepdims=True))
+                if scaled is not None:
+                    en = en * scaled[1]
             else:
                 en = jnp.zeros((xv.shape[0], 1), dtype)
             return outs[0], en
@@ -308,11 +349,13 @@ def make_chain_step_builder(C: int, R: int, K: int, m: int, theta: float,
     return builder
 
 
-def make_rk_step_builder(tab, u_fn: Callable, advance_lower: bool):
+def make_rk_step_builder(tab, u_fn: Callable, advance_lower: bool,
+                         scaled=None):
     """Step builder for the modulated-linear RK stepper: dx/dt =
     (M0 + u(t) M1) x with shared embedded matrices (const inputs 0, 1) and
     a kernel-compatible per-trajectory modulation u(t) — the in-loop twin
-    of ops/pallas_rk._make_kernel."""
+    of ops/pallas_rk._make_kernel. ``scaled``: see
+    ``make_chain_step_builder``."""
     s = tab.stages
     a = tab.a
     b = tab.b
@@ -360,7 +403,15 @@ def make_rk_step_builder(tab, u_fn: Callable, advance_lower: bool):
                 err_acc = term if err_acc is None else err_acc + term
             err = dt * err_acc
             x_next = (x_b - err) if advance_lower else x_b
+            if scaled is not None:
+                atol_s, rtol_s = scaled
+                sc = atol_s + rtol_s * jnp.maximum(
+                    jnp.abs(xw), jnp.abs(x_next)
+                )
+                err = err / sc
             en = jnp.sqrt(jnp.sum(err * err, axis=1, keepdims=True))
+            if scaled is not None:
+                en = en * scaled[1]
             return x_next, en
 
         return step

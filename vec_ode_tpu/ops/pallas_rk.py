@@ -250,9 +250,11 @@ class FusedModulatedLinearRK:
         adaptive RK driver — stages, embedded error, controller, counters —
         runs on-chip, by default as ONE persistent kernel launch per solve
         (``persistent=False``: chunked launches of ``chunk`` iterations).
-        Returns None when the config is not kernel-eligible (interior
-        grids, PI/scaled/strict controller options, lane-misaligned shapes)
-        so the caller falls back to the XLA driver + per-step kernel."""
+        Supports the full controller surface in-kernel (reference I
+        controller, opt-in PI, scaled_error, strict_end_test). Returns None
+        when the config is not kernel-eligible (large interior grids,
+        lane-misaligned shapes, B above the loop/per-step crossover) so the
+        caller falls back to the XLA driver + per-step kernel."""
         from ..driver import Solution
         from ..ops.cplx import Cplx
         from .pallas_loop import fused_loop_integrate, make_rk_step_builder
@@ -260,8 +262,6 @@ class FusedModulatedLinearRK:
         if not (self.use_pallas and jax.default_backend() == "tpu"):
             return None
         if t_grid.shape[0] > 10:   # interior saves live in kernel carry bufs
-            return None
-        if ctl.pi or ctl.scaled_error or ctl.strict_end_test:
             return None
         if not adaptive or self.tableau.b_err is None:
             return None
@@ -286,7 +286,8 @@ class FusedModulatedLinearRK:
             return None
 
         builder = make_rk_step_builder(
-            self.tableau, self.u_fn, self.advance_lower
+            self.tableau, self.u_fn, self.advance_lower,
+            scaled=(ctl.atol, ctl.rtol) if ctl.scaled_error else None,
         )
         M0 = jnp.asarray(self.M0, y0.re.dtype)
         M1 = jnp.asarray(self.M1, y0.re.dtype)

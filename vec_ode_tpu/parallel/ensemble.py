@@ -135,6 +135,15 @@ def ensemble_solve(
                 sol = fused_solve(y0, t_grid, h, ctl=ctl, adaptive=adaptive)
             if sol is not None:
                 return sol
+            if ctl.scaled_error and stepper_norm is not None:
+                # error_measure rescales the error VECTOR; this stepper
+                # returns per-trajectory norms, so only its fused loop
+                # kernel (which holds the vector) can scale them
+                raise ValueError(
+                    "scaled_error with a norm-returning stepper requires "
+                    "the fused loop kernel, which did not engage for this "
+                    "configuration (see fused_loop_solve eligibility)"
+                )
             sol = integrate(
                 step_fn, y0, t_grid, h,
                 adaptive=adaptive, ctl=ctl,
