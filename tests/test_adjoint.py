@@ -28,8 +28,9 @@ def _random_antiherm_basis(K, d, seed):
 
 
 def _coeff_fn(t, theta):
+    # trailing-K convention (ModulatedOperator: batched t -> (..., K))
     return jnp.stack([jnp.ones_like(jnp.asarray(t)) * 1.0,
-                      theta[0] * jnp.cos(theta[1] * t)])
+                      theta[0] * jnp.cos(theta[1] * t)], axis=-1)
 
 
 def _oracle_solve(basis, theta, y0w, t0, tf, n_steps, order):
@@ -163,6 +164,121 @@ def test_adjoint_forward_value_and_unitarity():
                                atol=5e-8)
     np.testing.assert_allclose(np.asarray(yf.im), np.asarray(sol.y_final.im),
                                atol=5e-8)
+
+
+def test_adaptive_adjoint_matches_frozen_sequence_oracle():
+    """adjoint_solve_adaptive: gradients equal jax.grad of the discrete
+    map over the RECORDED accepted step sequence (frozen-step-sequence
+    discrete adjoint). The oracle replays the sequence with differentiable
+    expm steps; the sequence itself comes from driving the public
+    init_state/step_once machinery."""
+    import vec_ode_tpu as vo
+    from vec_ode_tpu.diff import adjoint_solve_adaptive
+    from vec_ode_tpu.driver import init_state, make_grid, step_once
+    from vec_ode_tpu.exp.modulated import MagnusModulated4
+
+    d, K, B = 3, 2, 4
+    basis = _random_antiherm_basis(K, d, seed=8)
+    rng = np.random.default_rng(9)
+    z = rng.standard_normal((B, d)) + 1j * rng.standard_normal((B, d))
+    z /= np.linalg.norm(z, axis=-1, keepdims=True)
+    y0 = cp.from_complex(z, jnp.float64)
+    theta = jnp.asarray([0.9, 2.2], jnp.float64)
+    # large h0 forces early rejects -> the dt=0 identity rows are exercised
+    ctl = vo.StepControl(rtol=1e-7, atol=1e-9, min_dt=1e-7, max_dt=0.4,
+                         max_steps=256)
+    h0 = 0.4
+
+    def loss_adj(th, y):
+        yf = adjoint_solve_adaptive(basis, _coeff_fn, th, y, 0.0, 1.0,
+                                    ctl=ctl, h0=h0)
+        yw = jnp.concatenate([yf.re, yf.im], axis=-1)
+        return jnp.sum(yw[:, 0] ** 2)
+
+    va, (ga_th, ga_y) = jax.value_and_grad(
+        loss_adj, argnums=(0, 1))(theta, y0)
+
+    # record the accepted step sequence with the same stepper/controller
+    stepper = MagnusModulated4(
+        __import__("vec_ode_tpu.exp.modulated", fromlist=["ModulatedOperator"]
+                   ).ModulatedOperator(basis, lambda t: _coeff_fn(t, theta)),
+        adaptive=True, use_pallas=False,
+    )
+    step_fn = stepper.make_step_fn()
+    t_grid = make_grid(jnp.float64(0.0), jnp.float64(1.0),
+                       dtype=jnp.float64)
+    s = init_state(y0, t_grid, h0, batch_shape=(B,))
+    step1 = jax.jit(lambda st: step_once(
+        st, step_fn, adaptive=True, ctl=ctl,
+        error_norm=stepper.error_norm, batched=True))
+    ts = [np.asarray(s.t)]
+    for _ in range(ctl.max_steps):
+        s = step1(s)
+        ts.append(np.asarray(s.t))
+    assert (np.asarray(s.status) == vo.DONE).all()
+    assert int(np.asarray(s.n_reject).sum()) > 0, "want rejects in the run"
+    ts_all = jnp.asarray(np.stack(ts))            # (n_it+1, B)
+
+    ext, pairs = ModulatedOperator(basis, lambda t: None
+                                   ).commutator_extension()
+    W = _real_basis(ext)
+
+    def loss_orc(th, y):
+        y0w = jnp.concatenate([y.re, y.im], axis=-1)
+
+        def body(x, r):
+            t_r, dt_r = ts_all[r], ts_all[r + 1] - ts_all[r]
+            c = jax.vmap(
+                lambda t, dt: _magnus_cols(_coeff_fn, K, pairs, 4, th, t, dt)
+            )(t_r, dt_r)                          # (B, K'); 0 on dt=0 rows
+            M = jnp.einsum("bk,kij->bij", c, W, precision=HIGHEST)
+            U = jax.vmap(expm)(M)
+            return jnp.einsum("bij,bj->bi", U, x, precision=HIGHEST), None
+
+        xf, _ = jax.lax.scan(body, y0w, jnp.arange(ts_all.shape[0] - 1))
+        return jnp.sum(xf[:, 0] ** 2)
+
+    vo_, (go_th, go_y) = jax.value_and_grad(
+        loss_orc, argnums=(0, 1))(theta, y0)
+    np.testing.assert_allclose(float(va), float(vo_), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(ga_th), np.asarray(go_th),
+                               rtol=1e-7, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(ga_y.re), np.asarray(go_y.re),
+                               rtol=1e-7, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(ga_y.im), np.asarray(go_y.im),
+                               rtol=1e-7, atol=1e-11)
+
+
+def test_adaptive_adjoint_truncation_is_loud():
+    """A lane that exhausts ctl.max_steps before tf must come back NaN
+    (default) or carry ERR_MAX_STEPS (return_status=True) — never a
+    silently-truncated mid-integration state."""
+    import vec_ode_tpu as vo
+    from vec_ode_tpu.diff import adjoint_solve_adaptive
+
+    d, K, B = 3, 2, 2
+    basis = _random_antiherm_basis(K, d, seed=8)
+    rng = np.random.default_rng(9)
+    z = rng.standard_normal((B, d)) + 1j * rng.standard_normal((B, d))
+    z /= np.linalg.norm(z, axis=-1, keepdims=True)
+    y0 = cp.from_complex(z, jnp.float64)
+    theta = jnp.asarray([0.9, 2.2], jnp.float64)
+    ctl = vo.StepControl(rtol=1e-10, atol=1e-12, min_dt=1e-9, max_dt=0.05,
+                         max_steps=4)  # cannot reach tf=1.0
+
+    yf = adjoint_solve_adaptive(basis, _coeff_fn, theta, y0, 0.0, 1.0,
+                                ctl=ctl, h0=0.05)
+    assert np.isnan(np.asarray(yf.re)).all()
+    yf2, st = adjoint_solve_adaptive(basis, _coeff_fn, theta, y0, 0.0, 1.0,
+                                     ctl=ctl, h0=0.05, return_status=True)
+    assert (np.asarray(st) == vo.ERR_MAX_STEPS).all()
+    assert np.isfinite(np.asarray(yf2.re)).all()
+    # finished runs stay finite under the default poisoning path
+    ctl_ok = vo.StepControl(rtol=1e-7, atol=1e-9, min_dt=1e-7, max_dt=0.4,
+                            max_steps=256)
+    yf3 = adjoint_solve_adaptive(basis, _coeff_fn, theta, y0, 0.0, 1.0,
+                                 ctl=ctl_ok, h0=0.4)
+    assert np.isfinite(np.asarray(yf3.re)).all()
 
 
 def test_adjoint_memory_is_step_independent():

@@ -24,6 +24,13 @@ Three regimes:
     coefficient cotangents come from the augmented-matrix Fréchet identity
     exp([[M, V], [0, M]]) = [[e^M, D_V e^M], [0, e^M]], all expressed as
     the SAME shared-basis Taylor actions the forward pass uses.
+    :func:`adjoint_solve_adaptive` extends this to the REAL adaptive
+    driver: the forward pass records only the per-iteration times
+    ((max_steps, B) scalars, not the trajectory) and the backward sweep
+    replays the accepted step sequence in reverse (frozen-step-sequence
+    discrete adjoint); non-advancing iterations have dt = 0, which zeroes
+    both the backward map and the coefficient Jacobian, so rejected-trial
+    overflow can never reach the gradient.
 """
 
 from __future__ import annotations
@@ -130,47 +137,11 @@ def _magnus_cols(coeff_fn, K0, pairs, order, theta, t, dt):
     return w1
 
 
-def make_adjoint_solver(
-    basis,
-    coeff_fn: Callable,
-    *,
-    n_steps: int,
-    order: int = 4,
-    m: Optional[int] = None,
-    max_squarings: int = 16,
-    use_pallas: bool = True,
-):
-    """Build ``solve(theta, y0w, t0, tf) -> y_final_w`` over the WIDENED
-    real representation, with a custom O(1)-memory reversible-adjoint VJP
-    w.r.t. ``theta`` and ``y0w``.
-
-    basis: ``Cplx`` (K, d, d) or real (K, D, D) CONSTANT operator basis
-    (gradients w.r.t. the basis itself are not supported).
-    coeff_fn(t, theta) -> (K,) real modulation coefficients; ``theta`` is an
-    arbitrary differentiable pytree.
-
-    Fixed-step Magnus scheme (order 2 = exponential midpoint, order 4 =
-    Magnus-4 on the commutator-extended basis); every exponential is a
-    shared-basis scaling-and-Taylor ACTION (exp/modulated.py), forward and
-    backward alike.
-
-    The backward sweep per step n (from the terminal state, nothing stored):
-      1. x_n      = e^{-M_n} x_{n+1}           (trajectory reconstruction —
-                    exactly stable when the basis is anti-Hermitian; for
-                    dissipative operators this amplifies, use method="scan")
-      2. a_n      = e^{M_n^T} a_{n+1}          (state cotangent; transposed
-                    working basis, same coefficients)
-      3. c̄_k      = <a_{n+1}, D_{W_k} e^{M_n} x_n>  for every basis element,
-                    via ONE batched augmented action: the 2D-dim basis
-                    [[W_k, 0], [0, W_k]] ∪ [[0, W_k], [0, 0]] with one-hot
-                    upper coefficients computes all K' Fréchet directions as
-                    K' batch rows.
-      4. theta̅   += vjp of the coefficient formulas (pure scalar math).
-
-    Gradients are exact for the discrete scheme up to the Taylor truncation
-    of the action (~eps) and the reconstruction drift (~n_steps * eps for
-    norm-preserving operators). Cotangents for t0/tf are returned as zeros.
-    """
+def _adjoint_core(basis, coeff_fn, *, order, m, max_squarings, use_pallas):
+    """Shared reversible-adjoint machinery: the working basis (with
+    commutator extension for order 4), its transpose, the augmented Fréchet
+    basis, the per-step coefficient formulas, and the chain-action apply
+    (Pallas-routed on TPU). Returns (cols, _apply, W, WT, WA, Kp, D)."""
     from .exp.modulated import (
         ModulatedOperator,
         _pick_tile,
@@ -232,6 +203,55 @@ def make_adjoint_solver(
         return modulated_exp_apply(basis_w, c, xw, m=m,
                                    max_squarings=max_squarings)
 
+    return cols, _apply, W, WT, WA, Kp, D
+
+
+def make_adjoint_solver(
+    basis,
+    coeff_fn: Callable,
+    *,
+    n_steps: int,
+    order: int = 4,
+    m: Optional[int] = None,
+    max_squarings: int = 16,
+    use_pallas: bool = True,
+):
+    """Build ``solve(theta, y0w, t0, tf) -> y_final_w`` over the WIDENED
+    real representation, with a custom O(1)-memory reversible-adjoint VJP
+    w.r.t. ``theta`` and ``y0w``.
+
+    basis: ``Cplx`` (K, d, d) or real (K, D, D) CONSTANT operator basis
+    (gradients w.r.t. the basis itself are not supported).
+    coeff_fn(t, theta) -> (K,) real modulation coefficients; ``theta`` is an
+    arbitrary differentiable pytree.
+
+    Fixed-step Magnus scheme (order 2 = exponential midpoint, order 4 =
+    Magnus-4 on the commutator-extended basis); every exponential is a
+    shared-basis scaling-and-Taylor ACTION (exp/modulated.py), forward and
+    backward alike.
+
+    The backward sweep per step n (from the terminal state, nothing stored):
+      1. x_n      = e^{-M_n} x_{n+1}           (trajectory reconstruction —
+                    exactly stable when the basis is anti-Hermitian; for
+                    dissipative operators this amplifies, use method="scan")
+      2. a_n      = e^{M_n^T} a_{n+1}          (state cotangent; transposed
+                    working basis, same coefficients)
+      3. c̄_k      = <a_{n+1}, D_{W_k} e^{M_n} x_n>  for every basis element,
+                    via ONE batched augmented action: the 2D-dim basis
+                    [[W_k, 0], [0, W_k]] ∪ [[0, W_k], [0, 0]] with one-hot
+                    upper coefficients computes all K' Fréchet directions as
+                    K' batch rows.
+      4. theta̅   += vjp of the coefficient formulas (pure scalar math).
+
+    Gradients are exact for the discrete scheme up to the Taylor truncation
+    of the action (~eps) and the reconstruction drift (~n_steps * eps for
+    norm-preserving operators). Cotangents for t0/tf are returned as zeros.
+    """
+    cols, _apply, W, WT, WA, Kp, D = _adjoint_core(
+        basis, coeff_fn, order=order, m=m, max_squarings=max_squarings,
+        use_pallas=use_pallas,
+    )
+
     @jax.custom_vjp
     def solve(theta, y0w, t0, tf):
         dt = (jnp.asarray(tf) - t0) / n_steps
@@ -286,6 +306,176 @@ def make_adjoint_solver(
 
     solve.defvjp(fwd, bwd)
     return solve
+
+
+def make_adaptive_adjoint_solver(
+    basis,
+    coeff_fn: Callable,
+    *,
+    ctl: StepControl,
+    m: Optional[int] = None,
+    max_squarings: int = 16,
+    use_pallas: bool = True,
+):
+    """Adaptive-step variant of :func:`make_adjoint_solver` (Magnus-4 only):
+    ``solve(theta, y0w, t0, tf, h0) -> y_final_w`` runs the REAL adaptive
+    driver forward (driver.step_once semantics, ``ctl.max_steps`` bounded
+    iterations like ``method="scan"``), recording ONLY the per-iteration
+    times — a (max_steps, B) scalar buffer, not the trajectory. The
+    backward sweep replays the ACCEPTED step sequence in reverse with the
+    reversible-adjoint machinery; the step sizes are treated as constants
+    w.r.t. theta (the standard frozen-step-sequence discrete adjoint).
+
+    Iterations that did not advance (rejected trials, grid hits, finished
+    lanes) have dt = 0, which makes their exponent coefficients exactly
+    zero: the backward map is the identity and the coefficient Jacobian
+    vanishes, so rejected trials need no masking AND their (possibly
+    overflowed) values never enter the gradient — the NaN-through-rejects
+    hazard of differentiating the scan driver does not exist here.
+
+    Returns ``(y_final_w, status)`` — status per lane, exactly the
+    driver's codes. A lane that exhausts ``ctl.max_steps`` before
+    reaching ``tf`` holds a mid-integration state; callers must check
+    status (the :func:`adjoint_solve_adaptive` wrapper NaN-poisons such
+    lanes by default so truncation can never be silent)."""
+    from .exp.modulated import MagnusModulated4, ModulatedOperator, _unwiden
+    from .ops.cplx import Cplx
+
+    cols, _apply, W, WT, WA, Kp, D = _adjoint_core(
+        basis, coeff_fn, order=4, m=m, max_squarings=max_squarings,
+        use_pallas=use_pallas,
+    )
+    is_cplx = isinstance(basis, Cplx)
+
+    if ctl.max_steps > 65536:
+        raise ValueError(
+            "the adaptive adjoint runs EXACTLY ctl.max_steps forward "
+            f"iterations (got {ctl.max_steps}); set a tight max_steps"
+        )
+
+    @jax.custom_vjp
+    def solve(theta, y0w, t0, tf, h0):
+        yfw, status, ts_all = _forward(theta, y0w, t0, tf, h0)
+        return yfw, status
+
+    def _forward(theta, y0w, t0, tf, h0):
+        from .driver import init_state, step_once
+
+        stepper = MagnusModulated4(
+            ModulatedOperator(basis, lambda t: coeff_fn(t, theta)),
+            adaptive=True, m=m, max_squarings=max_squarings,
+            use_pallas=use_pallas,
+        )
+        step_fn = stepper.make_step_fn()
+        x0 = _unwiden(y0w, is_cplx)
+        B = y0w.shape[0]
+        tdt = jnp.asarray(t0).dtype
+        t_grid = jnp.stack([jnp.asarray(t0, tdt), jnp.asarray(tf, tdt)])
+        state = init_state(x0, t_grid, h0, batch_shape=(B,))
+
+        def body(s, _):
+            s2 = step_once(s, step_fn, adaptive=True, ctl=ctl,
+                           error_norm=stepper.error_norm, batched=True)
+            return s2, s.t
+
+        final, ts_hist = jax.lax.scan(body, state, None,
+                                      length=ctl.max_steps)
+        ts_all = jnp.concatenate([ts_hist, final.t[None]], axis=0)
+        from .exp.modulated import _widen
+        return _widen(final.x, is_cplx), final.status, ts_all
+
+    def fwd(theta, y0w, t0, tf, h0):
+        yfw, status, ts_all = _forward(theta, y0w, t0, tf, h0)
+        return (yfw, status), (theta, yfw, ts_all)
+
+    def bwd(res, cts):
+        ybar, _ = cts                            # int status: float0 cotangent
+        theta, yfw, ts_all = res
+        theta0 = jax.tree_util.tree_map(jnp.zeros_like, theta)
+
+        def body(carry, r):
+            x_next, a_next, th_bar = carry
+            t_r = ts_all[r]
+            dt_r = ts_all[r + 1] - ts_all[r]     # 0 on non-advancing rows
+            c, c_vjp = jax.vjp(
+                lambda th: jax.vmap(
+                    lambda t, d: cols(th, t, d)
+                )(t_r, dt_r),
+                theta,
+            )                                     # c: (B, Kp)
+            x_n = _apply(-c, x_next, W)
+            a_n = _apply(c, a_next, WT)
+            xa = jnp.concatenate([jnp.zeros_like(x_n), x_n], axis=-1)
+            xa = jnp.broadcast_to(xa, (Kp,) + xa.shape)
+            ca = jnp.concatenate(
+                [jnp.broadcast_to(c, (Kp,) + c.shape),
+                 jnp.broadcast_to(
+                     jnp.eye(Kp, dtype=c.dtype)[:, None, :],
+                     (Kp, c.shape[0], Kp),
+                 )], axis=-1,
+            )                                     # (Kp, B, 2Kp)
+            fre = _apply(ca, xa, WA)[..., :D]     # (Kp, B, D)
+            c_bar = jnp.einsum("kbi,bi->bk", fre, a_next).astype(c.dtype)
+            (th_step,) = c_vjp(c_bar)
+            th_bar = jax.tree_util.tree_map(jnp.add, th_bar, th_step)
+            return (x_n, a_n, th_bar), None
+
+        n_it = ts_all.shape[0] - 1
+        (x0_r, a0, th_bar), _ = jax.lax.scan(
+            body, (yfw, ybar, theta0),
+            jnp.arange(n_it - 1, -1, -1),
+        )
+        del x0_r
+        zf = lambda v: jnp.zeros_like(jnp.asarray(v))
+        return th_bar, a0, zf(ts_all[0, 0]), zf(ts_all[0, 0]), zf(ts_all[0, 0])
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
+def adjoint_solve_adaptive(
+    basis,
+    coeff_fn: Callable,
+    theta: Pytree,
+    y0: Pytree,
+    t0,
+    tf,
+    *,
+    ctl: StepControl,
+    h0=None,
+    m: Optional[int] = None,
+    max_squarings: int = 16,
+    use_pallas: bool = True,
+    return_status: bool = False,
+):
+    """Terminal state of the ADAPTIVE Magnus-4 solve of dx/dt = A(t;theta) x,
+    differentiable w.r.t. ``theta`` and ``y0`` with O(max_steps) scalar
+    memory (per-iteration times only — no stored trajectory). See
+    :func:`make_adaptive_adjoint_solver`.
+
+    Lanes that fail to reach ``tf`` within ``ctl.max_steps`` iterations are
+    NaN-POISONED (driver semantics would return a valid mid-integration
+    state + an error status; an optimizer loss must never silently train on
+    a truncated solve). Pass ``return_status=True`` to instead get
+    ``(y_final, status)`` with the un-poisoned states and per-lane driver
+    status codes."""
+    from .driver import DONE
+    from .exp.modulated import _unwiden, _widen
+    from .ops.cplx import Cplx
+
+    solver = make_adaptive_adjoint_solver(
+        basis, coeff_fn, ctl=ctl, m=m, max_squarings=max_squarings,
+        use_pallas=use_pallas,
+    )
+    if h0 is None:
+        h0 = ctl.init_h()
+    is_cplx = isinstance(y0, Cplx)
+    yfw, status = solver(theta, _widen(y0, is_cplx), t0, tf, h0)
+    if return_status:
+        return _unwiden(yfw, is_cplx), status
+    ok = (status == DONE)[:, None]
+    yfw = jnp.where(ok, yfw, jnp.asarray(jnp.nan, yfw.dtype))
+    return _unwiden(yfw, is_cplx)
 
 
 def adjoint_solve(
