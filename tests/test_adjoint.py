@@ -302,3 +302,63 @@ def test_adjoint_memory_is_step_independent():
             for l in jax.tree_util.tree_leaves(vjp_fn)
         )
         assert res_size < 200, (n, res_size)
+
+
+def test_adjoint_time_endpoint_gradients():
+    """t0/tf cotangents of the fixed-step adjoint are the EXACT discrete
+    gradients — central finite differences of the same solve at the same
+    n_steps must match to FD truncation error."""
+    import vec_ode_tpu as vo
+
+    d, K = 3, 2
+    basis = _random_antiherm_basis(K, d, seed=12)
+    rng = np.random.default_rng(13)
+    z = rng.standard_normal(d) + 1j * rng.standard_normal(d)
+    z /= np.linalg.norm(z)
+    y0 = cp.from_complex(z[None], jnp.float64)
+    theta = jnp.asarray([0.7, 2.1], jnp.float64)
+
+    def loss(t0, tf):
+        yf = adjoint_solve(basis, _coeff_fn, theta, y0, t0, tf,
+                           n_steps=64, order=4, use_pallas=False)
+        return jnp.sum(yf.re[:, 0] ** 2 + yf.im[:, 1] ** 2)
+
+    t0v, tfv = jnp.float64(0.1), jnp.float64(1.3)
+    g0, gf = jax.grad(loss, argnums=(0, 1))(t0v, tfv)
+    eps = 1e-6
+    fd0 = (loss(t0v + eps, tfv) - loss(t0v - eps, tfv)) / (2 * eps)
+    fdf = (loss(t0v, tfv + eps) - loss(t0v, tfv - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g0), float(fd0), rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(float(gf), float(fdf), rtol=1e-7, atol=1e-10)
+
+
+def test_adaptive_adjoint_time_endpoint_gradients():
+    """Adaptive endpoint cotangents use the continuous identity
+    dL/dtf = <a(tf), A(tf)x(tf)>; check against finite differences of the
+    adaptive solve itself (noise ~ rtol/eps, so tolerances are loose)."""
+    import vec_ode_tpu as vo
+    from vec_ode_tpu.diff import adjoint_solve_adaptive
+
+    d, K, B = 3, 2, 2
+    basis = _random_antiherm_basis(K, d, seed=14)
+    rng = np.random.default_rng(15)
+    z = rng.standard_normal((B, d)) + 1j * rng.standard_normal((B, d))
+    z /= np.linalg.norm(z, axis=-1, keepdims=True)
+    y0 = cp.from_complex(z, jnp.float64)
+    theta = jnp.asarray([0.7, 2.1], jnp.float64)
+    ctl = vo.StepControl(rtol=1e-9, atol=1e-11, min_dt=1e-9, max_dt=0.2,
+                         max_steps=1024)
+
+    def loss(t0, tf):
+        yf = adjoint_solve_adaptive(basis, _coeff_fn, theta, y0, t0, tf,
+                                    ctl=ctl, h0=0.05, use_pallas=False)
+        return jnp.sum(yf.re[:, 0] ** 2 + yf.im[:, 1] ** 2)
+
+    t0v, tfv = jnp.float64(0.1), jnp.float64(1.1)
+    v, (g0, gf) = jax.value_and_grad(loss, argnums=(0, 1))(t0v, tfv)
+    assert np.isfinite(float(v)), "base solve truncated — retune ctl"
+    eps = 1e-4  # FD noise ~ rtol/eps = 1e-5 relative; truncation ~ eps^2
+    fd0 = (loss(t0v + eps, tfv) - loss(t0v - eps, tfv)) / (2 * eps)
+    fdf = (loss(t0v, tfv + eps) - loss(t0v, tfv - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g0), float(fd0), rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(float(gf), float(fdf), rtol=2e-3, atol=1e-6)

@@ -386,3 +386,13 @@ def test_pair_multi_exp_contract_under_nesting(split_problem):
         for g, w in zip(got, want):
             np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                        atol=1e-13)
+
+
+def test_split_leaf_rejects_operator_argument():
+    """DenseSplit(Ht) / DenseCplxSplit(Ht) must raise, not silently bind the
+    operator function to max_squarings (the operator goes to solve_linear)."""
+    import pytest
+
+    for cls in (vexp.DenseSplit, vexp.DenseCplxSplit):
+        with pytest.raises(TypeError, match="solve_linear"):
+            cls(lambda t: t)

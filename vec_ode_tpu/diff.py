@@ -141,7 +141,8 @@ def _adjoint_core(basis, coeff_fn, *, order, m, max_squarings, use_pallas):
     """Shared reversible-adjoint machinery: the working basis (with
     commutator extension for order 4), its transpose, the augmented Fréchet
     basis, the per-step coefficient formulas, and the chain-action apply
-    (Pallas-routed on TPU). Returns (cols, _apply, W, WT, WA, Kp, D)."""
+    (Pallas-routed on TPU). Returns (cols, _apply, W, WT, WA, Kp, D, K0)
+    — K0 is the ORIGINAL basis size (W[:K0] is the un-extended basis)."""
     from .exp.modulated import (
         ModulatedOperator,
         _pick_tile,
@@ -203,7 +204,7 @@ def _adjoint_core(basis, coeff_fn, *, order, m, max_squarings, use_pallas):
         return modulated_exp_apply(basis_w, c, xw, m=m,
                                    max_squarings=max_squarings)
 
-    return cols, _apply, W, WT, WA, Kp, D
+    return cols, _apply, W, WT, WA, Kp, D, K0
 
 
 def make_adjoint_solver(
@@ -245,9 +246,11 @@ def make_adjoint_solver(
 
     Gradients are exact for the discrete scheme up to the Taylor truncation
     of the action (~eps) and the reconstruction drift (~n_steps * eps for
-    norm-preserving operators). Cotangents for t0/tf are returned as zeros.
+    norm-preserving operators). Cotangents for t0/tf are the EXACT
+    gradients of the discrete map: t_n = t0 + n·dt and dt = (tf − t0)/N
+    are differentiated through every step's coefficient formulas.
     """
-    cols, _apply, W, WT, WA, Kp, D = _adjoint_core(
+    cols, _apply, W, WT, WA, Kp, D, K0 = _adjoint_core(
         basis, coeff_fn, order=order, m=m, max_squarings=max_squarings,
         use_pallas=use_pallas,
     )
@@ -274,11 +277,13 @@ def make_adjoint_solver(
         tdt = jnp.asarray(t0).dtype
         dt = (jnp.asarray(tf) - t0) / n_steps
         theta0 = jax.tree_util.tree_map(jnp.zeros_like, theta)
+        z = jnp.zeros((), tdt)
 
         def body(carry, n):
-            x_next, a_next, th_bar = carry
+            x_next, a_next, th_bar, t0_bar, tf_bar = carry
             t = t0 + n * dt
-            c, c_vjp = jax.vjp(lambda th: cols(th, t, dt), theta)
+            c, c_vjp = jax.vjp(
+                lambda th, tt, dd: cols(th, tt, dd), theta, t, dt)
             x_n = _apply(-c, x_next, W)            # 1. reconstruct
             a_n = _apply(c, a_next, WT)            # 2. cotangent transport
             # 3. all Kp Fréchet directions as one batched augmented action
@@ -292,17 +297,23 @@ def make_adjoint_solver(
             c_bar = jnp.sum(
                 fre * a_next, axis=tuple(range(1, fre.ndim))
             ).astype(c.dtype)
-            (th_step,) = c_vjp(c_bar)              # 4. scalar-math vjp
+            th_step, t_bar, dt_bar = c_vjp(c_bar)  # 4. scalar-math vjp
             th_bar = jax.tree_util.tree_map(jnp.add, th_bar, th_step)
-            return (x_n, a_n, th_bar), None
+            # exact DISCRETE endpoint gradients: t_n = t0 + n·dt with
+            # dt = (tf − t0)/N, so ∂t_n/∂tf = n/N, ∂dt/∂tf = 1/N (and the
+            # complements for t0) — chain the per-step (t̄, dt̄) through
+            w = n / n_steps
+            tf_bar = tf_bar + t_bar * w + dt_bar / n_steps
+            t0_bar = t0_bar + t_bar * (1.0 - w) - dt_bar / n_steps
+            return (x_n, a_n, th_bar, t0_bar, tf_bar), None
 
-        (x0_r, a0, th_bar), _ = jax.lax.scan(
-            body, (yf, ybar, theta0),
+        (x0_r, a0, th_bar, t0_bar, tf_bar), _ = jax.lax.scan(
+            body, (yf, ybar, theta0, z, z),
             jnp.arange(n_steps - 1, -1, -1, dtype=tdt),
         )
         del x0_r  # reconstructed y0 (diagnostic only)
-        return (th_bar, a0, jnp.zeros_like(jnp.asarray(t0)),
-                jnp.zeros_like(jnp.asarray(tf)))
+        return (th_bar, a0, t0_bar.astype(jnp.asarray(t0).dtype),
+                tf_bar.astype(jnp.asarray(tf).dtype))
 
     solve.defvjp(fwd, bwd)
     return solve
@@ -333,6 +344,11 @@ def make_adaptive_adjoint_solver(
     overflowed) values never enter the gradient — the NaN-through-rejects
     hazard of differentiating the scan driver does not exist here.
 
+    Endpoint cotangents use the continuous adjoint identity
+    dL/dtf = <a(tf), A(tf)x(tf)> (and its t0 negative) — exact to the
+    integration order; h0's cotangent is zero by construction (the frozen
+    sequence absorbs it).
+
     Returns ``(y_final_w, status)`` — status per lane, exactly the
     driver's codes. A lane that exhausts ``ctl.max_steps`` before
     reaching ``tf`` holds a mid-integration state; callers must check
@@ -341,7 +357,7 @@ def make_adaptive_adjoint_solver(
     from .exp.modulated import MagnusModulated4, ModulatedOperator, _unwiden
     from .ops.cplx import Cplx
 
-    cols, _apply, W, WT, WA, Kp, D = _adjoint_core(
+    cols, _apply, W, WT, WA, Kp, D, K0 = _adjoint_core(
         basis, coeff_fn, order=4, m=m, max_squarings=max_squarings,
         use_pallas=use_pallas,
     )
@@ -425,9 +441,26 @@ def make_adaptive_adjoint_solver(
             body, (yfw, ybar, theta0),
             jnp.arange(n_it - 1, -1, -1),
         )
-        del x0_r
-        zf = lambda v: jnp.zeros_like(jnp.asarray(v))
-        return th_bar, a0, zf(ts_all[0, 0]), zf(ts_all[0, 0]), zf(ts_all[0, 0])
+
+        # endpoint gradients via the continuous adjoint identity
+        # dL/dtf = <a(tf), A(tf) x(tf)>, dL/dt0 = -<a(t0), A(t0) x(t0)>
+        # (the frozen step sequence has no differentiable endpoint
+        # dependence of its own; these are the true ODE sensitivities,
+        # accurate to the integration order). Per-lane final times cover
+        # truncated lanes; the wrapper's NaN-poison VJP zeroes their ybar.
+        from .utils.prec import HIGHEST
+
+        def At_x(t_b, x):
+            g = jax.vmap(lambda t: coeff_fn(t, theta))(t_b)   # (B, K0)
+            return jnp.einsum("bk,kij,bj->bi", g, W[:K0], x,
+                              precision=HIGHEST)
+
+        tdt = ts_all.dtype
+        tf_bar = jnp.sum(ybar * At_x(ts_all[-1], yfw)).astype(tdt)
+        t0_bar = -jnp.sum(a0 * At_x(ts_all[0], x0_r)).astype(tdt)
+        # h0 shapes the accepted sequence, which the discrete adjoint
+        # freezes — its cotangent is zero by construction
+        return th_bar, a0, t0_bar, tf_bar, jnp.zeros((), tdt)
 
     solve.defvjp(fwd, bwd)
     return solve

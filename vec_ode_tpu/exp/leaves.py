@@ -70,6 +70,17 @@ class DenseSplit(ExponentialSplit):
 
     max_squarings: int = 16
 
+    def __post_init__(self):
+        # the operator function belongs to solve_linear(op_fn, ...), not the
+        # leaf; DenseSplit(Ht) would otherwise silently bind Ht here
+        if not isinstance(self.max_squarings, int):
+            raise TypeError(
+                "max_squarings must be an int; split leaves take no operator "
+                "argument — pass the operator function to solve_linear / the "
+                "solver instead (got "
+                f"{type(self.max_squarings).__name__})"
+            )
+
     def exp(self, L):
         return expm(L, max_squarings=self.max_squarings)
 
@@ -167,6 +178,16 @@ class DenseCplxSplit(_CplxSplitBase):
     quantum problems on TPU (no eigh required)."""
 
     max_squarings: int = 16
+
+    def __post_init__(self):
+        # see DenseSplit.__post_init__ — DenseCplxSplit(Ht) is the same trap
+        if not isinstance(self.max_squarings, int):
+            raise TypeError(
+                "max_squarings must be an int; split leaves take no operator "
+                "argument — pass the operator function to solve_linear / the "
+                "solver instead (got "
+                f"{type(self.max_squarings).__name__})"
+            )
 
     def exp(self, L):
         # keep the propagator in EMBEDDED real (..., 2d, 2d) form: apply is
