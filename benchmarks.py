@@ -241,6 +241,49 @@ def bench_magnus4_modulated_4k(results):
     )
 
 
+def bench_adjoint_grad(results, B=256, d=64, n_steps=256, length=4):
+    """Reversible-adjoint gradient throughput: value_and_grad of a transfer
+    fidelity through a full fixed-step Magnus-4 solve (forward + backward
+    reconstruction + Fréchet cotangents, all Pallas chain actions).
+    Reported as integration steps/sec counting forward AND backward sweeps
+    (2*n_steps per solve); ``length`` losses chained per dispatch."""
+    from vec_ode_tpu.models import PulseControl
+
+    pc = PulseControl.make(d=d, seed=0, T=1.0, n_modes=6)
+    rng = np.random.default_rng(3)
+    psi0 = rng.standard_normal((B, d)) + 1j * rng.standard_normal((B, d))
+    psi0 /= np.linalg.norm(psi0, axis=-1, keepdims=True)
+    tgt = np.roll(psi0, 1, axis=-1)
+    y0 = cp.from_complex(psi0, jnp.float32)
+    tg = cp.from_complex(tgt, jnp.float32)
+    theta = jnp.full((6,), 0.1, jnp.float32)
+
+    vg = jax.value_and_grad(
+        lambda th: pc.infidelity(th, y0, tg, n_steps=n_steps,
+                                 dtype=jnp.float32))
+
+    @jax.jit
+    def run(th):
+        def body(t, _):
+            v, g = vg(t)
+            return t - 1e-3 * g, v
+
+        thf, vs = jax.lax.scan(body, th, None, length=length)
+        return thf, vs
+
+    def sync():
+        thf, vs = run(theta)
+        return float(np.asarray(vs[-1])), np.asarray(thf)
+
+    wall, _ = timed(sync)
+    steps = 2 * n_steps * B * length
+    results.append({
+        "metric": f"adjoint value_and_grad steps/sec, {B}x{d}-dim complex, "
+                  f"Magnus-4 n_steps={n_steps} (fwd+bwd counted)",
+        "value": round(steps / wall, 1), "unit": "steps/sec",
+    })
+
+
 def bench_lz_sweep_efficiency(results):
     """Straggler accounting on a heterogeneous Landau-Zener sweep: plain
     batched loop vs host-compacted re-batching (VERDICT r1 item 6)."""
@@ -291,6 +334,7 @@ ALL = {
     "cfm4_modulated": bench_cfm4_modulated,
     "magnus4_modulated": bench_magnus4_modulated,
     "magnus4_modulated_4k": bench_magnus4_modulated_4k,
+    "adjoint_grad": bench_adjoint_grad,
     "lz_sweep_efficiency": bench_lz_sweep_efficiency,
 }
 

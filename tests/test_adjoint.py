@@ -362,3 +362,32 @@ def test_adaptive_adjoint_time_endpoint_gradients():
     fdf = (loss(t0v, tfv + eps) - loss(t0v, tfv - eps)) / (2 * eps)
     np.testing.assert_allclose(float(g0), float(fd0), rtol=2e-3, atol=1e-6)
     np.testing.assert_allclose(float(gf), float(fdf), rtol=2e-3, atol=1e-6)
+
+
+def test_pulse_control_optimization_end_to_end():
+    """Quantum optimal control through the reversible adjoint: Adam on the
+    sine-mode pulse of models.PulseControl drives a 4-level state transfer
+    from fidelity ~0.01 to >0.98 — the full capability chain (model →
+    adjoint_solve → jax.value_and_grad → optax) in one loop."""
+    import optax
+
+    from vec_ode_tpu.models import PulseControl
+
+    pc = PulseControl.make(d=4, seed=0, T=5.0, n_modes=6)
+    psi0 = cp.from_complex(np.eye(4)[0][None].astype(complex), jnp.float64)
+    tgt = cp.from_complex(np.eye(4)[2][None].astype(complex), jnp.float64)
+    theta = 0.1 * jnp.ones(6, jnp.float64)
+
+    vg = jax.jit(jax.value_and_grad(
+        lambda th: pc.infidelity(th, psi0, tgt, n_steps=192,
+                                 use_pallas=False)))
+    opt = optax.adam(0.3)
+    st = opt.init(theta)
+    hist = []
+    for _ in range(150):
+        v, g = vg(theta)
+        hist.append(float(v))
+        up, st = opt.update(g, st)
+        theta = optax.apply_updates(theta, up)
+    assert hist[0] > 0.9, "initial transfer should be near-orthogonal"
+    assert min(hist) < 0.02, f"optimization stalled: best inf {min(hist)}"

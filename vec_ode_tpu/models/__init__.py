@@ -3,7 +3,7 @@
 from .chains import TightBindingChain
 from .linear import DecayDiag, LinearConstant, stable_dense_matrix
 from .nonlinear import Brusselator, LotkaVolterra, VanDerPol
-from .quantum import DrivenDense, LandauZener
+from .quantum import DrivenDense, LandauZener, PulseControl
 
 __all__ = [
     "LinearConstant",
@@ -14,5 +14,6 @@ __all__ = [
     "Brusselator",
     "LandauZener",
     "DrivenDense",
+    "PulseControl",
     "TightBindingChain",
 ]

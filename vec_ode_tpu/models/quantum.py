@@ -168,3 +168,70 @@ class DrivenDense:
         y0 = cmatvec(A0, psi)
         yv = cmatvec(AV, psi)
         return Cplx(y0.re + c * yv.re, y0.im + c * yv.im)
+
+
+@dataclasses.dataclass(frozen=True)
+class PulseControl:
+    """Quantum optimal control (state transfer): H(t; θ) = H0 + u(t; θ) Hc
+    with a sine-series pulse u(t; θ) = Σ_j θ_j sin(jπ t / T) (so u vanishes
+    at both endpoints). The control task — maximize the transfer fidelity
+    \\|<tgt|ψ(T)>\\|² over θ — is the canonical workload for
+    :func:`vec_ode_tpu.diff.adjoint_solve`: thousands of optimizer steps,
+    each a full solve + O(1)-memory gradient.
+
+    The reference crate has no control/autodiff machinery at all (its diff
+    module is declared empty, lib.rs:12); this model exists to exercise and
+    demonstrate capability the rebuild adds.
+    """
+
+    H0: np.ndarray          # (d, d) complex Hermitian drift
+    Hc: np.ndarray          # (d, d) complex Hermitian control
+    T: float = 3.0          # pulse duration
+    n_modes: int = 4        # sine modes in the pulse parameterization
+
+    @staticmethod
+    def make(d: int = 4, seed: int = 0, T: float = 3.0, n_modes: int = 4):
+        rng = np.random.default_rng(seed)
+        M = rng.standard_normal((d, d)) + 1j * rng.standard_normal((d, d))
+        H0 = (M + M.conj().T) / (2 * math.sqrt(d))
+        N = rng.standard_normal((d, d)) + 1j * rng.standard_normal((d, d))
+        Hc = (N + N.conj().T) / (2 * math.sqrt(d))
+        return PulseControl(H0=H0, Hc=Hc, T=T, n_modes=n_modes)
+
+    def basis_pair(self, dtype=jnp.float64):
+        """Cplx (2, d, d) basis [-iH0, -iHc] for the modulated adjoint path."""
+        from ..ops.cplx import Cplx, from_complex
+
+        H0 = from_complex(self.H0, dtype)
+        Hc = from_complex(self.Hc, dtype)
+        return Cplx(jnp.stack([H0.im, Hc.im]), jnp.stack([-H0.re, -Hc.re]))
+
+    def coeff_fn(self, t, theta):
+        """(…, 2) modulation coefficients [1, u(t; θ)] — trailing-K, batched
+        t safe; differentiable w.r.t. θ and t (adjoint requirements)."""
+        t = jnp.asarray(t)
+        j = jnp.arange(1, self.n_modes + 1, dtype=theta.dtype)
+        u = jnp.sum(theta * jnp.sin(j * (jnp.pi / self.T) * t[..., None]),
+                    axis=-1)
+        return jnp.stack([jnp.ones_like(u), u], axis=-1)
+
+    def pulse(self, t, theta):
+        """u(t; θ) alone (plotting/diagnostics)."""
+        return self.coeff_fn(t, theta)[..., 1]
+
+    def fidelity(self, psi, tgt):
+        """\\|<tgt|psi>\\|² for Cplx states (trailing state axis)."""
+        re = jnp.sum(tgt.re * psi.re + tgt.im * psi.im, axis=-1)
+        im = jnp.sum(tgt.re * psi.im - tgt.im * psi.re, axis=-1)
+        return re * re + im * im
+
+    def infidelity(self, theta, psi0, tgt, *, n_steps=256, order=4,
+                   use_pallas=True, dtype=jnp.float64):
+        """1 − fidelity of the θ-controlled transfer ψ0 → tgt at t = T,
+        differentiable via the O(1)-memory reversible adjoint."""
+        from ..diff import adjoint_solve
+
+        yf = adjoint_solve(self.basis_pair(dtype), self.coeff_fn, theta,
+                           psi0, 0.0, self.T, n_steps=n_steps, order=order,
+                           use_pallas=use_pallas)
+        return 1.0 - jnp.sum(self.fidelity(yf, tgt))
