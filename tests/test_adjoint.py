@@ -391,3 +391,69 @@ def test_pulse_control_optimization_end_to_end():
         theta = optax.apply_updates(theta, up)
     assert hist[0] > 0.9, "initial transfer should be near-orthogonal"
     assert min(hist) < 0.02, f"optimization stalled: best inf {min(hist)}"
+
+
+@pytest.mark.parametrize("saves", [(8, 16, 24), (5, 16, 24), (24,)])
+def test_adjoint_trajectory_saves_match_oracle(saves):
+    """save_at_steps: multi-time trajectory losses — values and ALL
+    gradients (theta, y0, t0, tf) equal jax.grad of the expm-scan oracle
+    accumulating the same loss at the same steps. Covers the uniform
+    (nested-scan), irregular (unrolled), and terminal-only cases."""
+    d, K, B, N = 3, 2, 2, 24
+    basis = _random_antiherm_basis(K, d, seed=1)
+    rng = np.random.default_rng(2)
+    z = rng.standard_normal((B, d)) + 1j * rng.standard_normal((B, d))
+    z /= np.linalg.norm(z, axis=-1, keepdims=True)
+    y0 = cp.from_complex(z, jnp.float64)
+    theta = jnp.asarray([0.8, 2.5], jnp.float64)
+
+    def loss(th, y, t0, tf):
+        ys = adjoint_solve(basis, _coeff_fn, th, y, t0, tf, N, order=4,
+                           use_pallas=False, save_at_steps=saves)
+        return jnp.sum(ys.re[..., 0] ** 2) + 0.5 * jnp.sum(ys.im[..., 1] ** 2)
+
+    ext, pairs = ModulatedOperator(basis, lambda t: None
+                                   ).commutator_extension()
+    W = _real_basis(ext)
+
+    def loss_orc(th, y, t0, tf):
+        dt = (tf - t0) / N
+        y0w = jnp.concatenate([y.re, y.im], axis=-1)
+
+        def body(x, n):
+            c = _magnus_cols(_coeff_fn, K, pairs, 4, th, t0 + n * dt, dt)
+            U = expm(jnp.einsum("k,kij->ij", c, W, precision=HIGHEST))
+            return jnp.einsum("ij,bj->bi", U, x, precision=HIGHEST), None
+
+        acc, x, prev = 0.0, y0w, 0
+        for s in saves:
+            x, _ = jax.lax.scan(body, x,
+                                jnp.arange(prev, s, dtype=jnp.float64))
+            prev = s
+            acc = acc + (jnp.sum(x[:, :d][..., 0] ** 2)
+                         + 0.5 * jnp.sum(x[:, d:][..., 1] ** 2))
+        return acc
+
+    args = (theta, y0, jnp.float64(0.2), jnp.float64(1.4))
+    v, g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(*args)
+    vo_, go = jax.value_and_grad(loss_orc, argnums=(0, 1, 2, 3))(*args)
+    np.testing.assert_allclose(float(v), float(vo_), rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(g[0]), np.asarray(go[0]),
+                               rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(g[1].re), np.asarray(go[1].re),
+                               rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(g[1].im), np.asarray(go[1].im),
+                               rtol=1e-8, atol=1e-11)
+    for i in (2, 3):
+        np.testing.assert_allclose(float(g[i]), float(go[i]),
+                                   rtol=1e-8, atol=1e-11)
+
+
+def test_adjoint_saves_validation():
+    basis = _random_antiherm_basis(2, 3, seed=1)
+    y0 = cp.from_complex(np.ones((1, 3)).astype(complex), jnp.float64)
+    theta = jnp.asarray([0.8, 2.5], jnp.float64)
+    for bad in [(0, 4), (4, 4), (5, 3), (9,), ()]:
+        with pytest.raises(ValueError, match="save_at_steps"):
+            adjoint_solve(basis, _coeff_fn, theta, y0, 0.0, 1.0, 8,
+                          use_pallas=False, save_at_steps=bad)

@@ -24,6 +24,10 @@ Three regimes:
     coefficient cotangents come from the augmented-matrix Fréchet identity
     exp([[M, V], [0, M]]) = [[e^M, D_V e^M], [0, e^M]], all expressed as
     the SAME shared-basis Taylor actions the forward pass uses.
+    ``save_at_steps`` extends the same machinery to TRAJECTORY losses
+    (states at S chosen steps, O(S) memory): the backward sweep injects
+    each save point's cotangent as it crosses it and re-anchors the
+    reconstruction on the saved state.
     :func:`adjoint_solve_adaptive` extends this to the REAL adaptive
     driver: the forward pass records only the per-iteration times
     ((max_steps, B) scalars, not the trajectory) and the backward sweep
@@ -279,39 +283,169 @@ def make_adjoint_solver(
         theta0 = jax.tree_util.tree_map(jnp.zeros_like, theta)
         z = jnp.zeros((), tdt)
 
-        def body(carry, n):
-            x_next, a_next, th_bar, t0_bar, tf_bar = carry
-            t = t0 + n * dt
-            c, c_vjp = jax.vjp(
-                lambda th, tt, dd: cols(th, tt, dd), theta, t, dt)
-            x_n = _apply(-c, x_next, W)            # 1. reconstruct
-            a_n = _apply(c, a_next, WT)            # 2. cotangent transport
-            # 3. all Kp Fréchet directions as one batched augmented action
-            xa = jnp.concatenate([jnp.zeros_like(x_n), x_n], axis=-1)
-            xa = jnp.broadcast_to(xa, (Kp,) + xa.shape)
-            ca = jnp.concatenate(
-                [jnp.broadcast_to(c, (Kp, Kp)),
-                 jnp.eye(Kp, dtype=c.dtype)], axis=-1,
-            ).reshape((Kp,) + (1,) * (x_n.ndim - 1) + (2 * Kp,))
-            fre = _apply(ca, xa, WA)[..., :D]      # (Kp, ..., D)
-            c_bar = jnp.sum(
-                fre * a_next, axis=tuple(range(1, fre.ndim))
-            ).astype(c.dtype)
-            th_step, t_bar, dt_bar = c_vjp(c_bar)  # 4. scalar-math vjp
-            th_bar = jax.tree_util.tree_map(jnp.add, th_bar, th_step)
-            # exact DISCRETE endpoint gradients: t_n = t0 + n·dt with
-            # dt = (tf − t0)/N, so ∂t_n/∂tf = n/N, ∂dt/∂tf = 1/N (and the
-            # complements for t0) — chain the per-step (t̄, dt̄) through
-            w = n / n_steps
-            tf_bar = tf_bar + t_bar * w + dt_bar / n_steps
-            t0_bar = t0_bar + t_bar * (1.0 - w) - dt_bar / n_steps
-            return (x_n, a_n, th_bar, t0_bar, tf_bar), None
-
+        body = _bwd_step(cols, _apply, W, WT, WA, Kp, D,
+                         theta, t0, dt, n_steps)
         (x0_r, a0, th_bar, t0_bar, tf_bar), _ = jax.lax.scan(
             body, (yf, ybar, theta0, z, z),
             jnp.arange(n_steps - 1, -1, -1, dtype=tdt),
         )
         del x0_r  # reconstructed y0 (diagnostic only)
+        return (th_bar, a0, t0_bar.astype(jnp.asarray(t0).dtype),
+                tf_bar.astype(jnp.asarray(tf).dtype))
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
+def _bwd_step(cols, _apply, W, WT, WA, Kp, D, theta, t0, dt, n_steps):
+    """One reverse step of the reversible adjoint (shared by the terminal
+    and trajectory-saves solvers). Carry: (x_next, a_next, th̄, t0̄, tf̄)."""
+
+    def body(carry, n):
+        x_next, a_next, th_bar, t0_bar, tf_bar = carry
+        t = t0 + n * dt
+        c, c_vjp = jax.vjp(
+            lambda th, tt, dd: cols(th, tt, dd), theta, t, dt)
+        x_n = _apply(-c, x_next, W)            # 1. reconstruct
+        a_n = _apply(c, a_next, WT)            # 2. cotangent transport
+        # 3. all Kp Fréchet directions as one batched augmented action
+        xa = jnp.concatenate([jnp.zeros_like(x_n), x_n], axis=-1)
+        xa = jnp.broadcast_to(xa, (Kp,) + xa.shape)
+        ca = jnp.concatenate(
+            [jnp.broadcast_to(c, (Kp, Kp)),
+             jnp.eye(Kp, dtype=c.dtype)], axis=-1,
+        ).reshape((Kp,) + (1,) * (x_n.ndim - 1) + (2 * Kp,))
+        fre = _apply(ca, xa, WA)[..., :D]      # (Kp, ..., D)
+        c_bar = jnp.sum(
+            fre * a_next, axis=tuple(range(1, fre.ndim))
+        ).astype(c.dtype)
+        th_step, t_bar, dt_bar = c_vjp(c_bar)  # 4. scalar-math vjp
+        th_bar = jax.tree_util.tree_map(jnp.add, th_bar, th_step)
+        # exact DISCRETE endpoint gradients: t_n = t0 + n·dt with
+        # dt = (tf − t0)/N, so ∂t_n/∂tf = n/N, ∂dt/∂tf = 1/N (and the
+        # complements for t0) — chain the per-step (t̄, dt̄) through
+        w = n / n_steps
+        tf_bar = tf_bar + t_bar * w + dt_bar / n_steps
+        t0_bar = t0_bar + t_bar * (1.0 - w) - dt_bar / n_steps
+        return (x_n, a_n, th_bar, t0_bar, tf_bar), None
+
+    return body
+
+
+def make_adjoint_saves_solver(
+    basis,
+    coeff_fn: Callable,
+    *,
+    n_steps: int,
+    save_at_steps,
+    order: int = 4,
+    m: Optional[int] = None,
+    max_squarings: int = 16,
+    use_pallas: bool = True,
+):
+    """Trajectory-loss variant of :func:`make_adjoint_solver`:
+    ``solve(theta, y0w, t0, tf) -> ys`` returns the states at the requested
+    step indices, stacked on a new LEADING axis (S, ...), so losses over
+    the whole trajectory — tracking errors, time-averaged observables,
+    multi-time gate fidelities — are differentiable with O(S) memory
+    (the S saved states; nothing per step).
+
+    ``save_at_steps``: strictly increasing ints in [1, n_steps]; the solve
+    integrates exactly to the last one (``dt`` is still (tf−t0)/n_steps).
+    The backward sweep walks the segments in reverse, INJECTING each save
+    point's cotangent as it crosses it and re-anchoring the trajectory
+    reconstruction on the saved state (so reconstruction drift cannot
+    accumulate across segments). Uniformly spaced saves run as one nested
+    scan; irregular spacings unroll one scan per segment (compile time
+    scales with S)."""
+    cols, _apply, W, WT, WA, Kp, D, K0 = _adjoint_core(
+        basis, coeff_fn, order=order, m=m, max_squarings=max_squarings,
+        use_pallas=use_pallas,
+    )
+    saves = tuple(int(s) for s in save_at_steps)
+    bounds = (0,) + saves
+    if (not saves or saves[-1] > n_steps
+            or any(b <= a for a, b in zip(bounds[:-1], bounds[1:]))):
+        raise ValueError(
+            "save_at_steps must be strictly increasing ints in "
+            f"[1, n_steps={n_steps}]; got {saves}"
+        )
+    S = len(saves)
+    seg_lens = tuple(b - a for a, b in zip(bounds[:-1], bounds[1:]))
+    uniform = len(set(seg_lens)) == 1
+    L = seg_lens[0]
+
+    @jax.custom_vjp
+    def solve(theta, y0w, t0, tf):
+        dt = (jnp.asarray(tf) - t0) / n_steps
+        tdt = jnp.asarray(t0).dtype
+
+        def body(x, n):
+            c = cols(theta, t0 + n * dt, dt)
+            return _apply(c, x, W), None
+
+        if uniform:
+            def seg(x, s):
+                xe, _ = jax.lax.scan(
+                    body, x, s * L + jnp.arange(L, dtype=tdt))
+                return xe, xe
+
+            _, ys = jax.lax.scan(seg, y0w, jnp.arange(S, dtype=tdt))
+        else:
+            parts, x = [], y0w
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                x, _ = jax.lax.scan(body, x, jnp.arange(a, b, dtype=tdt))
+                parts.append(x)
+            ys = jnp.stack(parts)
+        return ys
+
+    def fwd(theta, y0w, t0, tf):
+        ys = solve(theta, y0w, t0, tf)
+        return ys, (theta, ys, t0, tf)
+
+    def bwd(res, ysbar):
+        theta, ys, t0, tf = res
+        tdt = jnp.asarray(t0).dtype
+        dt = (jnp.asarray(tf) - t0) / n_steps
+        theta0 = jax.tree_util.tree_map(jnp.zeros_like, theta)
+        z = jnp.zeros((), tdt)
+        body = _bwd_step(cols, _apply, W, WT, WA, Kp, D,
+                         theta, t0, dt, n_steps)
+        carry = (ys[-1], ysbar[-1], theta0, z, z)
+
+        if uniform:
+            # iteration s sweeps segment j = S-1-s, then re-anchors on
+            # ys[j-1] and injects ysbar[j-1] (zeros/ignored for j = 0)
+            anchors = jnp.concatenate(
+                [ys[S - 2::-1], jnp.zeros_like(ys[:1])]) if S > 1 \
+                else jnp.zeros_like(ys[:1])
+            injects = jnp.concatenate(
+                [ysbar[S - 2::-1], jnp.zeros_like(ysbar[:1])]) if S > 1 \
+                else jnp.zeros_like(ysbar[:1])
+
+            def seg(c, inp):
+                j, anc, inj = inp
+                x, a, th, t0b, tfb = c
+                (x, a, th, t0b, tfb), _ = jax.lax.scan(
+                    body, (x, a, th, t0b, tfb),
+                    j * L + jnp.arange(L - 1, -1, -1, dtype=tdt))
+                x = jnp.where(j > 0, anc, x)
+                return (x, a + inj, th, t0b, tfb), None
+
+            carry, _ = jax.lax.scan(
+                seg, carry,
+                (jnp.arange(S - 1, -1, -1, dtype=tdt), anchors, injects))
+        else:
+            for j in range(S - 1, -1, -1):
+                a_, b_ = bounds[j], bounds[j + 1]
+                carry, _ = jax.lax.scan(
+                    body, carry, jnp.arange(b_ - 1, a_ - 1, -1, dtype=tdt))
+                if j > 0:
+                    x, a, th, t0b, tfb = carry
+                    carry = (ys[j - 1], a + ysbar[j - 1], th, t0b, tfb)
+
+        x0_r, a0, th_bar, t0_bar, tf_bar = carry
+        del x0_r
         return (th_bar, a0, t0_bar.astype(jnp.asarray(t0).dtype),
                 tf_bar.astype(jnp.asarray(tf).dtype))
 
@@ -524,20 +658,33 @@ def adjoint_solve(
     m: Optional[int] = None,
     max_squarings: int = 16,
     use_pallas: bool = True,
+    save_at_steps=None,
 ):
     """Terminal state of dx/dt = (Σ_k coeff_fn(t, theta)[k] · basis[k]) x
     after ``n_steps`` fixed Magnus steps, differentiable w.r.t. ``theta``
     and ``y0`` with O(1) memory (see :func:`make_adjoint_solver`).
+
+    With ``save_at_steps`` (strictly increasing ints in [1, n_steps]) the
+    states at those steps are returned instead, stacked on a new leading
+    axis — trajectory losses over every saved state stay differentiable
+    with O(S) memory (see :func:`make_adjoint_saves_solver`).
 
     ``basis``/``y0`` may be ``Cplx`` (real-pair complex); the widening is
     ordinary differentiable concatenation outside the custom VJP."""
     from .exp.modulated import _unwiden, _widen
     from .ops.cplx import Cplx
 
-    solver = make_adjoint_solver(
-        basis, coeff_fn, n_steps=n_steps, order=order, m=m,
-        max_squarings=max_squarings, use_pallas=use_pallas,
-    )
+    if save_at_steps is not None:
+        solver = make_adjoint_saves_solver(
+            basis, coeff_fn, n_steps=n_steps, save_at_steps=save_at_steps,
+            order=order, m=m, max_squarings=max_squarings,
+            use_pallas=use_pallas,
+        )
+    else:
+        solver = make_adjoint_solver(
+            basis, coeff_fn, n_steps=n_steps, order=order, m=m,
+            max_squarings=max_squarings, use_pallas=use_pallas,
+        )
     is_cplx = isinstance(y0, Cplx)
     yfw = solver(theta, _widen(y0, is_cplx), t0, tf)
     return _unwiden(yfw, is_cplx)
