@@ -457,3 +457,28 @@ def test_adjoint_saves_validation():
         with pytest.raises(ValueError, match="save_at_steps"):
             adjoint_solve(basis, _coeff_fn, theta, y0, 0.0, 1.0, 8,
                           use_pallas=False, save_at_steps=bad)
+
+
+def test_gate_synthesis_end_to_end():
+    """Unitary synthesis through the adjoint: optimize the pulse to realize
+    a Hadamard on a 2-level system (phase-invariant trace fidelity)."""
+    import optax
+
+    from vec_ode_tpu.models import PulseControl
+
+    pc = PulseControl.make(d=2, seed=0, T=5.0, n_modes=6)
+    H = np.array([[1, 1], [1, -1]]) / np.sqrt(2)
+    theta = 0.1 * jnp.ones(6, jnp.float64)
+    vg = jax.jit(jax.value_and_grad(
+        lambda th: pc.gate_infidelity(th, H, n_steps=192,
+                                      use_pallas=False)))
+    opt = optax.adam(0.3)
+    st = opt.init(theta)
+    hist = []
+    for _ in range(200):
+        v, g = vg(theta)
+        hist.append(float(v))
+        up, st = opt.update(g, st)
+        theta = optax.apply_updates(theta, up)
+    assert hist[0] > 0.5
+    assert min(hist) < 1e-6, f"gate synthesis stalled: {min(hist)}"

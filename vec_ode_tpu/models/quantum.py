@@ -235,3 +235,24 @@ class PulseControl:
                            psi0, 0.0, self.T, n_steps=n_steps, order=order,
                            use_pallas=use_pallas)
         return 1.0 - jnp.sum(self.fidelity(yf, tgt))
+
+    def gate_infidelity(self, theta, U_target, *, n_steps=256, order=4,
+                        use_pallas=True, dtype=jnp.float64):
+        """1 − \\|tr(U†_target U(T; θ))/d\\)² — unitary gate synthesis: the
+        propagator is obtained by driving the d basis columns through the
+        same adjoint solve as one batch (the adjoint never materializes
+        propagators, so a gate loss is just a d-column state-transfer)."""
+        from ..diff import adjoint_solve
+        from ..ops.cplx import Cplx
+
+        Ut = np.asarray(U_target)
+        d = Ut.shape[-1]
+        cols0 = Cplx(jnp.eye(d, dtype=dtype), jnp.zeros((d, d), dtype))
+        yf = adjoint_solve(self.basis_pair(dtype), self.coeff_fn, theta,
+                           cols0, 0.0, self.T, n_steps=n_steps, order=order,
+                           use_pallas=use_pallas)
+        # yf rows are U(T) columns: yf[j] = U e_j; overlap tr(Ut† U)/d
+        Ur, Ui = jnp.asarray(Ut.real, dtype), jnp.asarray(Ut.imag, dtype)
+        re = jnp.sum(Ur.T * yf.re + Ui.T * yf.im) / d
+        im = jnp.sum(Ur.T * yf.im - Ui.T * yf.re) / d
+        return 1.0 - (re * re + im * im)
