@@ -482,3 +482,50 @@ def test_gate_synthesis_end_to_end():
         theta = optax.apply_updates(theta, up)
     assert hist[0] > 0.5
     assert min(hist) < 1e-6, f"gate synthesis stalled: {min(hist)}"
+
+
+def test_adjoint_bwd_kernel_matches_xla_composition():
+    """ops.pallas_expmv.adjoint_bwd_pallas (interpret mode): the fused
+    (reconstruct, transport, all-K Fréchet) step must match the three-call
+    XLA composition it replaces (shared-chain recurrence vs (2D)-wide
+    augmented embedding — same math, different factorization)."""
+    from vec_ode_tpu.exp.modulated import modulated_exp_apply
+    from vec_ode_tpu.ops.pallas_expmv import adjoint_bwd_pallas
+
+    rng = np.random.default_rng(21)
+    Kp, D, B = 3, 128, 8
+    W = jnp.asarray(rng.standard_normal((Kp, D, D)) / np.sqrt(D),
+                    jnp.float32)
+    c = jnp.asarray(rng.standard_normal((B, Kp)) * 0.4, jnp.float32)
+    x_next = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    a_next = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+
+    xn_k, an_k, cb_k = adjoint_bwd_pallas(
+        c, x_next, a_next, W, m=8, theta=0.25, tile=8, interpret=True)
+
+    WT = jnp.swapaxes(W, -1, -2)
+    zero = jnp.zeros_like(W)
+    WD = jnp.concatenate(
+        [jnp.concatenate([W, zero], axis=-1),
+         jnp.concatenate([zero, W], axis=-1)], axis=-2)
+    WU = jnp.concatenate(
+        [jnp.concatenate([zero, W], axis=-1),
+         jnp.concatenate([zero, zero], axis=-1)], axis=-2)
+    WA = jnp.concatenate([WD, WU], axis=0)
+    xn_r = modulated_exp_apply(W, -c, x_next, m=8)
+    an_r = modulated_exp_apply(WT, c, a_next, m=8)
+    xa = jnp.concatenate([jnp.zeros_like(xn_r), xn_r], axis=-1)
+    xa = jnp.broadcast_to(xa, (Kp,) + xa.shape)
+    ca = jnp.concatenate(
+        [jnp.broadcast_to(c, (Kp,) + c.shape),
+         jnp.broadcast_to(jnp.eye(Kp, dtype=c.dtype)[:, None, :],
+                          (Kp, B, Kp))], axis=-1)
+    fre = modulated_exp_apply(WA, ca, xa, m=8)[..., :D]
+    cb_r = jnp.einsum("kbi,bi->bk", fre, a_next)
+
+    np.testing.assert_allclose(np.asarray(xn_k), np.asarray(xn_r),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(an_k), np.asarray(an_r),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cb_k), np.asarray(cb_r),
+                               rtol=2e-4, atol=2e-4)

@@ -155,7 +155,7 @@ def _adjoint_core(basis, coeff_fn, *, order, m, max_squarings, use_pallas):
         modulated_exp_apply,
     )
     from .ops.cplx import Cplx
-    from .ops.pallas_expmv import chain_expmv_pallas
+    from .ops.pallas_expmv import adjoint_bwd_pallas, chain_expmv_pallas
 
     if order not in (2, 4):
         raise ValueError(f"order must be 2 or 4, got {order}")
@@ -208,7 +208,28 @@ def _adjoint_core(basis, coeff_fn, *, order, m, max_squarings, use_pallas):
         return modulated_exp_apply(basis_w, c, xw, m=m,
                                    max_squarings=max_squarings)
 
-    return cols, _apply, W, WT, WA, Kp, D, K0
+    def _bwd_fused(c, x_next, a_next):
+        """One fused backward step (reconstruct + transport + all-Kp
+        Fréchet inner products) — one Pallas launch with a shared-chain
+        Fréchet recurrence (ops/pallas_expmv.py:adjoint_bwd_pallas).
+        Returns (x_n, a_n, cbar (B, Kp)) or None if the config can't
+        route to the kernel (CPU, tiny batch, lane-misaligned D)."""
+        if not (use_pallas and jax.default_backend() == "tpu"
+                and x_next.ndim == 2 and D % 128 == 0):
+            return None
+        B = x_next.shape[0]
+        t_eff = _pick_tile(B)
+        if t_eff < 8:
+            return None
+        dtype = x_next.dtype
+        ch = jnp.broadcast_to(c, (B, Kp)).astype(dtype)
+        mm_, th_ = _taylor_params(dtype, m)
+        return adjoint_bwd_pallas(
+            ch, x_next, a_next, W.astype(dtype), m=mm_, theta=th_,
+            max_squarings=max_squarings, tile=t_eff,
+        )
+
+    return cols, _apply, _bwd_fused, W, WT, WA, Kp, D, K0
 
 
 def make_adjoint_solver(
@@ -254,7 +275,7 @@ def make_adjoint_solver(
     gradients of the discrete map: t_n = t0 + n·dt and dt = (tf − t0)/N
     are differentiated through every step's coefficient formulas.
     """
-    cols, _apply, W, WT, WA, Kp, D, K0 = _adjoint_core(
+    cols, _apply, _bwd_fused, W, WT, WA, Kp, D, K0 = _adjoint_core(
         basis, coeff_fn, order=order, m=m, max_squarings=max_squarings,
         use_pallas=use_pallas,
     )
@@ -283,7 +304,7 @@ def make_adjoint_solver(
         theta0 = jax.tree_util.tree_map(jnp.zeros_like, theta)
         z = jnp.zeros((), tdt)
 
-        body = _bwd_step(cols, _apply, W, WT, WA, Kp, D,
+        body = _bwd_step(cols, _apply, _bwd_fused, W, WT, WA, Kp, D,
                          theta, t0, dt, n_steps)
         (x0_r, a0, th_bar, t0_bar, tf_bar), _ = jax.lax.scan(
             body, (yf, ybar, theta0, z, z),
@@ -297,7 +318,8 @@ def make_adjoint_solver(
     return solve
 
 
-def _bwd_step(cols, _apply, W, WT, WA, Kp, D, theta, t0, dt, n_steps):
+def _bwd_step(cols, _apply, _bwd_fused, W, WT, WA, Kp, D,
+              theta, t0, dt, n_steps):
     """One reverse step of the reversible adjoint (shared by the terminal
     and trajectory-saves solvers). Carry: (x_next, a_next, th̄, t0̄, tf̄)."""
 
@@ -306,19 +328,26 @@ def _bwd_step(cols, _apply, W, WT, WA, Kp, D, theta, t0, dt, n_steps):
         t = t0 + n * dt
         c, c_vjp = jax.vjp(
             lambda th, tt, dd: cols(th, tt, dd), theta, t, dt)
-        x_n = _apply(-c, x_next, W)            # 1. reconstruct
-        a_n = _apply(c, a_next, WT)            # 2. cotangent transport
-        # 3. all Kp Fréchet directions as one batched augmented action
-        xa = jnp.concatenate([jnp.zeros_like(x_n), x_n], axis=-1)
-        xa = jnp.broadcast_to(xa, (Kp,) + xa.shape)
-        ca = jnp.concatenate(
-            [jnp.broadcast_to(c, (Kp, Kp)),
-             jnp.eye(Kp, dtype=c.dtype)], axis=-1,
-        ).reshape((Kp,) + (1,) * (x_n.ndim - 1) + (2 * Kp,))
-        fre = _apply(ca, xa, WA)[..., :D]      # (Kp, ..., D)
-        c_bar = jnp.sum(
-            fre * a_next, axis=tuple(range(1, fre.ndim))
-        ).astype(c.dtype)
+        fused = _bwd_fused(c, x_next, a_next)
+        if fused is not None:
+            # 1-3 in ONE kernel launch; c is step-shared here, so the
+            # per-lane inner products reduce over the batch
+            x_n, a_n, cb = fused
+            c_bar = jnp.sum(cb, axis=0).astype(c.dtype)
+        else:
+            x_n = _apply(-c, x_next, W)        # 1. reconstruct
+            a_n = _apply(c, a_next, WT)        # 2. cotangent transport
+            # 3. all Kp Fréchet directions as one batched augmented action
+            xa = jnp.concatenate([jnp.zeros_like(x_n), x_n], axis=-1)
+            xa = jnp.broadcast_to(xa, (Kp,) + xa.shape)
+            ca = jnp.concatenate(
+                [jnp.broadcast_to(c, (Kp, Kp)),
+                 jnp.eye(Kp, dtype=c.dtype)], axis=-1,
+            ).reshape((Kp,) + (1,) * (x_n.ndim - 1) + (2 * Kp,))
+            fre = _apply(ca, xa, WA)[..., :D]  # (Kp, ..., D)
+            c_bar = jnp.sum(
+                fre * a_next, axis=tuple(range(1, fre.ndim))
+            ).astype(c.dtype)
         th_step, t_bar, dt_bar = c_vjp(c_bar)  # 4. scalar-math vjp
         th_bar = jax.tree_util.tree_map(jnp.add, th_bar, th_step)
         # exact DISCRETE endpoint gradients: t_n = t0 + n·dt with
@@ -358,7 +387,7 @@ def make_adjoint_saves_solver(
     accumulate across segments). Uniformly spaced saves run as one nested
     scan; irregular spacings unroll one scan per segment (compile time
     scales with S)."""
-    cols, _apply, W, WT, WA, Kp, D, K0 = _adjoint_core(
+    cols, _apply, _bwd_fused, W, WT, WA, Kp, D, K0 = _adjoint_core(
         basis, coeff_fn, order=order, m=m, max_squarings=max_squarings,
         use_pallas=use_pallas,
     )
@@ -409,7 +438,7 @@ def make_adjoint_saves_solver(
         dt = (jnp.asarray(tf) - t0) / n_steps
         theta0 = jax.tree_util.tree_map(jnp.zeros_like, theta)
         z = jnp.zeros((), tdt)
-        body = _bwd_step(cols, _apply, W, WT, WA, Kp, D,
+        body = _bwd_step(cols, _apply, _bwd_fused, W, WT, WA, Kp, D,
                          theta, t0, dt, n_steps)
         carry = (ys[-1], ysbar[-1], theta0, z, z)
 
@@ -491,7 +520,7 @@ def make_adaptive_adjoint_solver(
     from .exp.modulated import MagnusModulated4, ModulatedOperator, _unwiden
     from .ops.cplx import Cplx
 
-    cols, _apply, W, WT, WA, Kp, D, K0 = _adjoint_core(
+    cols, _apply, _bwd_fused, W, WT, WA, Kp, D, K0 = _adjoint_core(
         basis, coeff_fn, order=4, m=m, max_squarings=max_squarings,
         use_pallas=use_pallas,
     )
@@ -553,19 +582,25 @@ def make_adaptive_adjoint_solver(
                 )(t_r, dt_r),
                 theta,
             )                                     # c: (B, Kp)
-            x_n = _apply(-c, x_next, W)
-            a_n = _apply(c, a_next, WT)
-            xa = jnp.concatenate([jnp.zeros_like(x_n), x_n], axis=-1)
-            xa = jnp.broadcast_to(xa, (Kp,) + xa.shape)
-            ca = jnp.concatenate(
-                [jnp.broadcast_to(c, (Kp,) + c.shape),
-                 jnp.broadcast_to(
-                     jnp.eye(Kp, dtype=c.dtype)[:, None, :],
-                     (Kp, c.shape[0], Kp),
-                 )], axis=-1,
-            )                                     # (Kp, B, 2Kp)
-            fre = _apply(ca, xa, WA)[..., :D]     # (Kp, B, D)
-            c_bar = jnp.einsum("kbi,bi->bk", fre, a_next).astype(c.dtype)
+            fused = _bwd_fused(c, x_next, a_next)
+            if fused is not None:
+                x_n, a_n, c_bar = fused           # per-lane cbar (B, Kp)
+                c_bar = c_bar.astype(c.dtype)
+            else:
+                x_n = _apply(-c, x_next, W)
+                a_n = _apply(c, a_next, WT)
+                xa = jnp.concatenate([jnp.zeros_like(x_n), x_n], axis=-1)
+                xa = jnp.broadcast_to(xa, (Kp,) + xa.shape)
+                ca = jnp.concatenate(
+                    [jnp.broadcast_to(c, (Kp,) + c.shape),
+                     jnp.broadcast_to(
+                         jnp.eye(Kp, dtype=c.dtype)[:, None, :],
+                         (Kp, c.shape[0], Kp),
+                     )], axis=-1,
+                )                                 # (Kp, B, 2Kp)
+                fre = _apply(ca, xa, WA)[..., :D]  # (Kp, B, D)
+                c_bar = jnp.einsum("kbi,bi->bk", fre,
+                                   a_next).astype(c.dtype)
             (th_step,) = c_vjp(c_bar)
             th_bar = jax.tree_util.tree_map(jnp.add, th_bar, th_step)
             return (x_n, a_n, th_bar), None
