@@ -564,3 +564,48 @@ def test_adjoint_gradient_shards_over_mesh():
     v1, g1 = jax.jit(jax.value_and_grad(loss))(theta, y0s)
     np.testing.assert_allclose(float(v1), float(v0), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-10)
+
+
+def test_adjoint_sweep_kernels_match_scan_composition():
+    """Persistent whole-sweep kernels (interpret mode): forward R-row sweep
+    equals R sequential modulated_exp_apply calls; backward sweep's
+    (a0, per-row cbar) equal the per-step adjoint_bwd composition."""
+    from vec_ode_tpu.exp.modulated import modulated_exp_apply
+    from vec_ode_tpu.ops.pallas_expmv import (
+        adjoint_bwd_pallas,
+        adjoint_sweep_bwd_pallas,
+        adjoint_sweep_fwd_pallas,
+    )
+
+    rng = np.random.default_rng(23)
+    Kp, D, B, R = 3, 128, 8, 5
+    W = jnp.asarray(rng.standard_normal((Kp, D, D)) / np.sqrt(D),
+                    jnp.float32)
+    c_all = jnp.asarray(rng.standard_normal((R, Kp)) * 0.3, jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    abar = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+
+    yk = adjoint_sweep_fwd_pallas(c_all, x0, W, m=8, theta=0.25, tile=8,
+                                  interpret=True)
+    yr = x0
+    for r in range(R):
+        yr = modulated_exp_apply(W, c_all[r], yr, m=8)
+    np.testing.assert_allclose(np.asarray(yk), np.asarray(yr),
+                               rtol=3e-5, atol=3e-5)
+
+    a0_k, cb_k = adjoint_sweep_bwd_pallas(c_all, yk, abar, W, m=8,
+                                          theta=0.25, tile=8,
+                                          interpret=True)
+    cb_k = jnp.sum(cb_k, axis=0)
+    x, a = yk, abar
+    cb_r = []
+    for r in range(R - 1, -1, -1):
+        cr = jnp.broadcast_to(c_all[r], (B, Kp))
+        x, a, cb = adjoint_bwd_pallas(cr, x, a, W, m=8, theta=0.25,
+                                      tile=8, interpret=True)
+        cb_r.append(jnp.sum(cb, axis=0))
+    cb_r = jnp.stack(cb_r[::-1])
+    np.testing.assert_allclose(np.asarray(a0_k), np.asarray(a),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(cb_k), np.asarray(cb_r),
+                               rtol=3e-4, atol=3e-4)

@@ -208,6 +208,41 @@ def _adjoint_core(basis, coeff_fn, *, order, m, max_squarings, use_pallas):
         return modulated_exp_apply(basis_w, c, xw, m=m,
                                    max_squarings=max_squarings)
 
+    def _sweep_ok(xw):
+        return (use_pallas and jax.default_backend() == "tpu"
+                and xw.ndim == 2 and D % 128 == 0
+                and _pick_tile(xw.shape[0]) >= 8)
+
+    def _sweep_fwd(c_all, xw):
+        """Whole fixed-step forward (R sequential exponentials) in ONE
+        persistent kernel launch; None if ineligible."""
+        from .ops.pallas_expmv import adjoint_sweep_fwd_pallas
+
+        if not _sweep_ok(xw):
+            return None
+        dtype = xw.dtype
+        mm_, th_ = _taylor_params(dtype, m)
+        return adjoint_sweep_fwd_pallas(
+            c_all.astype(dtype), xw, W.astype(dtype), m=mm_, theta=th_,
+            max_squarings=max_squarings, tile=_pick_tile(xw.shape[0]),
+        )
+
+    def _sweep_bwd(c_all, x_final, a_final):
+        """Whole backward sweep in ONE launch → (a0, cbar (R, Kp) summed
+        over tiles); None if ineligible."""
+        from .ops.pallas_expmv import adjoint_sweep_bwd_pallas
+
+        if not _sweep_ok(x_final):
+            return None
+        dtype = x_final.dtype
+        mm_, th_ = _taylor_params(dtype, m)
+        a0, cb = adjoint_sweep_bwd_pallas(
+            c_all.astype(dtype), x_final, a_final, W.astype(dtype),
+            m=mm_, theta=th_, max_squarings=max_squarings,
+            tile=_pick_tile(x_final.shape[0]),
+        )
+        return a0, jnp.sum(cb, axis=0)
+
     def _bwd_fused(c, x_next, a_next):
         """One fused backward step (reconstruct + transport + all-Kp
         Fréchet inner products) — one Pallas launch with a shared-chain
@@ -229,7 +264,8 @@ def _adjoint_core(basis, coeff_fn, *, order, m, max_squarings, use_pallas):
             max_squarings=max_squarings, tile=t_eff,
         )
 
-    return cols, _apply, _bwd_fused, W, WT, WA, Kp, D, K0
+    return (cols, _apply, _bwd_fused, _sweep_fwd, _sweep_bwd,
+            W, WT, WA, Kp, D, K0)
 
 
 def make_adjoint_solver(
@@ -275,13 +311,26 @@ def make_adjoint_solver(
     gradients of the discrete map: t_n = t0 + n·dt and dt = (tf − t0)/N
     are differentiated through every step's coefficient formulas.
     """
-    cols, _apply, _bwd_fused, W, WT, WA, Kp, D, K0 = _adjoint_core(
+    (cols, _apply, _bwd_fused, _sweep_fwd, _sweep_bwd,
+     W, WT, WA, Kp, D, K0) = _adjoint_core(
         basis, coeff_fn, order=order, m=m, max_squarings=max_squarings,
         use_pallas=use_pallas,
     )
 
+    def _cols_all(theta, t0, tf):
+        """All R coefficient rows, vectorized — one XLA computation whose
+        vjp w.r.t. (theta, t0, tf) IS the full discrete parameter/endpoint
+        gradient (t_n = t0 + n·dt and dt = (tf−t0)/N chain automatically)."""
+        tdt = jnp.asarray(t0).dtype
+        dt = (jnp.asarray(tf) - t0) / n_steps
+        ns = jnp.arange(n_steps, dtype=tdt)
+        return jax.vmap(lambda n: cols(theta, t0 + n * dt, dt))(ns)
+
     @jax.custom_vjp
     def solve(theta, y0w, t0, tf):
+        y = _sweep_fwd(_cols_all(theta, t0, tf), y0w)
+        if y is not None:                # persistent: one kernel launch
+            return y
         dt = (jnp.asarray(tf) - t0) / n_steps
 
         def body(x, n):
@@ -300,6 +349,15 @@ def make_adjoint_solver(
     def bwd(res, ybar):
         theta, yf, t0, tf = res
         tdt = jnp.asarray(t0).dtype
+
+        c_all, c_all_vjp = jax.vjp(_cols_all, theta, t0, tf)
+        sw = _sweep_bwd(c_all, yf, ybar)
+        if sw is not None:               # persistent: one kernel launch
+            a0, cb_all = sw
+            th_bar, t0_bar, tf_bar = c_all_vjp(cb_all.astype(c_all.dtype))
+            return (th_bar, a0, t0_bar.astype(jnp.asarray(t0).dtype),
+                    tf_bar.astype(jnp.asarray(tf).dtype))
+
         dt = (jnp.asarray(tf) - t0) / n_steps
         theta0 = jax.tree_util.tree_map(jnp.zeros_like, theta)
         z = jnp.zeros((), tdt)
@@ -387,7 +445,8 @@ def make_adjoint_saves_solver(
     accumulate across segments). Uniformly spaced saves run as one nested
     scan; irregular spacings unroll one scan per segment (compile time
     scales with S)."""
-    cols, _apply, _bwd_fused, W, WT, WA, Kp, D, K0 = _adjoint_core(
+    (cols, _apply, _bwd_fused, _sweep_fwd, _sweep_bwd,
+     W, WT, WA, Kp, D, K0) = _adjoint_core(
         basis, coeff_fn, order=order, m=m, max_squarings=max_squarings,
         use_pallas=use_pallas,
     )
@@ -520,7 +579,8 @@ def make_adaptive_adjoint_solver(
     from .exp.modulated import MagnusModulated4, ModulatedOperator, _unwiden
     from .ops.cplx import Cplx
 
-    cols, _apply, _bwd_fused, W, WT, WA, Kp, D, K0 = _adjoint_core(
+    (cols, _apply, _bwd_fused, _sweep_fwd, _sweep_bwd,
+     W, WT, WA, Kp, D, K0) = _adjoint_core(
         basis, coeff_fn, order=4, m=m, max_squarings=max_squarings,
         use_pallas=use_pallas,
     )

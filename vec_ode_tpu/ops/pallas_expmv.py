@@ -432,3 +432,233 @@ def adjoint_bwd_pallas(
         interpret=interpret,
     )(c.astype(dtype), x_next, a_next, basis.astype(dtype))
     return xn, an, cb
+
+
+def _global_scaling(call_abs_bound, theta, max_squarings, dtype):
+    """Shared squaring count for a whole sweep: bound over ALL rows (the
+    fixed-step rows share dt, so their norms are near-uniform and a global
+    s wastes at most one pass on outlier rows)."""
+    mx = jnp.max(jnp.where(jnp.isnan(call_abs_bound), 0.0, call_abs_bound))
+    s = jnp.clip(
+        jnp.ceil(jnp.log2(jnp.maximum(mx / theta, 1.0))),
+        0, max_squarings,
+    ).astype(jnp.int32)
+    scale = jnp.asarray(2.0, dtype) ** (-s.astype(dtype))
+    n_pass = jnp.left_shift(jnp.ones((), jnp.int32), s)
+    return scale, n_pass
+
+
+def adjoint_sweep_fwd_pallas(
+    c_all: jax.Array,              # (R, K) per-step exponent coefficients
+    x: jax.Array,                  # (B, D)
+    basis: jax.Array,              # (K, D, D)
+    *,
+    m: int,
+    theta: float,
+    max_squarings: int = 16,
+    tile: int = 256,
+    interpret: bool = False,
+):
+    """PERSISTENT forward sweep: all R sequential exponentials of a
+    fixed-step modulated solve in ONE kernel launch (the per-step scan
+    pays ~a dispatch per row; at B=256 that dominates device time). Rows
+    are read from the VMEM-resident (R, K) table with one-hot selects —
+    no dynamic indexing (see ops/pallas_loop.py for the pattern)."""
+    B, D = x.shape
+    R, K = c_all.shape
+    if B % tile != 0:
+        raise ValueError(f"batch {B} must be a multiple of tile {tile}")
+    if D % 128 != 0:
+        raise ValueError(f"dim {D} must be a multiple of 128")
+    dtype = x.dtype
+
+    def kernel(c_ref, x_ref, basis_ref, y_ref):
+        xv = x_ref[:]
+        norms = [jnp.max(jnp.sum(jnp.abs(basis_ref[k]), axis=0))
+                 for k in range(K)]
+        b = None
+        for k in range(K):
+            col = jnp.abs(c_ref[:, k:k + 1]) * norms[k]
+            b = col if b is None else b + col
+        scale, n_pass = _global_scaling(b, theta, max_squarings, dtype)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+
+        def row_step(r, v):
+            oh = (rows == r).astype(dtype)
+            cs = [jnp.sum(oh * c_ref[:, k:k + 1]) * scale for k in range(K)]
+
+            def tp(_, v):
+                acc = v
+                term = v
+                for j in range(1, m + 1):
+                    w = None
+                    for k in range(K):
+                        mv = _row_matmul(term, basis_ref[k])
+                        w = cs[k] * mv if w is None else w + cs[k] * mv
+                    term = w * (1.0 / j)
+                    acc = acc + term
+                return acc
+
+            return jax.lax.fori_loop(0, n_pass, tp, v)
+
+        y_ref[:] = jax.lax.fori_loop(0, R, row_step, xv)
+
+    def vec_spec(w):
+        return pl.BlockSpec((tile, w), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B // tile,),
+        in_specs=[
+            pl.BlockSpec((R, K), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec_spec(D),
+            pl.BlockSpec((K, D, D), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=vec_spec(D),
+        out_shape=jax.ShapeDtypeStruct((B, D), dtype),
+        interpret=interpret,
+    )(c_all.astype(dtype), x, basis.astype(dtype))
+
+
+def adjoint_sweep_bwd_pallas(
+    c_all: jax.Array,              # (R, K)
+    x_final: jax.Array,            # (B, D)
+    a_final: jax.Array,            # (B, D)
+    basis: jax.Array,              # (K, D, D)
+    *,
+    m: int,
+    theta: float,
+    max_squarings: int = 16,
+    tile: int = 256,
+    interpret: bool = False,
+):
+    """PERSISTENT backward sweep: the entire reverse adjoint (trajectory
+    reconstruction, transposed cotangent transport, shared-chain Fréchet
+    inner products for every row) in ONE launch. Returns
+    (a0 (B, D), cbar (n_tiles, R, K)) — sum cbar over axis 0, then one
+    vectorized vjp of the coefficient formulas recovers theta/t0/tf
+    cotangents for ALL steps at once (diff.py)."""
+    B, D = x_final.shape
+    R, K = c_all.shape
+    if B % tile != 0:
+        raise ValueError(f"batch {B} must be a multiple of tile {tile}")
+    if D % 128 != 0:
+        raise ValueError(f"dim {D} must be a multiple of 128")
+    dtype = x_final.dtype
+    n_tiles = B // tile
+
+    def kernel(c_ref, x_ref, a_ref, basis_ref, a0_ref, cb_ref):
+        norms = [jnp.max(jnp.sum(jnp.abs(basis_ref[k]), axis=0))
+                 for k in range(K)]
+        b = None
+        for k in range(K):
+            col = jnp.abs(c_ref[:, k:k + 1]) * norms[k]
+            b = col if b is None else b + col
+        scale, n_pass = _global_scaling(b, theta, max_squarings, dtype)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+
+        def row_step(i, carry):
+            xv, av, cb = carry
+            r = R - 1 - i
+            oh = (rows == r).astype(dtype)          # (R, 1)
+            cs = [jnp.sum(oh * c_ref[:, k:k + 1]) * scale for k in range(K)]
+
+            def A_mv(v, sgn):
+                w = None
+                for k in range(K):
+                    mv = _row_matmul(v, basis_ref[k])
+                    w = cs[k] * mv if w is None else w + cs[k] * mv
+                return sgn * w
+
+            def AT_mv(v):
+                w = None
+                for k in range(K):
+                    mv = _tmatmul(v, basis_ref[k])
+                    w = cs[k] * mv if w is None else w + cs[k] * mv
+                return w
+
+            def pass_xn(_, v):
+                acc = v
+                term = v
+                for j in range(1, m + 1):
+                    term = A_mv(term, -1.0) * (1.0 / j)
+                    acc = acc + term
+                return acc
+
+            x_n = jax.lax.fori_loop(0, n_pass, pass_xn, xv)
+
+            def pass_an(_, v):
+                acc = v
+                term = v
+                for j in range(1, m + 1):
+                    term = AT_mv(term) * (1.0 / j)
+                    acc = acc + term
+                return acc
+
+            a_n = jax.lax.fori_loop(0, n_pass, pass_an, av)
+
+            def pass_fre(_, uw):
+                us, w = uw[:K], uw[K]
+                acc_w, term_w = w, w
+                acc_us = list(us)
+                term_us = list(us)
+                for j in range(1, m + 1):
+                    inv = 1.0 / j
+                    new_us = [
+                        (A_mv(term_us[k], 1.0)
+                         + scale * _row_matmul(term_w, basis_ref[k])) * inv
+                        for k in range(K)
+                    ]
+                    term_w = A_mv(term_w, 1.0) * inv
+                    acc_w = acc_w + term_w
+                    for k in range(K):
+                        acc_us[k] = acc_us[k] + new_us[k]
+                    term_us = new_us
+                return tuple(acc_us) + (acc_w,)
+
+            zero = jnp.zeros_like(x_n)
+            uw = jax.lax.fori_loop(
+                0, n_pass, pass_fre,
+                tuple(zero for _ in range(K)) + (x_n,))
+            cbrow = jnp.concatenate(
+                [jnp.sum(av * uw[k])[None, None] for k in range(K)],
+                axis=1,
+            )                                        # (1, K)
+            cb = cb + oh * cbrow                     # outer-product scatter
+            return (x_n, a_n, cb)
+
+        cb0 = jnp.zeros((R, K), dtype)
+        x0, a0, cb = jax.lax.fori_loop(
+            0, R, row_step, (x_ref[:], a_ref[:], cb0))
+        a0_ref[:] = a0
+        cb_ref[0] = cb
+
+    def vec_spec(w):
+        return pl.BlockSpec((tile, w), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    a0, cb = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((R, K), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec_spec(D), vec_spec(D),
+            pl.BlockSpec((K, D, D), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            vec_spec(D),
+            pl.BlockSpec((1, R, K), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D), dtype),
+            jax.ShapeDtypeStruct((n_tiles, R, K), dtype),
+        ],
+        interpret=interpret,
+    )(c_all.astype(dtype), x_final, a_final, basis.astype(dtype))
+    return a0, cb
