@@ -609,3 +609,87 @@ def test_adjoint_sweep_kernels_match_scan_composition():
                                rtol=3e-5, atol=3e-5)
     np.testing.assert_allclose(np.asarray(cb_k), np.asarray(cb_r),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_adjoint_order6_convergence():
+    """order=6 (Yoshida triple-jump of the symmetric Magnus-4 step):
+    terminal-state error must shrink ~h^6, clearly separated from order
+    4 at the same step counts."""
+    from vec_ode_tpu.diff import _YOSHIDA_LEN
+
+    assert abs(sum(_YOSHIDA_LEN) - 1.0) < 1e-15
+    d, K = 4, 2
+    basis = _random_antiherm_basis(K, d, seed=31)
+    rng = np.random.default_rng(32)
+    z = rng.standard_normal(d) + 1j * rng.standard_normal(d)
+    z /= np.linalg.norm(z)
+    y0 = cp.from_complex(z, jnp.float64)
+    theta = jnp.asarray([0.9, 2.4], jnp.float64)
+
+    ref = adjoint_solve(basis, _coeff_fn, theta, y0, 0.0, 1.5, 512,
+                        order=6, use_pallas=False)
+    refw = np.concatenate([np.asarray(ref.re), np.asarray(ref.im)])
+
+    def err(n, order):
+        yf = adjoint_solve(basis, _coeff_fn, theta, y0, 0.0, 1.5, n,
+                           order=order, use_pallas=False)
+        yw = np.concatenate([np.asarray(yf.re), np.asarray(yf.im)])
+        return np.linalg.norm(yw - refw)
+
+    ns = np.array([6, 12, 24])
+    e6 = np.array([err(int(n), 6) for n in ns])
+    slope6 = np.polyfit(np.log(ns), np.log(e6), 1)[0]
+    assert -6.8 < slope6 < -5.5, (slope6, e6)
+    # order 6 beats order 4 outright at equal step count
+    e4 = err(24, 4)
+    assert e6[-1] < e4 / 30, (e6[-1], e4)
+
+
+def test_adjoint_order6_gradients_match_expm_oracle():
+    """order=6 gradients (theta, y0, t0, tf) equal jax.grad of an expm
+    scan replaying the same three Yoshida sub-rows per step."""
+    from vec_ode_tpu.diff import _YOSHIDA_LEN, _YOSHIDA_OFF
+
+    d, K, N = 3, 2, 12
+    basis = _random_antiherm_basis(K, d, seed=33)
+    rng = np.random.default_rng(34)
+    z = rng.standard_normal((2, d)) + 1j * rng.standard_normal((2, d))
+    z /= np.linalg.norm(z, axis=-1, keepdims=True)
+    y0 = cp.from_complex(z, jnp.float64)
+    theta = jnp.asarray([0.8, 2.5], jnp.float64)
+
+    def loss(th, y, t0, tf):
+        yf = adjoint_solve(basis, _coeff_fn, th, y, t0, tf, N, order=6,
+                           use_pallas=False)
+        return jnp.sum(yf.re[:, 0] ** 2 + yf.im[:, 1] ** 2)
+
+    ext, pairs = ModulatedOperator(basis, lambda t: None
+                                   ).commutator_extension()
+    W = _real_basis(ext)
+
+    def loss_orc(th, y, t0, tf):
+        dt = (tf - t0) / N
+        y0w = jnp.concatenate([y.re, y.im], axis=-1)
+        x = y0w
+        for n in range(N):
+            tn = t0 + n * dt
+            for o, l in zip(_YOSHIDA_OFF, _YOSHIDA_LEN):
+                c = _magnus_cols(_coeff_fn, K, pairs, 4, th,
+                                 tn + o * dt, l * dt)
+                U = expm(jnp.einsum("k,kij->ij", c, W, precision=HIGHEST))
+                x = jnp.einsum("ij,bj->bi", U, x, precision=HIGHEST)
+        return jnp.sum(x[:, :d][:, 0] ** 2 + x[:, d:][:, 1] ** 2)
+
+    args = (theta, y0, jnp.float64(0.1), jnp.float64(1.2))
+    v, g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(*args)
+    vo_, go = jax.value_and_grad(loss_orc, argnums=(0, 1, 2, 3))(*args)
+    np.testing.assert_allclose(float(v), float(vo_), rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(g[0]), np.asarray(go[0]),
+                               rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(g[1].re), np.asarray(go[1].re),
+                               rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(g[1].im), np.asarray(go[1].im),
+                               rtol=1e-8, atol=1e-11)
+    for i in (2, 3):
+        np.testing.assert_allclose(float(g[i]), float(go[i]),
+                                   rtol=1e-8, atol=1e-11)

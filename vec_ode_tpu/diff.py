@@ -143,10 +143,13 @@ def _magnus_cols(coeff_fn, K0, pairs, order, theta, t, dt):
 
 def _adjoint_core(basis, coeff_fn, *, order, m, max_squarings, use_pallas):
     """Shared reversible-adjoint machinery: the working basis (with
-    commutator extension for order 4), its transpose, the augmented Fréchet
-    basis, the per-step coefficient formulas, and the chain-action apply
-    (Pallas-routed on TPU). Returns (cols, _apply, W, WT, WA, Kp, D, K0)
-    — K0 is the ORIGINAL basis size (W[:K0] is the un-extended basis)."""
+    commutator extension for orders 4/6), its transpose, the augmented
+    Fréchet basis, the per-ROW coefficient formulas, and the chain-action
+    apply (Pallas-routed on TPU). Returns a namespace with
+    (cols, apply, bwd_fused, sweep_fwd, sweep_bwd, W, WT, WA, Kp, D, K0)
+    — K0 is the ORIGINAL basis size (W[:K0] is the un-extended basis).
+    Order 6 (Yoshida-composed Magnus-4) shares the order-4 row formulas;
+    the 3-rows-per-step structure lives in the solver's row builder."""
     from .exp.modulated import (
         ModulatedOperator,
         _pick_tile,
@@ -157,9 +160,9 @@ def _adjoint_core(basis, coeff_fn, *, order, m, max_squarings, use_pallas):
     from .ops.cplx import Cplx
     from .ops.pallas_expmv import adjoint_bwd_pallas, chain_expmv_pallas
 
-    if order not in (2, 4):
-        raise ValueError(f"order must be 2 or 4, got {order}")
-    if order == 4:
+    if order not in (2, 4, 6):
+        raise ValueError(f"order must be 2, 4 or 6, got {order}")
+    if order in (4, 6):
         op0 = ModulatedOperator(basis, lambda t: None)
         ext, pairs = op0.commutator_extension()
         W = _real_basis(ext)
@@ -181,7 +184,8 @@ def _adjoint_core(basis, coeff_fn, *, order, m, max_squarings, use_pallas):
     )
     WA = jnp.concatenate([WD, WU], axis=0)
 
-    cols = partial(_magnus_cols, coeff_fn, K0, pairs, order)
+    # order-6 rows ARE order-4 rows over Yoshida sub-intervals
+    cols = partial(_magnus_cols, coeff_fn, K0, pairs, min(order, 4))
 
     def _apply(c, xw, basis_w):
         # fused Pallas chain action on TPU (everything — scaling decision,
@@ -264,8 +268,13 @@ def _adjoint_core(basis, coeff_fn, *, order, m, max_squarings, use_pallas):
             max_squarings=max_squarings, tile=t_eff,
         )
 
-    return (cols, _apply, _bwd_fused, _sweep_fwd, _sweep_bwd,
-            W, WT, WA, Kp, D, K0)
+    from types import SimpleNamespace
+
+    return SimpleNamespace(
+        cols=cols, apply=_apply, bwd_fused=_bwd_fused,
+        sweep_fwd=_sweep_fwd, sweep_bwd=_sweep_bwd,
+        W=W, WT=WT, WA=WA, Kp=Kp, D=D, K0=K0,
+    )
 
 
 def make_adjoint_solver(
@@ -288,9 +297,11 @@ def make_adjoint_solver(
     arbitrary differentiable pytree.
 
     Fixed-step Magnus scheme (order 2 = exponential midpoint, order 4 =
-    Magnus-4 on the commutator-extended basis); every exponential is a
-    shared-basis scaling-and-Taylor ACTION (exp/modulated.py), forward and
-    backward alike.
+    Magnus-4 on the commutator-extended basis, order 6 = Yoshida
+    triple-jump composition of the symmetric Magnus-4 step — three
+    sub-rows per step over [g1, 1−2g1, g1]·dt with g1 = 1/(2 − 2^{1/5}));
+    every exponential is a shared-basis scaling-and-Taylor ACTION
+    (exp/modulated.py), forward and backward alike.
 
     The backward sweep per step n (from the terminal state, nothing stored):
       1. x_n      = e^{-M_n} x_{n+1}           (trajectory reconstruction —
@@ -311,36 +322,15 @@ def make_adjoint_solver(
     gradients of the discrete map: t_n = t0 + n·dt and dt = (tf − t0)/N
     are differentiated through every step's coefficient formulas.
     """
-    (cols, _apply, _bwd_fused, _sweep_fwd, _sweep_bwd,
-     W, WT, WA, Kp, D, K0) = _adjoint_core(
+    core = _adjoint_core(
         basis, coeff_fn, order=order, m=m, max_squarings=max_squarings,
         use_pallas=use_pallas,
     )
-
-    def _cols_all(theta, t0, tf):
-        """All R coefficient rows, vectorized — one XLA computation whose
-        vjp w.r.t. (theta, t0, tf) IS the full discrete parameter/endpoint
-        gradient (t_n = t0 + n·dt and dt = (tf−t0)/N chain automatically)."""
-        tdt = jnp.asarray(t0).dtype
-        dt = (jnp.asarray(tf) - t0) / n_steps
-        ns = jnp.arange(n_steps, dtype=tdt)
-        return jax.vmap(lambda n: cols(theta, t0 + n * dt, dt))(ns)
+    rows_all = _make_rows_all(core.cols, order, n_steps)
 
     @jax.custom_vjp
     def solve(theta, y0w, t0, tf):
-        y = _sweep_fwd(_cols_all(theta, t0, tf), y0w)
-        if y is not None:                # persistent: one kernel launch
-            return y
-        dt = (jnp.asarray(tf) - t0) / n_steps
-
-        def body(x, n):
-            c = cols(theta, t0 + n * dt, dt)
-            return _apply(c, x, W), None
-
-        xf, _ = jax.lax.scan(
-            body, y0w, jnp.arange(n_steps, dtype=jnp.asarray(t0).dtype)
-        )
-        return xf
+        return _rows_forward(core, rows_all(theta, t0, tf), y0w)
 
     def fwd(theta, y0w, t0, tf):
         yf = solve(theta, y0w, t0, tf)
@@ -348,27 +338,9 @@ def make_adjoint_solver(
 
     def bwd(res, ybar):
         theta, yf, t0, tf = res
-        tdt = jnp.asarray(t0).dtype
-
-        c_all, c_all_vjp = jax.vjp(_cols_all, theta, t0, tf)
-        sw = _sweep_bwd(c_all, yf, ybar)
-        if sw is not None:               # persistent: one kernel launch
-            a0, cb_all = sw
-            th_bar, t0_bar, tf_bar = c_all_vjp(cb_all.astype(c_all.dtype))
-            return (th_bar, a0, t0_bar.astype(jnp.asarray(t0).dtype),
-                    tf_bar.astype(jnp.asarray(tf).dtype))
-
-        dt = (jnp.asarray(tf) - t0) / n_steps
-        theta0 = jax.tree_util.tree_map(jnp.zeros_like, theta)
-        z = jnp.zeros((), tdt)
-
-        body = _bwd_step(cols, _apply, _bwd_fused, W, WT, WA, Kp, D,
-                         theta, t0, dt, n_steps)
-        (x0_r, a0, th_bar, t0_bar, tf_bar), _ = jax.lax.scan(
-            body, (yf, ybar, theta0, z, z),
-            jnp.arange(n_steps - 1, -1, -1, dtype=tdt),
-        )
-        del x0_r  # reconstructed y0 (diagnostic only)
+        c_all, c_all_vjp = jax.vjp(rows_all, theta, t0, tf)
+        a0, cb_all = _rows_backward(core, c_all, yf, ybar)
+        th_bar, t0_bar, tf_bar = c_all_vjp(cb_all.astype(c_all.dtype))
         return (th_bar, a0, t0_bar.astype(jnp.asarray(t0).dtype),
                 tf_bar.astype(jnp.asarray(tf).dtype))
 
@@ -376,47 +348,98 @@ def make_adjoint_solver(
     return solve
 
 
-def _bwd_step(cols, _apply, _bwd_fused, W, WT, WA, Kp, D,
-              theta, t0, dt, n_steps):
-    """One reverse step of the reversible adjoint (shared by the terminal
-    and trajectory-saves solvers). Carry: (x_next, a_next, th̄, t0̄, tf̄)."""
+# Yoshida triple-jump exponents: composing a SYMMETRIC order-4 step
+# (Magnus-4 with GL2 quadrature is self-adjoint) over sub-intervals
+# [g1, g2, g1]·dt with g1 = 1/(2 − 2^{1/5}) raises the order to 6.
+_YOSHIDA_G1 = 1.0 / (2.0 - 2.0 ** 0.2)
+_YOSHIDA_OFF = (0.0, _YOSHIDA_G1, 1.0 - _YOSHIDA_G1)
+_YOSHIDA_LEN = (_YOSHIDA_G1, 1.0 - 2.0 * _YOSHIDA_G1, _YOSHIDA_G1)
 
-    def body(carry, n):
-        x_next, a_next, th_bar, t0_bar, tf_bar = carry
-        t = t0 + n * dt
-        c, c_vjp = jax.vjp(
-            lambda th, tt, dd: cols(th, tt, dd), theta, t, dt)
-        fused = _bwd_fused(c, x_next, a_next)
-        if fused is not None:
-            # 1-3 in ONE kernel launch; c is step-shared here, so the
-            # per-lane inner products reduce over the batch
-            x_n, a_n, cb = fused
-            c_bar = jnp.sum(cb, axis=0).astype(c.dtype)
+
+def rows_per_step(order: int) -> int:
+    return 3 if order == 6 else 1
+
+
+def _make_rows_all(cols, order, n_steps):
+    """rows_all(theta, t0, tf) -> (R, Kp): every exponential row of the
+    whole fixed-step solve, vectorized. One XLA computation whose vjp
+    w.r.t. (theta, t0, tf) IS the full discrete parameter/endpoint
+    gradient (all sub-times chain through automatically). Orders 2/4 emit
+    one row per step; order 6 emits the three Yoshida sub-rows."""
+
+    def rows(theta, t0, tf):
+        tdt = jnp.asarray(t0).dtype
+        dt = (jnp.asarray(tf) - t0) / n_steps
+        ns = jnp.arange(n_steps, dtype=tdt)
+        if order == 6:
+            off = jnp.asarray(_YOSHIDA_OFF, tdt)
+            ln = jnp.asarray(_YOSHIDA_LEN, tdt)
+            t_r = (t0 + ns[:, None] * dt + off * dt).reshape(-1)
+            dt_r = jnp.broadcast_to(ln * dt, (n_steps, 3)).reshape(-1)
         else:
-            x_n = _apply(-c, x_next, W)        # 1. reconstruct
-            a_n = _apply(c, a_next, WT)        # 2. cotangent transport
-            # 3. all Kp Fréchet directions as one batched augmented action
-            xa = jnp.concatenate([jnp.zeros_like(x_n), x_n], axis=-1)
-            xa = jnp.broadcast_to(xa, (Kp,) + xa.shape)
-            ca = jnp.concatenate(
-                [jnp.broadcast_to(c, (Kp, Kp)),
-                 jnp.eye(Kp, dtype=c.dtype)], axis=-1,
-            ).reshape((Kp,) + (1,) * (x_n.ndim - 1) + (2 * Kp,))
-            fre = _apply(ca, xa, WA)[..., :D]  # (Kp, ..., D)
-            c_bar = jnp.sum(
-                fre * a_next, axis=tuple(range(1, fre.ndim))
-            ).astype(c.dtype)
-        th_step, t_bar, dt_bar = c_vjp(c_bar)  # 4. scalar-math vjp
-        th_bar = jax.tree_util.tree_map(jnp.add, th_bar, th_step)
-        # exact DISCRETE endpoint gradients: t_n = t0 + n·dt with
-        # dt = (tf − t0)/N, so ∂t_n/∂tf = n/N, ∂dt/∂tf = 1/N (and the
-        # complements for t0) — chain the per-step (t̄, dt̄) through
-        w = n / n_steps
-        tf_bar = tf_bar + t_bar * w + dt_bar / n_steps
-        t0_bar = t0_bar + t_bar * (1.0 - w) - dt_bar / n_steps
-        return (x_n, a_n, th_bar, t0_bar, tf_bar), None
+            t_r = t0 + ns * dt
+            dt_r = jnp.broadcast_to(dt, t_r.shape)
+        return jax.vmap(lambda t_, d_: cols(theta, t_, d_))(t_r, dt_r)
 
-    return body
+    return rows
+
+
+def _rows_forward(core, c_all, y0w):
+    """Apply R sequential exponentials: one persistent kernel when
+    eligible, else a scan over the precomputed rows."""
+    y = core.sweep_fwd(c_all, y0w)
+    if y is not None:
+        return y
+
+    def body(x, c_row):
+        return core.apply(c_row, x, core.W), None
+
+    xf, _ = jax.lax.scan(body, y0w, c_all)
+    return xf
+
+
+def _rows_backward(core, c_all, yf, ybar):
+    """Reverse sweep over rows -> (a0, cbar_all (R, Kp)). One persistent
+    kernel when eligible, else a scan emitting one cotangent row per
+    exponential (theta/t0/tf recovery happens in the caller via ONE vjp
+    of the row builder)."""
+    sw = core.sweep_bwd(c_all, yf, ybar)
+    if sw is not None:
+        return sw
+
+    def body(carry, c_row):
+        x_next, a_next = carry
+        x_n, a_n, cb_row = _bwd_row(core, c_row, x_next, a_next)
+        return (x_n, a_n), cb_row
+
+    (x0_r, a0), cb_rev = jax.lax.scan(body, (yf, ybar), c_all[::-1])
+    del x0_r  # reconstructed y0 (diagnostic only)
+    return a0, cb_rev[::-1]
+
+
+def _bwd_row(core, c, x_next, a_next):
+    """One reverse exponential row: reconstruct x, transport the state
+    cotangent, and form the Kp coefficient cotangents. Row-cotangent
+    convention: cb is summed over the batch (the row is batch-shared)."""
+    fused = core.bwd_fused(c, x_next, a_next)
+    if fused is not None:
+        x_n, a_n, cb = fused
+        return x_n, a_n, jnp.sum(cb, axis=0).astype(c.dtype)
+    Kp, D = core.Kp, core.D
+    x_n = core.apply(-c, x_next, core.W)       # 1. reconstruct
+    a_n = core.apply(c, a_next, core.WT)       # 2. cotangent transport
+    # 3. all Kp Fréchet directions as one batched augmented action
+    xa = jnp.concatenate([jnp.zeros_like(x_n), x_n], axis=-1)
+    xa = jnp.broadcast_to(xa, (Kp,) + xa.shape)
+    ca = jnp.concatenate(
+        [jnp.broadcast_to(c, (Kp, Kp)),
+         jnp.eye(Kp, dtype=c.dtype)], axis=-1,
+    ).reshape((Kp,) + (1,) * (x_n.ndim - 1) + (2 * Kp,))
+    fre = core.apply(ca, xa, core.WA)[..., :D]  # (Kp, ..., D)
+    cb = jnp.sum(
+        fre * a_next, axis=tuple(range(1, fre.ndim))
+    ).astype(c.dtype)
+    return x_n, a_n, cb
 
 
 def make_adjoint_saves_solver(
@@ -442,11 +465,11 @@ def make_adjoint_saves_solver(
     The backward sweep walks the segments in reverse, INJECTING each save
     point's cotangent as it crosses it and re-anchoring the trajectory
     reconstruction on the saved state (so reconstruction drift cannot
-    accumulate across segments). Uniformly spaced saves run as one nested
-    scan; irregular spacings unroll one scan per segment (compile time
+    accumulate across segments — the state never crosses a boundary at
+    all; only the cotangent does). Uniformly spaced saves run as one
+    nested scan; irregular spacings unroll one segment each (compile time
     scales with S)."""
-    (cols, _apply, _bwd_fused, _sweep_fwd, _sweep_bwd,
-     W, WT, WA, Kp, D, K0) = _adjoint_core(
+    core = _adjoint_core(
         basis, coeff_fn, order=order, m=m, max_squarings=max_squarings,
         use_pallas=use_pallas,
     )
@@ -459,30 +482,28 @@ def make_adjoint_saves_solver(
             f"[1, n_steps={n_steps}]; got {saves}"
         )
     S = len(saves)
-    seg_lens = tuple(b - a for a, b in zip(bounds[:-1], bounds[1:]))
-    uniform = len(set(seg_lens)) == 1
-    L = seg_lens[0]
+    rps = rows_per_step(order)
+    rbounds = tuple(b * rps for b in bounds)
+    n_used = rbounds[-1]
+    seg_rows = tuple(b - a for a, b in zip(rbounds[:-1], rbounds[1:]))
+    uniform = len(set(seg_rows)) == 1
+    Lr = seg_rows[0]
+    rows_all = _make_rows_all(core.cols, order, n_steps)
 
     @jax.custom_vjp
     def solve(theta, y0w, t0, tf):
-        dt = (jnp.asarray(tf) - t0) / n_steps
-        tdt = jnp.asarray(t0).dtype
-
-        def body(x, n):
-            c = cols(theta, t0 + n * dt, dt)
-            return _apply(c, x, W), None
-
+        c_used = rows_all(theta, t0, tf)[:n_used]
         if uniform:
-            def seg(x, s):
-                xe, _ = jax.lax.scan(
-                    body, x, s * L + jnp.arange(L, dtype=tdt))
+            def seg(x, c_seg):
+                xe = _rows_forward(core, c_seg, x)
                 return xe, xe
 
-            _, ys = jax.lax.scan(seg, y0w, jnp.arange(S, dtype=tdt))
+            _, ys = jax.lax.scan(
+                seg, y0w, c_used.reshape(S, Lr, c_used.shape[-1]))
         else:
             parts, x = [], y0w
-            for a, b in zip(bounds[:-1], bounds[1:]):
-                x, _ = jax.lax.scan(body, x, jnp.arange(a, b, dtype=tdt))
+            for a, b in zip(rbounds[:-1], rbounds[1:]):
+                x = _rows_forward(core, c_used[a:b], x)
                 parts.append(x)
             ys = jnp.stack(parts)
         return ys
@@ -493,47 +514,37 @@ def make_adjoint_saves_solver(
 
     def bwd(res, ysbar):
         theta, ys, t0, tf = res
-        tdt = jnp.asarray(t0).dtype
-        dt = (jnp.asarray(tf) - t0) / n_steps
-        theta0 = jax.tree_util.tree_map(jnp.zeros_like, theta)
-        z = jnp.zeros((), tdt)
-        body = _bwd_step(cols, _apply, _bwd_fused, W, WT, WA, Kp, D,
-                         theta, t0, dt, n_steps)
-        carry = (ys[-1], ysbar[-1], theta0, z, z)
+        c_all, c_all_vjp = jax.vjp(rows_all, theta, t0, tf)
+        c_used = c_all[:n_used]
 
+        # segment j's backward starts from x = ys[j] (the anchor) and
+        # a = transported-cotangent-from-j+1 + ysbar[j]
         if uniform:
-            # iteration s sweeps segment j = S-1-s, then re-anchors on
-            # ys[j-1] and injects ysbar[j-1] (zeros/ignored for j = 0)
-            anchors = jnp.concatenate(
-                [ys[S - 2::-1], jnp.zeros_like(ys[:1])]) if S > 1 \
-                else jnp.zeros_like(ys[:1])
-            injects = jnp.concatenate(
-                [ysbar[S - 2::-1], jnp.zeros_like(ysbar[:1])]) if S > 1 \
-                else jnp.zeros_like(ysbar[:1])
+            def seg(a_in, inp):
+                c_seg, y_end, yb = inp
+                a0_seg, cb_seg = _rows_backward(core, c_seg, y_end,
+                                                a_in + yb)
+                return a0_seg, cb_seg
 
-            def seg(c, inp):
-                j, anc, inj = inp
-                x, a, th, t0b, tfb = c
-                (x, a, th, t0b, tfb), _ = jax.lax.scan(
-                    body, (x, a, th, t0b, tfb),
-                    j * L + jnp.arange(L - 1, -1, -1, dtype=tdt))
-                x = jnp.where(j > 0, anc, x)
-                return (x, a + inj, th, t0b, tfb), None
-
-            carry, _ = jax.lax.scan(
-                seg, carry,
-                (jnp.arange(S - 1, -1, -1, dtype=tdt), anchors, injects))
+            a0, cb_rev = jax.lax.scan(
+                seg, jnp.zeros_like(ysbar[-1]),
+                (c_used.reshape(S, Lr, c_used.shape[-1])[::-1],
+                 ys[::-1], ysbar[::-1]))
+            cb_used = cb_rev[::-1].reshape(n_used, c_used.shape[-1])
         else:
+            a_in = jnp.zeros_like(ysbar[-1])
+            chunks = [None] * S
             for j in range(S - 1, -1, -1):
-                a_, b_ = bounds[j], bounds[j + 1]
-                carry, _ = jax.lax.scan(
-                    body, carry, jnp.arange(b_ - 1, a_ - 1, -1, dtype=tdt))
-                if j > 0:
-                    x, a, th, t0b, tfb = carry
-                    carry = (ys[j - 1], a + ysbar[j - 1], th, t0b, tfb)
+                a_, b_ = rbounds[j], rbounds[j + 1]
+                a_in, cb_seg = _rows_backward(core, c_used[a_:b_], ys[j],
+                                              a_in + ysbar[j])
+                chunks[j] = cb_seg
+            a0 = a_in
+            cb_used = jnp.concatenate(chunks, axis=0)
 
-        x0_r, a0, th_bar, t0_bar, tf_bar = carry
-        del x0_r
+        cb_all = jnp.concatenate(
+            [cb_used, jnp.zeros_like(c_all[n_used:])], axis=0)
+        th_bar, t0_bar, tf_bar = c_all_vjp(cb_all.astype(c_all.dtype))
         return (th_bar, a0, t0_bar.astype(jnp.asarray(t0).dtype),
                 tf_bar.astype(jnp.asarray(tf).dtype))
 
@@ -579,11 +590,13 @@ def make_adaptive_adjoint_solver(
     from .exp.modulated import MagnusModulated4, ModulatedOperator, _unwiden
     from .ops.cplx import Cplx
 
-    (cols, _apply, _bwd_fused, _sweep_fwd, _sweep_bwd,
-     W, WT, WA, Kp, D, K0) = _adjoint_core(
+    core = _adjoint_core(
         basis, coeff_fn, order=4, m=m, max_squarings=max_squarings,
         use_pallas=use_pallas,
     )
+    cols, _apply, _bwd_fused = core.cols, core.apply, core.bwd_fused
+    W, WT, WA, Kp, D, K0 = (core.W, core.WT, core.WA, core.Kp, core.D,
+                            core.K0)
     is_cplx = isinstance(basis, Cplx)
 
     if ctl.max_steps > 65536:
