@@ -234,6 +234,13 @@ def bench_magnus4_modulated(results):
     )
 
 
+def bench_magnus6_modulated(results):
+    _bench_modulated(
+        results, lambda mod: vexp.MagnusModulated6(mod),
+        "adaptive Magnus-6 (Yoshida) steps/sec",
+    )
+
+
 def bench_magnus4_modulated_4k(results):
     _bench_modulated(
         results, lambda mod: vexp.MagnusModulated4(mod),
@@ -333,6 +340,7 @@ ALL = {
     "magnus4_driven": bench_magnus4_driven,
     "cfm4_modulated": bench_cfm4_modulated,
     "magnus4_modulated": bench_magnus4_modulated,
+    "magnus6_modulated": bench_magnus6_modulated,
     "magnus4_modulated_4k": bench_magnus4_modulated_4k,
     "adjoint_grad": bench_adjoint_grad,
     "lz_sweep_efficiency": bench_lz_sweep_efficiency,

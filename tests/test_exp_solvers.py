@@ -396,3 +396,59 @@ def test_split_leaf_rejects_operator_argument():
     for cls in (vexp.DenseSplit, vexp.DenseCplxSplit):
         with pytest.raises(TypeError, match="solve_linear"):
             cls(lambda t: t)
+
+
+def test_magnus6_order6(td_problem):
+    op, y0, tf, exact = td_problem
+    errs, rates = convergence_rate(
+        lambda: vexp.Magnus6(vexp.DenseSplit()), op, y0, tf, exact,
+        [0.4, 0.2, 0.1],
+    )
+    assert 5.4 < np.mean(rates) < 6.8, (errs, rates)
+    # and strictly more accurate than Magnus-4 at the same h
+    errs4, _ = convergence_rate(
+        lambda: vexp.Magnus4(vexp.DenseSplit()), op, y0, tf, exact, [0.1],
+    )
+    assert errs[-1] < errs4[-1] / 30, (errs[-1], errs4[-1])
+
+
+def test_magnus6_adaptive(td_problem):
+    op, y0, tf, exact = td_problem
+    sol = vo.solve_linear(
+        op, 0.0, tf, y0, stepper=vexp.Magnus6(vexp.DenseSplit()),
+        adaptive=True, ctl=vo.StepControl(rtol=1e-9), h0=1e-2,
+    )
+    assert bool(sol.success)
+    np.testing.assert_allclose(np.asarray(sol.y_final), exact, atol=1e-7)
+    # err est is the full M4-vs-M6 difference (~h^5): far fewer steps than
+    # Magnus-4 needs at the same rtol
+    sol4 = vo.solve_linear(
+        op, 0.0, tf, y0, stepper=vexp.Magnus4(vexp.DenseSplit()),
+        adaptive=True, ctl=vo.StepControl(rtol=1e-9), h0=1e-2,
+    )
+    assert int(sol.n_accept) < int(sol4.n_accept) / 2, (
+        int(sol.n_accept), int(sol4.n_accept))
+
+
+def test_magnus6_unitary_schrodinger():
+    rng = np.random.default_rng(5)
+    d = 4
+    H0 = rng.standard_normal((d, d)) + 1j * rng.standard_normal((d, d))
+    H0 = (H0 + H0.conj().T) / 2
+    V = rng.standard_normal((d, d)) + 1j * rng.standard_normal((d, d))
+    V = (V + V.conj().T) / 2
+
+    def op(t):
+        return -1j * (jnp.asarray(H0) + jnp.cos(2.3 * t) * jnp.asarray(V))
+
+    psi0 = np.zeros(d, complex)
+    psi0[0] = 1.0
+    sol = vo.solve_linear(
+        op, 0.0, 3.0, jnp.asarray(psi0),
+        stepper=vexp.Magnus6(vexp.DenseSplit()), adaptive=True,
+        ctl=vo.StepControl(rtol=1e-10, atol=1e-12), h0=1e-2,
+        time_dtype=jnp.float64,
+    )
+    assert bool(sol.success)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(sol.y_final)), 1.0, atol=1e-8)

@@ -98,6 +98,11 @@ def test_modulated_assemble_matches_dense():
         vexp.CFM4(vexp.DenseCplxSplit()),
         True,
     ),
+    lambda mod, op_fn: (
+        vexp.MagnusModulated6(mod),
+        vexp.Magnus6(vexp.DenseCplxSplit()),
+        True,
+    ),
 ])
 def test_modulated_matches_generic_trajectory(make_pair):
     """Full adaptive/fixed solve: modulated stepper == generic dense-split
@@ -337,6 +342,8 @@ class TestFusedLoop:
                      vexp.CFM4Modulated(mod, use_pallas=False), True),
         lambda mod: (vexp.MidpointModulated(mod, interpret=True),
                      vexp.MidpointModulated(mod, use_pallas=False), False),
+        lambda mod: (vexp.MagnusModulated6(mod, interpret=True),
+                     vexp.MagnusModulated6(mod, use_pallas=False), True),
     ])
     def test_matches_xla_driver(self, make):
         mod, y0, t_grid = self._setup()
@@ -554,3 +561,57 @@ class TestFusedLoop:
         # scalar (unbatched) state -> not eligible
         y0s = cp.Cplx(y0.re[0], y0.im[0])
         assert self._run_fused(st, y0s, t_grid, ctl, True) is None
+
+
+def test_magnus_modulated6_fixed_step_order6():
+    """Global error slope ~6 for fixed-step MagnusModulated6."""
+    _, mod, op_fn = _driven_setup()
+    psi0 = _psi0(8, seed=1)
+    st = vexp.MagnusModulated6(mod, adaptive=False)
+
+    ref = vo.solve_linear(None, 0.0, 1.0, psi0, stepper=st,
+                          adaptive=False, h0=1.0 / 128,
+                          ctl=vo.StepControl(max_steps=4000))
+    errs = []
+    hs = [1.0 / 4, 1.0 / 8, 1.0 / 16]
+    for h in hs:
+        s = vo.solve_linear(None, 0.0, 1.0, psi0, stepper=st,
+                            adaptive=False, h0=h,
+                            ctl=vo.StepControl(max_steps=4000))
+        d = np.linalg.norm(
+            np.asarray(s.y_final.re - ref.y_final.re)
+            + 1j * np.asarray(s.y_final.im - ref.y_final.im)
+        )
+        errs.append(d)
+    slopes = np.diff(np.log(errs)) / np.diff(np.log(hs))
+    assert slopes.mean() > 5.4, (errs, slopes)
+
+
+def test_magnus_modulated6_pallas_interpret_matches_xla_step():
+    """Full Magnus-6 modulated step: Pallas(interpret) == XLA fallback."""
+    _, mod, _ = _driven_setup(d=64, dtype=jnp.float32)
+    rng = np.random.default_rng(12)
+    B = 16
+    z = rng.standard_normal((B, 64)) + 1j * rng.standard_normal((B, 64))
+    y0 = cp.from_complex(z, jnp.float32)
+    t = jnp.full((B,), 0.3, jnp.float32)
+    dt = jnp.full((B,), 0.04, jnp.float32)
+
+    st_x = vexp.MagnusModulated6(mod, use_pallas=False)
+    xf_x, e_x = st_x.make_step_fn()(t, y0, dt)
+
+    st_p = vexp.MagnusModulated6(mod, interpret=True)
+    orig = jax.default_backend
+    try:
+        jax.default_backend = lambda: "tpu"
+        step = st_p.make_step_fn()
+    finally:
+        jax.default_backend = orig
+    xf_p, e_p = step(t, y0, dt)
+
+    np.testing.assert_allclose(np.asarray(xf_p.re), np.asarray(xf_x.re),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(xf_p.im), np.asarray(xf_x.im),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(e_p), np.asarray(e_x),
+                               rtol=2e-3, atol=2e-7)

@@ -13,11 +13,13 @@ from .leaves import (
     DiagonalCplxSplit,
     DiagonalSplit,
 )
-from .magnus import ExpMidpoint, Magnus4, magnus4_step, midpoint_step
+from .magnus import (ExpMidpoint, Magnus4, Magnus6, magnus4_step,
+                     magnus6_step, midpoint_step)
 from .modulated import (
     CFM4Modulated,
     CFMModulated,
     MagnusModulated4,
+    MagnusModulated6,
     MidpointModulated,
     ModulatedOperator,
     modulated_exp_apply,
@@ -53,8 +55,10 @@ __all__ = [
     "RKNR4Split",
     "ExpMidpoint",
     "Magnus4",
+    "Magnus6",
     "midpoint_step",
     "magnus4_step",
+    "magnus6_step",
     "CFM",
     "CFM4",
     "CFM4_BLANES17",
@@ -68,6 +72,7 @@ __all__ = [
     "modulated_exp_apply",
     "MidpointModulated",
     "MagnusModulated4",
+    "MagnusModulated6",
     "CFMModulated",
     "CFM4Modulated",
 ]

@@ -46,7 +46,7 @@ from ..ops.pallas_expmv import (
     fused_chain_apply,
 )
 from ..utils.prec import HIGHEST
-from .magnus import _B2, _C_MID
+from .magnus import _B2, _C_MID, _SUB_LEN, _SUB_OFF
 
 Pytree = Any
 
@@ -589,6 +589,177 @@ class MagnusModulated4:
             return None
         return _fused_loop_run(
             self, self._step_cols_fn(), 2 if self.adaptive else 1, 1,
+            y0, t_grid, h0, ctl, adaptive=adaptive, chunk=chunk,
+            persistent=persistent,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class MagnusModulated6:
+    """Magnus-6 (Yoshida triple-jump of the symmetric Magnus-4 step, see
+    exp/magnus.py:magnus6_step) on a modulated operator. The three
+    sub-interval exponents and the embedded full-interval Magnus-4
+    comparison all collapse onto the shared commutator-extended basis:
+    main chain = 3 coefficient rows, error chain = [full-M4 row, 0, 0]
+    (e^0 = I exactly), one fused kernel per step — and the whole driver
+    loop on-chip via fused_loop_solve. No order-6 scheme exists anywhere
+    in the reference."""
+
+    op: ModulatedOperator
+    adaptive: bool = True
+    m: Optional[int] = None          # Taylor degree; None = dtype default
+    max_squarings: int = 16
+    use_pallas: bool = True
+    interpret: bool = False
+
+    nfev_per_step: int = 8
+    is_batched = True     # see MidpointModulated
+    error_norm = staticmethod(lambda e: e)
+    prefers_packed_carry = True
+
+    def __post_init__(self):
+        ext, pairs = self.op.commutator_extension()
+        object.__setattr__(self, "_ext_basis_w", _real_basis(ext))
+        object.__setattr__(self, "_pairs", pairs)
+
+    def _node_times(self, t, dt):
+        """8 GL2 sample times: (sub0_a, sub0_b, sub1_a, sub1_b, sub2_a,
+        sub2_b[, full_a, full_b])."""
+        ts = []
+        for off, ln in zip(_SUB_OFF, _SUB_LEN):
+            tm = t + (off + 0.5 * ln) * dt
+            ts += [tm - _C_MID * ln * dt, tm + _C_MID * ln * dt]
+        if self.adaptive:
+            tm = t + 0.5 * dt
+            ts += [tm - _C_MID * dt, tm + _C_MID * dt]
+        return ts
+
+    def make_step_fn(self, op_fn=None):
+        basis_w = self._ext_basis_w
+        pairs = self._pairs
+        norms = jnp.max(jnp.sum(jnp.abs(basis_w), axis=-2), axis=-1)
+        use_pallas = self.use_pallas and jax.default_backend() == "tpu"
+
+        K0 = self.op.n_terms
+        adaptive = self.adaptive
+        n_nodes = 8 if adaptive else 6
+
+        def cols_builder(in_refs):
+            g_refs = in_refs[:n_nodes]
+            dt = in_refs[n_nodes][:]
+
+            def m4_row(ga, gb, dts):
+                w1 = [0.5 * dts * (ga[:, k:k + 1] + gb[:, k:k + 1])
+                      for k in range(K0)]
+                w2 = [
+                    (_B2 * dts * dts) * (
+                        ga[:, j:j + 1] * gb[:, k2:k2 + 1]
+                        - ga[:, k2:k2 + 1] * gb[:, j:j + 1]
+                    )
+                    for (j, k2) in pairs
+                ]
+                return w1 + w2
+
+            main = [
+                m4_row(g_refs[2 * i], g_refs[2 * i + 1],
+                       float(_SUB_LEN[i]) * dt)
+                for i in range(3)
+            ]
+            if not adaptive:
+                return [main]
+            zero_row = [jnp.zeros_like(dt) for _ in range(K0 + len(pairs))]
+            err = [m4_row(g_refs[6], g_refs[7], dt), zero_row, zero_row]
+            return [main, err]
+
+        def step_fn(t, x, dt):
+            dt1 = jnp.asarray(dt)[..., None]                 # (..., 1)
+            gs = [self.op.coeff_fn(tn) for tn in self._node_times(t, dt)]
+
+            if use_pallas:
+                ok, parts, t_eff = _pallas_ready(self.op, x)
+                if ok:
+                    B = parts[0].shape[0]
+                    taylor_m, theta = _taylor_params(parts[0].dtype, self.m)
+                    y_parts, e = fused_chain_apply(
+                        [*gs, jnp.broadcast_to(dt1, (B, 1))],
+                        parts, basis_w, cols_builder,
+                        C=2 if adaptive else 1, R=3,
+                        m=taylor_m, theta=theta,
+                        max_squarings=self.max_squarings,
+                        tile=t_eff, interpret=self.interpret,
+                    )
+                    return _fused_result(self.op, y_parts, e, adaptive)
+
+            def m4_row(ga, gb, dts):
+                w1 = 0.5 * dts * (ga + gb)                   # (..., K)
+                if pairs:
+                    j = np.array([p[0] for p in pairs])
+                    k = np.array([p[1] for p in pairs])
+                    w2 = (_B2 * dts * dts) * (
+                        ga[..., j] * gb[..., k] - ga[..., k] * gb[..., j]
+                    )
+                else:
+                    w2 = jnp.zeros(w1.shape[:-1] + (0,), w1.dtype)
+                return jnp.concatenate([w1, w2], axis=-1)    # (..., K + P)
+
+            main = jnp.stack(
+                [m4_row(gs[2 * i], gs[2 * i + 1], float(_SUB_LEN[i]) * dt1)
+                 for i in range(3)], axis=-2)                # (..., 3, K')
+            if not adaptive:
+                chains = main[..., None, :, :]               # (..., 1, 3, K')
+            else:
+                full = m4_row(gs[6], gs[7], dt1)
+                err = jnp.concatenate(
+                    [full[..., None, :],
+                     jnp.zeros(full.shape[:-1] + (2, full.shape[-1]),
+                               full.dtype)], axis=-2)        # (..., 3, K')
+                chains = jnp.stack([main, err], axis=-3)     # (..., 2, 3, K')
+            return _apply_chains(
+                self.op, basis_w, norms, chains, x,
+                m=self.m, max_squarings=self.max_squarings,
+                use_pallas=False, interpret=self.interpret,
+            )
+
+        return step_fn
+
+    def _step_cols_fn(self):
+        cc = self.op.coeff_cols_fn
+        pairs = self._pairs
+        K0 = self.op.n_terms
+        adaptive = self.adaptive
+
+        def step_cols(t, dt):
+            def m4_row(ga, gb, dts):
+                w1 = [0.5 * dts * (ga[k] + gb[k]) for k in range(K0)]
+                w2 = [
+                    (_B2 * dts * dts) * (ga[j] * gb[k2] - ga[k2] * gb[j])
+                    for (j, k2) in pairs
+                ]
+                return w1 + w2
+
+            subs = []
+            for off, ln in zip(_SUB_OFF, _SUB_LEN):
+                tm = t + (off + 0.5 * ln) * dt
+                ga = cc(tm - _C_MID * ln * dt)
+                gb = cc(tm + _C_MID * ln * dt)
+                subs.append(m4_row(ga, gb, float(ln) * dt))
+            if not adaptive:
+                return [subs]
+            tm = t + 0.5 * dt
+            full = m4_row(cc(tm - _C_MID * dt), cc(tm + _C_MID * dt), dt)
+            zero_row = [jnp.zeros_like(dt) for _ in range(K0 + len(pairs))]
+            return [subs, [full, zero_row, zero_row]]
+
+        return step_cols
+
+    def fused_loop_solve(self, y0, t_grid, h0, *, ctl, adaptive,
+                         chunk: int = 8, persistent=None):
+        """Whole-loop on-chip integration (ops/pallas_loop.py); None if the
+        config is not kernel-eligible."""
+        if adaptive != self.adaptive:
+            return None
+        return _fused_loop_run(
+            self, self._step_cols_fn(), 2 if self.adaptive else 1, 3,
             y0, t_grid, h0, ctl, adaptive=adaptive, chunk=chunk,
             persistent=persistent,
         )
