@@ -693,3 +693,44 @@ def test_adjoint_order6_gradients_match_expm_oracle():
     for i in (2, 3):
         np.testing.assert_allclose(float(g[i]), float(go[i]),
                                    rtol=1e-8, atol=1e-11)
+
+
+def test_adaptive_adjoint_rejects_unbatched_state():
+    import vec_ode_tpu as vo
+    from vec_ode_tpu.diff import adjoint_solve_adaptive
+
+    basis = _random_antiherm_basis(2, 3, seed=8)
+    y0 = cp.from_complex(np.ones(3).astype(complex) / np.sqrt(3),
+                         jnp.float64)  # NO batch axis
+    theta = jnp.asarray([0.9, 2.2], jnp.float64)
+    ctl = vo.StepControl(rtol=1e-6, max_steps=64)
+    with pytest.raises(ValueError, match="BATCHED"):
+        adjoint_solve_adaptive(basis, _coeff_fn, theta, y0, 0.0, 1.0,
+                               ctl=ctl, h0=0.1)
+
+
+def test_adaptive_adjoint_mixed_time_dtypes():
+    """t0/tf/h0 cotangents must carry their OWN primal dtypes."""
+    import vec_ode_tpu as vo
+    from vec_ode_tpu.diff import adjoint_solve_adaptive
+
+    d, K, B = 3, 2, 2
+    basis = _random_antiherm_basis(K, d, seed=8)
+    rng = np.random.default_rng(9)
+    z = rng.standard_normal((B, d)) + 1j * rng.standard_normal((B, d))
+    z /= np.linalg.norm(z, axis=-1, keepdims=True)
+    y0 = cp.from_complex(z, jnp.float64)
+    theta = jnp.asarray([0.9, 2.2], jnp.float64)
+    ctl = vo.StepControl(rtol=1e-6, atol=1e-8, min_dt=1e-7, max_dt=0.4,
+                         max_steps=128)
+
+    def loss(t0, tf, h0):
+        yf = adjoint_solve_adaptive(basis, _coeff_fn, theta, y0,
+                                    t0, tf, ctl=ctl, h0=h0)
+        return jnp.sum(yf.re[:, 0] ** 2).astype(jnp.float32)
+
+    g0, gf, gh = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.float32(0.0), jnp.float64(1.0), jnp.float64(0.2))
+    assert g0.dtype == jnp.float32 and gf.dtype == jnp.float64
+    assert gh.dtype == jnp.float64 and float(gh) == 0.0
+    assert np.isfinite(float(g0)) and np.isfinite(float(gf))

@@ -226,9 +226,13 @@ def _adjoint_core(basis, coeff_fn, *, order, m, max_squarings, use_pallas):
             return None
         dtype = xw.dtype
         mm_, th_ = _taylor_params(dtype, m)
+        # persistent (in-kernel loop) kernels cap at tile=128: tile=256
+        # at >=64 grid cells crashes the TPU runtime (CLAUDE.md; same cap
+        # as pallas_rk's loop kernel)
         return adjoint_sweep_fwd_pallas(
             c_all.astype(dtype), xw, W.astype(dtype), m=mm_, theta=th_,
-            max_squarings=max_squarings, tile=_pick_tile(xw.shape[0]),
+            max_squarings=max_squarings,
+            tile=_pick_tile(xw.shape[0], cap=128),
         )
 
     def _sweep_bwd(c_all, x_final, a_final):
@@ -243,7 +247,7 @@ def _adjoint_core(basis, coeff_fn, *, order, m, max_squarings, use_pallas):
         a0, cb = adjoint_sweep_bwd_pallas(
             c_all.astype(dtype), x_final, a_final, W.astype(dtype),
             m=mm_, theta=th_, max_squarings=max_squarings,
-            tile=_pick_tile(x_final.shape[0]),
+            tile=_pick_tile(x_final.shape[0], cap=128),  # see _sweep_fwd
         )
         return a0, jnp.sum(cb, axis=0)
 
@@ -351,9 +355,10 @@ def make_adjoint_solver(
 # Yoshida triple-jump exponents: composing a SYMMETRIC order-4 step
 # (Magnus-4 with GL2 quadrature is self-adjoint) over sub-intervals
 # [g1, g2, g1]·dt with g1 = 1/(2 − 2^{1/5}) raises the order to 6.
-_YOSHIDA_G1 = 1.0 / (2.0 - 2.0 ** 0.2)
-_YOSHIDA_OFF = (0.0, _YOSHIDA_G1, 1.0 - _YOSHIDA_G1)
-_YOSHIDA_LEN = (_YOSHIDA_G1, 1.0 - 2.0 * _YOSHIDA_G1, _YOSHIDA_G1)
+from .exp.magnus import (  # noqa: E402  (single source of truth for order 6)
+    _SUB_LEN as _YOSHIDA_LEN,
+    _SUB_OFF as _YOSHIDA_OFF,
+)
 
 
 def rows_per_step(order: int) -> int:
@@ -417,29 +422,41 @@ def _rows_backward(core, c_all, yf, ybar):
     return a0, cb_rev[::-1]
 
 
-def _bwd_row(core, c, x_next, a_next):
+def _bwd_row(core, c, x_next, a_next, *, reduce=True):
     """One reverse exponential row: reconstruct x, transport the state
-    cotangent, and form the Kp coefficient cotangents. Row-cotangent
-    convention: cb is summed over the batch (the row is batch-shared)."""
+    cotangent, and form the Kp coefficient cotangents.
+
+    ``c`` may be a step-shared row (Kp,) or per-lane rows (B, Kp).
+    ``reduce=True`` sums cb over the batch (shared-row convention);
+    ``reduce=False`` returns per-lane cb with trailing Kp."""
     fused = core.bwd_fused(c, x_next, a_next)
     if fused is not None:
-        x_n, a_n, cb = fused
-        return x_n, a_n, jnp.sum(cb, axis=0).astype(c.dtype)
+        x_n, a_n, cb = fused                   # per-lane (B, Kp)
+        if reduce:
+            cb = jnp.sum(cb, axis=0)
+        return x_n, a_n, cb.astype(c.dtype)
     Kp, D = core.Kp, core.D
     x_n = core.apply(-c, x_next, core.W)       # 1. reconstruct
     a_n = core.apply(c, a_next, core.WT)       # 2. cotangent transport
     # 3. all Kp Fréchet directions as one batched augmented action
     xa = jnp.concatenate([jnp.zeros_like(x_n), x_n], axis=-1)
     xa = jnp.broadcast_to(xa, (Kp,) + xa.shape)
+    batch_c = c.shape[:-1]                     # () shared / (B,) per-lane
+    eye = jnp.eye(Kp, dtype=c.dtype).reshape(
+        (Kp,) + (1,) * len(batch_c) + (Kp,))
     ca = jnp.concatenate(
-        [jnp.broadcast_to(c, (Kp, Kp)),
-         jnp.eye(Kp, dtype=c.dtype)], axis=-1,
-    ).reshape((Kp,) + (1,) * (x_n.ndim - 1) + (2 * Kp,))
+        [jnp.broadcast_to(c, (Kp,) + c.shape),
+         jnp.broadcast_to(eye, (Kp,) + c.shape)], axis=-1,
+    )                                          # (Kp, *batch_c, 2Kp)
+    extra = x_n.ndim - 1 - len(batch_c)        # x batch axes c lacks
+    ca = ca.reshape((Kp,) + (1,) * extra + batch_c + (2 * Kp,))
     fre = core.apply(ca, xa, core.WA)[..., :D]  # (Kp, ..., D)
-    cb = jnp.sum(
-        fre * a_next, axis=tuple(range(1, fre.ndim))
-    ).astype(c.dtype)
-    return x_n, a_n, cb
+    cb = jnp.sum(fre * a_next, axis=-1)        # (Kp, *xbatch)
+    if reduce:
+        cb = jnp.sum(cb, axis=tuple(range(1, cb.ndim)))
+    else:
+        cb = jnp.moveaxis(cb, 0, -1)           # (*xbatch, Kp)
+    return x_n, a_n, cb.astype(c.dtype)
 
 
 def make_adjoint_saves_solver(
@@ -613,6 +630,13 @@ def make_adaptive_adjoint_solver(
     def _forward(theta, y0w, t0, tf, h0):
         from .driver import init_state, step_once
 
+        if y0w.ndim != 2:
+            raise ValueError(
+                "the adaptive adjoint needs a BATCHED state: y0 with a "
+                f"leading trajectory axis, widened to (B, 2d); got ndim="
+                f"{y0w.ndim}. For a single trajectory add a length-1 "
+                "batch axis (y0[None])."
+            )
         stepper = MagnusModulated4(
             ModulatedOperator(basis, lambda t: coeff_fn(t, theta)),
             adaptive=True, m=m, max_squarings=max_squarings,
@@ -621,9 +645,14 @@ def make_adaptive_adjoint_solver(
         step_fn = stepper.make_step_fn()
         x0 = _unwiden(y0w, is_cplx)
         B = y0w.shape[0]
-        tdt = jnp.asarray(t0).dtype
+        # ONE time dtype for the whole solve: controller math promotes h
+        # by the state/error dtype, so fold that in too. Endpoint
+        # COTANGENTS still carry their own primal dtypes (see bwd).
+        tdt = jnp.result_type(jnp.asarray(t0).dtype, jnp.asarray(tf).dtype,
+                              jnp.asarray(h0).dtype, y0w.dtype)
         t_grid = jnp.stack([jnp.asarray(t0, tdt), jnp.asarray(tf, tdt)])
-        state = init_state(x0, t_grid, h0, batch_shape=(B,))
+        state = init_state(x0, t_grid, jnp.asarray(h0, tdt),
+                           batch_shape=(B,))
 
         def body(s, _):
             s2 = step_once(s, step_fn, adaptive=True, ctl=ctl,
@@ -638,11 +667,11 @@ def make_adaptive_adjoint_solver(
 
     def fwd(theta, y0w, t0, tf, h0):
         yfw, status, ts_all = _forward(theta, y0w, t0, tf, h0)
-        return (yfw, status), (theta, yfw, ts_all)
+        return (yfw, status), (theta, yfw, ts_all, t0, tf, h0)
 
     def bwd(res, cts):
         ybar, _ = cts                            # int status: float0 cotangent
-        theta, yfw, ts_all = res
+        theta, yfw, ts_all, t0, tf, h0 = res
         theta0 = jax.tree_util.tree_map(jnp.zeros_like, theta)
 
         def body(carry, r):
@@ -655,25 +684,8 @@ def make_adaptive_adjoint_solver(
                 )(t_r, dt_r),
                 theta,
             )                                     # c: (B, Kp)
-            fused = _bwd_fused(c, x_next, a_next)
-            if fused is not None:
-                x_n, a_n, c_bar = fused           # per-lane cbar (B, Kp)
-                c_bar = c_bar.astype(c.dtype)
-            else:
-                x_n = _apply(-c, x_next, W)
-                a_n = _apply(c, a_next, WT)
-                xa = jnp.concatenate([jnp.zeros_like(x_n), x_n], axis=-1)
-                xa = jnp.broadcast_to(xa, (Kp,) + xa.shape)
-                ca = jnp.concatenate(
-                    [jnp.broadcast_to(c, (Kp,) + c.shape),
-                     jnp.broadcast_to(
-                         jnp.eye(Kp, dtype=c.dtype)[:, None, :],
-                         (Kp, c.shape[0], Kp),
-                     )], axis=-1,
-                )                                 # (Kp, B, 2Kp)
-                fre = _apply(ca, xa, WA)[..., :D]  # (Kp, B, D)
-                c_bar = jnp.einsum("kbi,bi->bk", fre,
-                                   a_next).astype(c.dtype)
+            x_n, a_n, c_bar = _bwd_row(core, c, x_next, a_next,
+                                       reduce=False)
             (th_step,) = c_vjp(c_bar)
             th_bar = jax.tree_util.tree_map(jnp.add, th_bar, th_step)
             return (x_n, a_n, th_bar), None
@@ -697,12 +709,15 @@ def make_adaptive_adjoint_solver(
             return jnp.einsum("bk,kij,bj->bi", g, W[:K0], x,
                               precision=HIGHEST)
 
-        tdt = ts_all.dtype
-        tf_bar = jnp.sum(ybar * At_x(ts_all[-1], yfw)).astype(tdt)
-        t0_bar = -jnp.sum(a0 * At_x(ts_all[0], x0_r)).astype(tdt)
+        tf_bar = jnp.sum(ybar * At_x(ts_all[-1], yfw))
+        t0_bar = -jnp.sum(a0 * At_x(ts_all[0], x0_r))
         # h0 shapes the accepted sequence, which the discrete adjoint
-        # freezes — its cotangent is zero by construction
-        return th_bar, a0, t0_bar, tf_bar, jnp.zeros((), tdt)
+        # freezes — its cotangent is zero by construction; each cotangent
+        # must carry ITS primal's dtype (mixed time dtypes are legal)
+        return (th_bar, a0,
+                t0_bar.astype(jnp.asarray(t0).dtype),
+                tf_bar.astype(jnp.asarray(tf).dtype),
+                jnp.zeros_like(jnp.asarray(h0)))
 
     solve.defvjp(fwd, bwd)
     return solve

@@ -26,6 +26,19 @@ from ..utils.prec import HIGHEST, mm
 from .protocol import ExponentialSplit
 
 
+def _check_max_squarings(v):
+    """The operator function belongs to solve_linear(op_fn, ...), not the
+    leaf; DenseSplit(Ht) would otherwise silently bind Ht to this field."""
+    import numbers
+
+    if not isinstance(v, numbers.Integral):
+        raise TypeError(
+            "max_squarings must be an int; split leaves take no operator "
+            "argument — pass the operator function to solve_linear / the "
+            f"solver instead (got {type(v).__name__})"
+        )
+
+
 def cp_embed(L):
     from ..ops import cplx as cp
 
@@ -71,15 +84,7 @@ class DenseSplit(ExponentialSplit):
     max_squarings: int = 16
 
     def __post_init__(self):
-        # the operator function belongs to solve_linear(op_fn, ...), not the
-        # leaf; DenseSplit(Ht) would otherwise silently bind Ht here
-        if not isinstance(self.max_squarings, int):
-            raise TypeError(
-                "max_squarings must be an int; split leaves take no operator "
-                "argument — pass the operator function to solve_linear / the "
-                "solver instead (got "
-                f"{type(self.max_squarings).__name__})"
-            )
+        _check_max_squarings(self.max_squarings)
 
     def exp(self, L):
         return expm(L, max_squarings=self.max_squarings)
@@ -180,14 +185,7 @@ class DenseCplxSplit(_CplxSplitBase):
     max_squarings: int = 16
 
     def __post_init__(self):
-        # see DenseSplit.__post_init__ — DenseCplxSplit(Ht) is the same trap
-        if not isinstance(self.max_squarings, int):
-            raise TypeError(
-                "max_squarings must be an int; split leaves take no operator "
-                "argument — pass the operator function to solve_linear / the "
-                "solver instead (got "
-                f"{type(self.max_squarings).__name__})"
-            )
+        _check_max_squarings(self.max_squarings)
 
     def exp(self, L):
         # keep the propagator in EMBEDDED real (..., 2d, 2d) form: apply is

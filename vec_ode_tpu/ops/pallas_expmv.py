@@ -283,6 +283,102 @@ def _tmatmul(x, M):
     )
 
 
+def _adjoint_row_scaling(cols, basis_ref, K, theta, max_squarings, dtype):
+    """Per-tile scaling for one reverse row, bound from the |c|-weighted
+    basis norms ONLY: the Fréchet series is LINEAR in the direction V
+    (each term carries exactly one V factor), so its truncation and
+    convergence are governed by ||A_s|| alone — the one-hot direction
+    needs scaling for consistency (2^{-s} V) but contributes nothing to
+    the required pass count. Returns (scaled cols, scale, n_pass)."""
+    norms = [jnp.max(jnp.sum(jnp.abs(basis_ref[k]), axis=0))
+             for k in range(K)]
+    b = None
+    for k in range(K):
+        col = jnp.abs(cols[k]) * norms[k]
+        b = col if b is None else b + col
+    mx = jnp.max(jnp.where(jnp.isnan(b), 0.0, b))
+    s = jnp.clip(
+        jnp.ceil(jnp.log2(jnp.maximum(mx / theta, 1.0))),
+        0, max_squarings,
+    ).astype(jnp.int32)
+    scale = jnp.asarray(2.0, dtype) ** (-s.astype(dtype))
+    n_pass = jnp.left_shift(jnp.ones((), jnp.int32), s)
+    return [cols[k] * scale for k in range(K)], scale, n_pass
+
+
+def _adjoint_row_chains(cs, scale, n_pass, basis_ref, K, m, xv, av):
+    """The three chains of one reverse adjoint row (shared by the
+    single-step and persistent-sweep kernels):
+
+        x_n  = e^{-A} xv               A = sum_k cs_k W_k (pre-scaled)
+        a_n  = e^{A^T} av              (transposed matvecs, no W^T copy)
+        us_k = D_{W_k} e^{A} x_n       (cbar_k = <av, us_k>)
+
+    The Fréchet directions use the block-triangular recurrence: for the
+    augmented vector (u_k; w), one Taylor term is u_k' = (A u_k + W_k w)/j
+    with the w-chain w' = (A w)/j SHARED across all K directions —
+    (K² + 2K) D-wide matvecs per term instead of the (2D)-embedding's 8K².
+    """
+
+    def A_mv(v, sgn):
+        w = None
+        for k in range(K):
+            mv = _row_matmul(v, basis_ref[k])
+            w = cs[k] * mv if w is None else w + cs[k] * mv
+        return sgn * w
+
+    def AT_mv(v):
+        w = None
+        for k in range(K):
+            mv = _tmatmul(v, basis_ref[k])
+            w = cs[k] * mv if w is None else w + cs[k] * mv
+        return w
+
+    def pass_xn(_, v):
+        acc = v
+        term = v
+        for j in range(1, m + 1):
+            term = A_mv(term, -1.0) * (1.0 / j)
+            acc = acc + term
+        return acc
+
+    x_n = jax.lax.fori_loop(0, n_pass, pass_xn, xv)
+
+    def pass_an(_, v):
+        acc = v
+        term = v
+        for j in range(1, m + 1):
+            term = AT_mv(term) * (1.0 / j)
+            acc = acc + term
+        return acc
+
+    a_n = jax.lax.fori_loop(0, n_pass, pass_an, av)
+
+    def pass_fre(_, uw):
+        us, w = uw[:K], uw[K]
+        acc_w, term_w = w, w
+        acc_us = list(us)
+        term_us = list(us)
+        for j in range(1, m + 1):
+            inv = 1.0 / j
+            new_us = [
+                (A_mv(term_us[k], 1.0)
+                 + scale * _row_matmul(term_w, basis_ref[k])) * inv
+                for k in range(K)
+            ]
+            term_w = A_mv(term_w, 1.0) * inv
+            acc_w = acc_w + term_w
+            for k in range(K):
+                acc_us[k] = acc_us[k] + new_us[k]
+            term_us = new_us
+        return tuple(acc_us) + (acc_w,)
+
+    zero = jnp.zeros_like(x_n)
+    uw = jax.lax.fori_loop(
+        0, n_pass, pass_fre, tuple(zero for _ in range(K)) + (x_n,))
+    return x_n, a_n, uw[:K]
+
+
 def adjoint_bwd_pallas(
     c: jax.Array,                  # (B, K) per-lane exponent coefficients
     x_next: jax.Array,             # (B, D)
@@ -320,94 +416,16 @@ def adjoint_bwd_pallas(
     dtype = x_next.dtype
 
     def kernel(c_ref, x_ref, a_ref, basis_ref, xn_ref, an_ref, cb_ref):
-        x = x_ref[:]
         a = a_ref[:]
         cols = [c_ref[:, k:k + 1] for k in range(K)]
-
-        # per-tile scaling shared by all three chains, bound from the
-        # |c|-weighted basis norms ONLY: the Fréchet series is LINEAR in
-        # the direction V (each term carries exactly one V factor), so its
-        # truncation/convergence is governed by ||A_s|| alone — the
-        # one-hot direction needs scaling for consistency (2^{-s} V) but
-        # contributes nothing to the required pass count
-        norms = [jnp.max(jnp.sum(jnp.abs(basis_ref[k]), axis=0))
-                 for k in range(K)]
-        b = None
-        for k in range(K):
-            col = jnp.abs(cols[k]) * norms[k]
-            b = col if b is None else b + col
-        mx = jnp.max(jnp.where(jnp.isnan(b), 0.0, b))
-        s = jnp.clip(
-            jnp.ceil(jnp.log2(jnp.maximum(mx / theta, 1.0))),
-            0, max_squarings,
-        ).astype(jnp.int32)
-        scale = jnp.asarray(2.0, dtype) ** (-s.astype(dtype))
-        n_pass = jnp.left_shift(jnp.ones((), jnp.int32), s)
-        cs = [cols[k] * scale for k in range(K)]
-
-        def A_mv(v, sgn):
-            w = None
-            for k in range(K):
-                mv = _row_matmul(v, basis_ref[k])
-                w = cs[k] * mv if w is None else w + cs[k] * mv
-            return sgn * w
-
-        def AT_mv(v):
-            w = None
-            for k in range(K):
-                mv = _tmatmul(v, basis_ref[k])
-                w = cs[k] * mv if w is None else w + cs[k] * mv
-            return w
-
-        # 1. reconstruct: x_n = e^{-A} x_next
-        def pass_xn(_, v):
-            acc = v
-            term = v
-            for j in range(1, m + 1):
-                term = A_mv(term, -1.0) * (1.0 / j)
-                acc = acc + term
-            return acc
-
-        x_n = jax.lax.fori_loop(0, n_pass, pass_xn, x)
-
-        # 2. cotangent transport: a_n = e^{A^T} a_next
-        def pass_an(_, v):
-            acc = v
-            term = v
-            for j in range(1, m + 1):
-                term = AT_mv(v=term) * (1.0 / j)
-                acc = acc + term
-            return acc
-
-        a_n = jax.lax.fori_loop(0, n_pass, pass_an, a)
-
-        # 3. all-K Fréchet directions, shared lower chain
-        def pass_fre(_, uw):
-            us, w = uw[:K], uw[K]
-            acc_w, term_w = w, w
-            acc_us = list(us)
-            term_us = list(us)
-            for j in range(1, m + 1):
-                inv = 1.0 / j
-                new_us = [
-                    (A_mv(term_us[k], 1.0)
-                     + scale * _row_matmul(term_w, basis_ref[k])) * inv
-                    for k in range(K)
-                ]
-                term_w = A_mv(term_w, 1.0) * inv
-                acc_w = acc_w + term_w
-                for k in range(K):
-                    acc_us[k] = acc_us[k] + new_us[k]
-                term_us = new_us
-            return tuple(acc_us) + (acc_w,)
-
-        zero = jnp.zeros_like(x_n)
-        uw = jax.lax.fori_loop(
-            0, n_pass, pass_fre, tuple(zero for _ in range(K)) + (x_n,))
+        cs, scale, n_pass = _adjoint_row_scaling(
+            cols, basis_ref, K, theta, max_squarings, dtype)
+        x_n, a_n, us = _adjoint_row_chains(
+            cs, scale, n_pass, basis_ref, K, m, x_ref[:], a)
         xn_ref[:] = x_n
         an_ref[:] = a_n
         cb_ref[:] = jnp.concatenate(
-            [jnp.sum(a * uw[k], axis=1, keepdims=True) for k in range(K)],
+            [jnp.sum(a * us[k], axis=1, keepdims=True) for k in range(K)],
             axis=1,
         )
 
@@ -565,66 +583,10 @@ def adjoint_sweep_bwd_pallas(
             r = R - 1 - i
             oh = (rows == r).astype(dtype)          # (R, 1)
             cs = [jnp.sum(oh * c_ref[:, k:k + 1]) * scale for k in range(K)]
-
-            def A_mv(v, sgn):
-                w = None
-                for k in range(K):
-                    mv = _row_matmul(v, basis_ref[k])
-                    w = cs[k] * mv if w is None else w + cs[k] * mv
-                return sgn * w
-
-            def AT_mv(v):
-                w = None
-                for k in range(K):
-                    mv = _tmatmul(v, basis_ref[k])
-                    w = cs[k] * mv if w is None else w + cs[k] * mv
-                return w
-
-            def pass_xn(_, v):
-                acc = v
-                term = v
-                for j in range(1, m + 1):
-                    term = A_mv(term, -1.0) * (1.0 / j)
-                    acc = acc + term
-                return acc
-
-            x_n = jax.lax.fori_loop(0, n_pass, pass_xn, xv)
-
-            def pass_an(_, v):
-                acc = v
-                term = v
-                for j in range(1, m + 1):
-                    term = AT_mv(term) * (1.0 / j)
-                    acc = acc + term
-                return acc
-
-            a_n = jax.lax.fori_loop(0, n_pass, pass_an, av)
-
-            def pass_fre(_, uw):
-                us, w = uw[:K], uw[K]
-                acc_w, term_w = w, w
-                acc_us = list(us)
-                term_us = list(us)
-                for j in range(1, m + 1):
-                    inv = 1.0 / j
-                    new_us = [
-                        (A_mv(term_us[k], 1.0)
-                         + scale * _row_matmul(term_w, basis_ref[k])) * inv
-                        for k in range(K)
-                    ]
-                    term_w = A_mv(term_w, 1.0) * inv
-                    acc_w = acc_w + term_w
-                    for k in range(K):
-                        acc_us[k] = acc_us[k] + new_us[k]
-                    term_us = new_us
-                return tuple(acc_us) + (acc_w,)
-
-            zero = jnp.zeros_like(x_n)
-            uw = jax.lax.fori_loop(
-                0, n_pass, pass_fre,
-                tuple(zero for _ in range(K)) + (x_n,))
+            x_n, a_n, us = _adjoint_row_chains(
+                cs, scale, n_pass, basis_ref, K, m, xv, av)
             cbrow = jnp.concatenate(
-                [jnp.sum(av * uw[k])[None, None] for k in range(K)],
+                [jnp.sum(av * us[k])[None, None] for k in range(K)],
                 axis=1,
             )                                        # (1, K)
             cb = cb + oh * cbrow                     # outer-product scatter
