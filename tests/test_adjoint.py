@@ -734,3 +734,95 @@ def test_adaptive_adjoint_mixed_time_dtypes():
     assert g0.dtype == jnp.float32 and gf.dtype == jnp.float64
     assert gh.dtype == jnp.float64 and float(gh) == 0.0
     assert np.isfinite(float(g0)) and np.isfinite(float(gf))
+
+
+def test_adjoint_three_controls_matches_oracle():
+    """K=3 basis (two independent controls + drift): the commutator
+    extension grows to Kp = 6; gradients must still match the expm oracle
+    exactly (exercises the adjoint's generic-K machinery, orders 4 and 6)."""
+    d, K, N = 3, 3, 10
+    basis = _random_antiherm_basis(K, d, seed=41)
+    rng = np.random.default_rng(42)
+    z = rng.standard_normal((2, d)) + 1j * rng.standard_normal((2, d))
+    z /= np.linalg.norm(z, axis=-1, keepdims=True)
+    y0 = cp.from_complex(z, jnp.float64)
+    theta = jnp.asarray([0.8, 2.5, -0.6, 1.4], jnp.float64)
+
+    def cfn(t, th):
+        t = jnp.asarray(t)
+        return jnp.stack([jnp.ones_like(t),
+                          th[0] * jnp.cos(th[1] * t),
+                          th[2] * jnp.sin(th[3] * t)], axis=-1)
+
+    for order in (4, 6):
+        def loss(th):
+            yf = adjoint_solve(basis, cfn, th, y0, 0.0, 1.2, N,
+                               order=order, use_pallas=False)
+            return jnp.sum(yf.re[:, 0] ** 2 + yf.im[:, 1] ** 2)
+
+        ext, pairs = ModulatedOperator(basis, lambda t: None
+                                       ).commutator_extension()
+        assert len(pairs) == 3 and ext.re.shape[0] == 6
+        W = _real_basis(ext)
+
+        def loss_orc(th):
+            from vec_ode_tpu.diff import _YOSHIDA_LEN, _YOSHIDA_OFF
+
+            subs = (list(zip(_YOSHIDA_OFF, _YOSHIDA_LEN))
+                    if order == 6 else [(0.0, 1.0)])
+            dt = 1.2 / N
+            x = jnp.concatenate([y0.re, y0.im], axis=-1)
+            for n in range(N):
+                tn = n * dt
+                for o, l in subs:
+                    c = _magnus_cols(cfn, K, pairs, 4, th,
+                                     tn + o * dt, l * dt)
+                    U = expm(jnp.einsum("k,kij->ij", c, W,
+                                        precision=HIGHEST))
+                    x = jnp.einsum("ij,bj->bi", U, x, precision=HIGHEST)
+            return jnp.sum(x[:, :d][:, 0] ** 2 + x[:, d:][:, 1] ** 2)
+
+        v, g = jax.value_and_grad(loss)(theta)
+        vo_, go = jax.value_and_grad(loss_orc)(theta)
+        np.testing.assert_allclose(float(v), float(vo_), rtol=1e-11)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(go),
+                                   rtol=1e-8, atol=1e-11)
+
+
+def test_adaptive_adjoint_order6():
+    """order=6 adaptive adjoint: forward equals the public Magnus-6
+    adaptive solve; theta gradients match central finite differences of
+    the solve itself (FD noise ~ rtol/eps)."""
+    import vec_ode_tpu as vo
+    from vec_ode_tpu.diff import adjoint_solve_adaptive
+
+    d, K, B = 3, 2, 2
+    basis = _random_antiherm_basis(K, d, seed=51)
+    rng = np.random.default_rng(52)
+    z = rng.standard_normal((B, d)) + 1j * rng.standard_normal((B, d))
+    z /= np.linalg.norm(z, axis=-1, keepdims=True)
+    y0 = cp.from_complex(z, jnp.float64)
+    theta = jnp.asarray([0.9, 2.2], jnp.float64)
+    ctl = vo.StepControl(rtol=1e-9, atol=1e-11, min_dt=1e-9, max_dt=0.4,
+                         max_steps=256)
+
+    def loss(th):
+        yf = adjoint_solve_adaptive(basis, _coeff_fn, th, y0, 0.0, 1.0,
+                                    ctl=ctl, order=6, h0=0.2,
+                                    use_pallas=False)
+        return jnp.sum(yf.re[:, 0] ** 2 + yf.im[:, 1] ** 2)
+
+    v, g = jax.value_and_grad(loss)(theta)
+    assert np.isfinite(float(v))
+    eps = 1e-4
+    for i in range(2):
+        e = jnp.zeros(2).at[i].set(eps)
+        fd = (loss(theta + e) - loss(theta - e)) / (2 * eps)
+        np.testing.assert_allclose(float(g[i]), float(fd),
+                                   rtol=2e-3, atol=1e-6)
+
+    # order 6 takes far fewer accepted iterations than order 4 at this rtol
+    _, st6 = adjoint_solve_adaptive(basis, _coeff_fn, theta, y0, 0.0, 1.0,
+                                    ctl=ctl, order=6, h0=0.2,
+                                    use_pallas=False, return_status=True)
+    assert (np.asarray(st6) == vo.DONE).all()

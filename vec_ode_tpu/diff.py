@@ -574,11 +574,12 @@ def make_adaptive_adjoint_solver(
     coeff_fn: Callable,
     *,
     ctl: StepControl,
+    order: int = 4,
     m: Optional[int] = None,
     max_squarings: int = 16,
     use_pallas: bool = True,
 ):
-    """Adaptive-step variant of :func:`make_adjoint_solver` (Magnus-4 only):
+    """Adaptive-step variant of :func:`make_adjoint_solver` (orders 4/6):
     ``solve(theta, y0w, t0, tf, h0) -> y_final_w`` runs the REAL adaptive
     driver forward (driver.step_once semantics, ``ctl.max_steps`` bounded
     iterations like ``method="scan"``), recording ONLY the per-iteration
@@ -604,13 +605,24 @@ def make_adaptive_adjoint_solver(
     reaching ``tf`` holds a mid-integration state; callers must check
     status (the :func:`adjoint_solve_adaptive` wrapper NaN-poisons such
     lanes by default so truncation can never be silent)."""
-    from .exp.modulated import MagnusModulated4, ModulatedOperator, _unwiden
+    from .exp.modulated import (
+        MagnusModulated4,
+        MagnusModulated6,
+        ModulatedOperator,
+        _unwiden,
+    )
     from .ops.cplx import Cplx
 
+    if order not in (4, 6):
+        raise ValueError(f"adaptive adjoint order must be 4 or 6, got {order}")
     core = _adjoint_core(
-        basis, coeff_fn, order=4, m=m, max_squarings=max_squarings,
+        basis, coeff_fn, order=order, m=m, max_squarings=max_squarings,
         use_pallas=use_pallas,
     )
+    stepper_cls = MagnusModulated6 if order == 6 else MagnusModulated4
+    # order 6 replays the three Yoshida sub-rows per recorded step
+    subs = (tuple(zip(_YOSHIDA_OFF, _YOSHIDA_LEN)) if order == 6
+            else ((0.0, 1.0),))
     cols, _apply, _bwd_fused = core.cols, core.apply, core.bwd_fused
     W, WT, WA, Kp, D, K0 = (core.W, core.WT, core.WA, core.Kp, core.D,
                             core.K0)
@@ -637,7 +649,7 @@ def make_adaptive_adjoint_solver(
                 f"{y0w.ndim}. For a single trajectory add a length-1 "
                 "batch axis (y0[None])."
             )
-        stepper = MagnusModulated4(
+        stepper = stepper_cls(
             ModulatedOperator(basis, lambda t: coeff_fn(t, theta)),
             adaptive=True, m=m, max_squarings=max_squarings,
             use_pallas=use_pallas,
@@ -678,17 +690,25 @@ def make_adaptive_adjoint_solver(
             x_next, a_next, th_bar = carry
             t_r = ts_all[r]
             dt_r = ts_all[r + 1] - ts_all[r]     # 0 on non-advancing rows
-            c, c_vjp = jax.vjp(
-                lambda th: jax.vmap(
-                    lambda t, d: cols(th, t, d)
-                )(t_r, dt_r),
-                theta,
-            )                                     # c: (B, Kp)
-            x_n, a_n, c_bar = _bwd_row(core, c, x_next, a_next,
-                                       reduce=False)
-            (th_step,) = c_vjp(c_bar)
+
+            def rows_of(th):
+                # (n_sub, B, Kp): order-4 rows over each sub-interval;
+                # dt_r = 0 rows stay exactly zero for every sub-row
+                return jnp.stack([
+                    jax.vmap(lambda t, d: cols(th, t, d))(
+                        t_r + o * dt_r, ln * dt_r)
+                    for o, ln in subs
+                ])
+
+            rows, r_vjp = jax.vjp(rows_of, theta)
+            cbs = []
+            for j in range(len(subs) - 1, -1, -1):
+                x_next, a_next, cb = _bwd_row(core, rows[j], x_next,
+                                              a_next, reduce=False)
+                cbs.append(cb)
+            (th_step,) = r_vjp(jnp.stack(cbs[::-1]))
             th_bar = jax.tree_util.tree_map(jnp.add, th_bar, th_step)
-            return (x_n, a_n, th_bar), None
+            return (x_next, a_next, th_bar), None
 
         n_it = ts_all.shape[0] - 1
         (x0_r, a0, th_bar), _ = jax.lax.scan(
@@ -732,13 +752,15 @@ def adjoint_solve_adaptive(
     tf,
     *,
     ctl: StepControl,
+    order: int = 4,
     h0=None,
     m: Optional[int] = None,
     max_squarings: int = 16,
     use_pallas: bool = True,
     return_status: bool = False,
 ):
-    """Terminal state of the ADAPTIVE Magnus-4 solve of dx/dt = A(t;theta) x,
+    """Terminal state of the ADAPTIVE Magnus solve (order 4 or 6 — the
+    Yoshida-composed stepper) of dx/dt = A(t;theta) x,
     differentiable w.r.t. ``theta`` and ``y0`` with O(max_steps) scalar
     memory (per-iteration times only — no stored trajectory). See
     :func:`make_adaptive_adjoint_solver`.
@@ -754,8 +776,8 @@ def adjoint_solve_adaptive(
     from .ops.cplx import Cplx
 
     solver = make_adaptive_adjoint_solver(
-        basis, coeff_fn, ctl=ctl, m=m, max_squarings=max_squarings,
-        use_pallas=use_pallas,
+        basis, coeff_fn, ctl=ctl, order=order, m=m,
+        max_squarings=max_squarings, use_pallas=use_pallas,
     )
     if h0 is None:
         h0 = ctl.init_h()
