@@ -826,3 +826,36 @@ def test_adaptive_adjoint_order6():
                                     ctl=ctl, order=6, h0=0.2,
                                     use_pallas=False, return_status=True)
     assert (np.asarray(st6) == vo.DONE).all()
+
+
+def test_duration_gradient_total_derivative():
+    """Time-optimal control: d/dT of a loss where T is BOTH the endpoint
+    and a pulse-shape parameter (u = sum_j a_j sin(j pi t / T)) — the
+    exact-discrete tf cotangent and the coeff_fn theta path must compose
+    into the correct total derivative (checked by finite differences)."""
+    d, K, N = 3, 2, 48
+    basis = _random_antiherm_basis(K, d, seed=61)
+    rng = np.random.default_rng(62)
+    z = rng.standard_normal((1, d)) + 1j * rng.standard_normal((1, d))
+    z /= np.linalg.norm(z, axis=-1, keepdims=True)
+    y0 = cp.from_complex(z, jnp.float64)
+    amps = jnp.asarray([0.4, -0.3, 0.2], jnp.float64)
+
+    def cfn(t, th):
+        t = jnp.asarray(t)
+        j = jnp.arange(1, 4, dtype=jnp.float64)
+        u = jnp.sum(th["a"] * jnp.sin(j * (jnp.pi / th["T"]) * t[..., None]),
+                    axis=-1)
+        return jnp.stack([jnp.ones_like(u), u], axis=-1)
+
+    def loss(T):
+        th = {"a": amps, "T": T}
+        yf = adjoint_solve(basis, cfn, th, y0, 0.0, T, N, order=4,
+                           use_pallas=False)
+        return jnp.sum(yf.re[:, 0] ** 2 + yf.im[:, 1] ** 2)
+
+    T0 = jnp.float64(2.3)
+    g = jax.grad(loss)(T0)
+    eps = 1e-6
+    fd = (loss(T0 + eps) - loss(T0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-6, atol=1e-10)
