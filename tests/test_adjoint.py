@@ -859,3 +859,29 @@ def test_duration_gradient_total_derivative():
     eps = 1e-6
     fd = (loss(T0 + eps) - loss(T0 - eps)) / (2 * eps)
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-6, atol=1e-10)
+
+
+def test_adjoint_vmaps_over_pulses():
+    """jax.vmap composes over the adjoint solve: P independent pulse
+    parameter sets optimized in ONE batched program (GRAPE over many
+    targets / robust-control ensembles). Values and gradients must equal
+    the per-pulse loop."""
+    d, K, P = 3, 2, 5
+    basis = _random_antiherm_basis(K, d, seed=71)
+    rng = np.random.default_rng(72)
+    z = rng.standard_normal(d) + 1j * rng.standard_normal(d)
+    z /= np.linalg.norm(z)
+    y0 = cp.from_complex(z[None], jnp.float64)
+    thetas = jnp.asarray(rng.standard_normal((P, 2)), jnp.float64)
+
+    def loss(th):
+        yf = adjoint_solve(basis, _coeff_fn, th, y0, 0.0, 1.0, 32,
+                           use_pallas=False)
+        return jnp.sum(yf.re[:, 0] ** 2 + yf.im[:, 0] ** 2)
+
+    vv, gv = jax.vmap(jax.value_and_grad(loss))(thetas)
+    for p in range(P):
+        v, g = jax.value_and_grad(loss)(thetas[p])
+        np.testing.assert_allclose(float(vv[p]), float(v), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(gv[p]), np.asarray(g),
+                                   rtol=1e-10)
