@@ -48,6 +48,11 @@ import numpy as np
 
 from .controller import StepControl
 from .driver import Solution, integrate, make_grid
+# Yoshida triple-jump exponents (single source of truth in exp/magnus.py):
+# composing a SYMMETRIC order-4 step (Magnus-4 with GL2 quadrature is
+# self-adjoint) over sub-intervals [g1, g2, g1]·dt with
+# g1 = 1/(2 − 2^{1/5}) raises the order to 6.
+from .exp.magnus import _SUB_LEN as _YOSHIDA_LEN, _SUB_OFF as _YOSHIDA_OFF
 
 Pytree = Any
 
@@ -74,12 +79,9 @@ def solve_for_grad(
     wraps the loop body in ``jax.checkpoint`` (recompute instead of storing
     per-step residuals — the TPU-native answer to deep integration graphs).
     """
-    import jax.numpy as jnp
-
     step_fn = step_fn_factory(params)
     if remat:
-        inner = step_fn
-        step_fn = jax.checkpoint(lambda t, x, dt: inner(t, x, dt))
+        step_fn = jax.checkpoint(step_fn)
     t_grid = make_grid(t0, tf, dtype=jnp.result_type(
         jnp.asarray(t0), jnp.asarray(tf), float))
     return integrate(
@@ -352,15 +354,6 @@ def make_adjoint_solver(
     return solve
 
 
-# Yoshida triple-jump exponents: composing a SYMMETRIC order-4 step
-# (Magnus-4 with GL2 quadrature is self-adjoint) over sub-intervals
-# [g1, g2, g1]·dt with g1 = 1/(2 − 2^{1/5}) raises the order to 6.
-from .exp.magnus import (  # noqa: E402  (single source of truth for order 6)
-    _SUB_LEN as _YOSHIDA_LEN,
-    _SUB_OFF as _YOSHIDA_OFF,
-)
-
-
 def rows_per_step(order: int) -> int:
     return 3 if order == 6 else 1
 
@@ -610,6 +603,7 @@ def make_adaptive_adjoint_solver(
         MagnusModulated6,
         ModulatedOperator,
         _unwiden,
+        _widen,
     )
     from .ops.cplx import Cplx
 
@@ -623,9 +617,7 @@ def make_adaptive_adjoint_solver(
     # order 6 replays the three Yoshida sub-rows per recorded step
     subs = (tuple(zip(_YOSHIDA_OFF, _YOSHIDA_LEN)) if order == 6
             else ((0.0, 1.0),))
-    cols, _apply, _bwd_fused = core.cols, core.apply, core.bwd_fused
-    W, WT, WA, Kp, D, K0 = (core.W, core.WT, core.WA, core.Kp, core.D,
-                            core.K0)
+    cols, W, K0 = core.cols, core.W, core.K0
     is_cplx = isinstance(basis, Cplx)
 
     if ctl.max_steps > 65536:
@@ -674,7 +666,6 @@ def make_adaptive_adjoint_solver(
         final, ts_hist = jax.lax.scan(body, state, None,
                                       length=ctl.max_steps)
         ts_all = jnp.concatenate([ts_hist, final.t[None]], axis=0)
-        from .exp.modulated import _widen
         return _widen(final.x, is_cplx), final.status, ts_all
 
     def fwd(theta, y0w, t0, tf, h0):
