@@ -3,7 +3,7 @@
 from .chains import TightBindingChain
 from .linear import DecayDiag, LinearConstant, stable_dense_matrix
 from .nonlinear import Brusselator, LotkaVolterra, VanDerPol
-from .quantum import DrivenDense, LandauZener, PulseControl
+from .quantum import DrivenDense, LandauZener, Lindblad, PulseControl
 
 __all__ = [
     "LinearConstant",
@@ -15,5 +15,6 @@ __all__ = [
     "LandauZener",
     "DrivenDense",
     "PulseControl",
+    "Lindblad",
     "TightBindingChain",
 ]

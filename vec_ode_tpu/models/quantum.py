@@ -256,3 +256,93 @@ class PulseControl:
         re = jnp.sum(Ur.T * yf.re + Ui.T * yf.im) / d
         im = jnp.sum(Ur.T * yf.im - Ui.T * yf.re) / d
         return 1.0 - (re * re + im * im)
+
+
+@dataclasses.dataclass(frozen=True)
+class Lindblad:
+    """Open-system (Lindblad master equation) dynamics as a MODULATED
+    linear ODE over vectorized density matrices:
+
+        dρ/dt = -i[H0 + u(t) Hc, ρ] + Σ_j γ_j D[L_j] ρ
+        D[L]ρ = L ρ L† − ½{L†L, ρ}
+
+    Column-stacking vec(ρ) turns every term into a d²-dim superoperator:
+    -i[H, ·] → -i(I⊗H − Hᵀ⊗I) and D[L] → L̄⊗L − ½(I⊗L†L + (L†L)ᵀ⊗I), so
+    A(t) = S_drift + u(t)·S_ctrl is exactly the Σ f_k(t) M_k structure the
+    modulated fast path and the reversible adjoint consume (basis size
+    K = 2; for d = 8 the widened dimension 2d² = 128 is one MXU tile).
+
+    The reference crate has no open-system support at all. NOTE for
+    gradients: dissipation makes backward trajectory RECONSTRUCTION
+    amplify (the adjoint docstring's caveat) — for strongly dissipative
+    problems prefer ``method="scan"`` or short horizons.
+    """
+
+    H0: np.ndarray                  # (d, d) complex Hermitian drift
+    Hc: np.ndarray                  # (d, d) complex Hermitian control
+    jumps: tuple                    # ((gamma_j, L_j (d, d) complex), ...)
+
+    @staticmethod
+    def make(d: int = 4, seed: int = 0, gamma: float = 0.1):
+        """Random drift/control + one amplitude-damping-like jump."""
+        rng = np.random.default_rng(seed)
+        M = rng.standard_normal((d, d)) + 1j * rng.standard_normal((d, d))
+        H0 = (M + M.conj().T) / (2 * math.sqrt(d))
+        N = rng.standard_normal((d, d)) + 1j * rng.standard_normal((d, d))
+        Hc = (N + N.conj().T) / (2 * math.sqrt(d))
+        L = np.diag(np.ones(d - 1), k=1).astype(complex)  # lowering ladder
+        return Lindblad(H0=H0, Hc=Hc, jumps=((gamma, L),))
+
+    def _super_commutator(self, H):
+        d = H.shape[0]
+        eye = np.eye(d)
+        return -1j * (np.kron(eye, H) - np.kron(H.T, eye))
+
+    def _super_dissipator(self):
+        d = self.H0.shape[0]
+        eye = np.eye(d)
+        S = np.zeros((d * d, d * d), complex)
+        for g, L in self.jumps:
+            LdL = L.conj().T @ L
+            S += g * (np.kron(L.conj(), L)
+                      - 0.5 * (np.kron(eye, LdL) + np.kron(LdL.T, eye)))
+        return S
+
+    def superop_basis(self, dtype=jnp.float64):
+        """Cplx (2, d², d²): [drift+dissipators, control commutator]."""
+        from ..ops.cplx import Cplx
+
+        S0 = self._super_commutator(self.H0) + self._super_dissipator()
+        S1 = self._super_commutator(self.Hc)
+        S = np.stack([S0, S1])
+        return Cplx(jnp.asarray(S.real, dtype), jnp.asarray(S.imag, dtype))
+
+    def modulated(self, u_fn, dtype=jnp.float64):
+        """ModulatedOperator A(t) = S0 + u(t)·S1 for the exp solvers
+        (``u_fn(t)`` scalar/batched control envelope)."""
+        from ..exp.modulated import ModulatedOperator
+
+        basis = self.superop_basis(dtype)
+
+        def coeff(t):
+            t = jnp.asarray(t)
+            return jnp.stack([jnp.ones_like(t), u_fn(t)], axis=-1)
+
+        return ModulatedOperator(basis=basis, coeff_fn=coeff)
+
+    @staticmethod
+    def vec_rho(rho, dtype=jnp.float64):
+        """Density matrix (…, d, d) complex → Cplx (…, d²) column-stacked
+        vector (Fortran order to match the ⊗ convention)."""
+        from ..ops.cplx import from_complex
+
+        r = np.asarray(rho)
+        v = np.reshape(np.swapaxes(r, -1, -2), r.shape[:-2] + (-1,))
+        return from_complex(v, dtype)
+
+    @staticmethod
+    def unvec_rho(v):
+        """Cplx (…, d²) → complex ndarray (…, d, d)."""
+        z = np.asarray(v.re) + 1j * np.asarray(v.im)
+        d = int(round(math.sqrt(z.shape[-1])))
+        return np.swapaxes(z.reshape(z.shape[:-1] + (d, d)), -1, -2)
