@@ -296,13 +296,7 @@ def _adjoint_row_scaling(cols, basis_ref, K, theta, max_squarings, dtype):
     for k in range(K):
         col = jnp.abs(cols[k]) * norms[k]
         b = col if b is None else b + col
-    mx = jnp.max(jnp.where(jnp.isnan(b), 0.0, b))
-    s = jnp.clip(
-        jnp.ceil(jnp.log2(jnp.maximum(mx / theta, 1.0))),
-        0, max_squarings,
-    ).astype(jnp.int32)
-    scale = jnp.asarray(2.0, dtype) ** (-s.astype(dtype))
-    n_pass = jnp.left_shift(jnp.ones((), jnp.int32), s)
+    scale, n_pass = _global_scaling(b, theta, max_squarings, dtype)
     return [cols[k] * scale for k in range(K)], scale, n_pass
 
 
