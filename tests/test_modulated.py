@@ -725,3 +725,47 @@ def test_lindblad_control_gradient():
         fd = (loss(theta + e) - loss(theta - e)) / (2 * eps)
         np.testing.assert_allclose(float(g[i]), float(fd),
                                    rtol=1e-6, atol=1e-10)
+
+
+def test_lindblad_dissipative_control_optimization():
+    """End-to-end dissipative optimal control: drive a decaying qubit
+    (gamma = 0.4) into the excited state with Adam through the adjoint —
+    excited population must rise from ~0.01 to >0.8 despite damping."""
+    import optax
+
+    from vec_ode_tpu.diff import adjoint_solve
+    from vec_ode_tpu.models import Lindblad
+
+    sz = np.diag([1.0, -1.0]).astype(complex)
+    sx = np.array([[0, 1], [1, 0]], complex)
+    L = np.array([[0, 1], [0, 0]], complex)         # |g><e| decay
+    lb = Lindblad(H0=0.5 * sz, Hc=sx, jumps=((0.4, L),))
+    basis = lb.superop_basis()
+
+    def cfn(t, th):
+        t = jnp.asarray(t)
+        j = jnp.arange(1, 5, dtype=jnp.float64)
+        u = jnp.sum(th * jnp.sin(j * jnp.pi * t[..., None] / 2.0), axis=-1)
+        return jnp.stack([jnp.ones_like(u), u], axis=-1)
+
+    rho0 = np.zeros((2, 2), complex)
+    rho0[0, 0] = 1.0                                 # start in |g>
+    v0 = Lindblad.vec_rho(rho0[None])
+    theta = 0.1 * jnp.ones(4, jnp.float64)
+
+    def loss(th):
+        vf = adjoint_solve(basis, cfn, th, v0, 0.0, 2.0, 128,
+                           use_pallas=False)
+        return 1.0 - vf.re[0, 3]                     # 1 - rho_ee
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    opt = optax.adam(0.3)
+    st = opt.init(theta)
+    hist = []
+    for _ in range(120):
+        v, g = vg(theta)
+        hist.append(float(v))
+        up, st = opt.update(g, st)
+        theta = optax.apply_updates(theta, up)
+    assert hist[0] > 0.9
+    assert min(hist) < 0.2, f"dissipative control stalled: {min(hist)}"
