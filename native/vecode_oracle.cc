@@ -86,6 +86,53 @@ double norm2(int d, const double* v) {
 
 }  // namespace
 
+void matmul(int d, const double* A, const double* B, double* out) {
+  for (int i = 0; i < d; ++i) {
+    for (int j = 0; j < d; ++j) {
+      double acc = 0.0;
+      for (int k = 0; k < d; ++k) {
+        acc += A[static_cast<size_t>(i) * d + k] *
+               B[static_cast<size_t>(k) * d + j];
+      }
+      out[static_cast<size_t>(i) * d + j] = acc;
+    }
+  }
+}
+
+// y <- e^M y via scaling + degree-20 Taylor ACTION (||M_s||_1 <= 0.25 puts
+// the truncation at ~1e-32, far below f64 eps). Independent of the JAX
+// implementation (which uses Pade-13 on CPU / Taylor-12 chains on TPU).
+void expmv(int d, const double* M, double* y) {
+  double nrm = 0.0;
+  for (int j = 0; j < d; ++j) {
+    double col = 0.0;
+    for (int i = 0; i < d; ++i)
+      col += std::fabs(M[static_cast<size_t>(i) * d + j]);
+    nrm = std::max(nrm, col);
+  }
+  int s = 0;
+  while (nrm > 0.25 && s < 60) {
+    nrm *= 0.5;
+    ++s;
+  }
+  const double scale = std::ldexp(1.0, -s);
+  std::vector<double> Ms(static_cast<size_t>(d) * d);
+  for (size_t i = 0; i < Ms.size(); ++i) Ms[i] = M[i] * scale;
+  std::vector<double> acc(d), term(d), tmp(d);
+  const int n_pass = 1 << s;
+  for (int p = 0; p < n_pass; ++p) {
+    for (int k = 0; k < d; ++k) acc[k] = term[k] = y[k];
+    for (int j = 1; j <= 20; ++j) {
+      matvec(d, Ms.data(), term.data(), tmp.data());
+      for (int k = 0; k < d; ++k) {
+        term[k] = tmp[k] / j;
+        acc[k] += term[k];
+      }
+    }
+    for (int k = 0; k < d; ++k) y[k] = acc[k];
+  }
+}
+
 extern "C" {
 
 // Returns final status: 1 = done, 2 = max_steps exhausted.
@@ -168,6 +215,109 @@ int vecode_solve_linear_rkf45(
     }
     if (do_accept) {
       x = xf;
+      t += dt;
+      ++acc_n;
+      if (events) events[ev_n] = 1;
+    } else {
+      ++rej_n;
+      if (events) events[ev_n] = 3;
+    }
+    ev_n++;
+  }
+
+  std::memcpy(y_final, x.data(), sizeof(double) * dim);
+  *t_final = t;
+  *h_final = h;
+  *n_accept = acc_n;
+  *n_reject = rej_n;
+  *n_events = ev_n;
+  return (tgt > 1) ? 1 : 2;
+}
+
+// Adaptive Magnus-4 on the driven linear system y' = (A0 + cos(w t) A1) y
+// — semantics of the reference's magnus_42 kernel (exp/magnus.rs:28-83)
+// with the INTENDED error wiring (the real err vector reaches the
+// controller; the reference's stale-norm bug is documented in
+// exp/magnus.py), inside the same t_list driver loop as the RK oracle:
+//   t1,2 = t + dt/2 -/+ dt/(2 sqrt 3)   (GL2 nodes, magnus.rs:42)
+//   Om   = (A(t1)+A(t2)) dt/2 - (sqrt(3)/12) dt^2 [A(t1), A(t2)]
+//   x_hi = e^{Om} x ; err = e^{w1} x - x_hi  (w1 = order-2 part)
+int vecode_solve_linear_magnus4(
+    int dim, const double* A0, const double* A1, double w,
+    const double* y0, double t0, double tf,
+    double h0, double rtol, double min_dt, double max_dt, double alpha,
+    double order, int adaptive, int strict_end, int max_steps,
+    // outputs
+    double* y_final, double* t_final, double* h_final, int* n_accept,
+    int* n_reject, int* n_events, int8_t* events) {
+  const size_t dd = static_cast<size_t>(dim) * dim;
+  const double c_mid = 0.5 / std::sqrt(3.0);
+  const double b2 = -std::sqrt(3.0) / 12.0;
+  std::vector<double> x(y0, y0 + dim), x_hi(dim), x_lo(dim), err(dim);
+  std::vector<double> L1(dd), L2(dd), C1(dd), C2(dd), Om(dd), W1(dd);
+
+  auto assemble = [&](double t, double* out) {
+    const double c = std::cos(w * t);
+    for (size_t i = 0; i < dd; ++i) out[i] = A0[i] + c * A1[i];
+  };
+
+  double t = t0, h = h0, prev_h = h0;
+  int tgt = 0;
+  const double t_list[2] = {t0, tf};
+  int acc_n = 0, rej_n = 0, ev_n = 0;
+  const double pw = 1.0 / order;
+
+  for (int it = 0; it < max_steps; ++it) {
+    if (tgt > 1) break;
+    const double chk = t_list[tgt];
+    const double rem = chk - t;
+    bool at_grid;
+    if (strict_end) {
+      at_grid = relative_eq_zero(rem);
+    } else {
+      const double end_eps =
+          4.0 * 2.220446049250313e-16 * std::max(1.0, std::fabs(chk));
+      at_grid = std::fabs(rem) <= end_eps;
+    }
+    if (at_grid) {
+      tgt += 1;
+      h = prev_h;
+      if (events) events[ev_n] = (tgt > 1) ? 4 : 2;
+      ev_n++;
+      if (tgt > 1) break;
+      continue;
+    }
+    const double dt = std::min(h, rem);
+
+    // magnus_42 (exp/magnus.rs:28-83)
+    const double tm = t + 0.5 * dt;
+    assemble(tm - c_mid * dt, L1.data());
+    assemble(tm + c_mid * dt, L2.data());
+    matmul(dim, L1.data(), L2.data(), C1.data());
+    matmul(dim, L2.data(), L1.data(), C2.data());
+    for (size_t i = 0; i < dd; ++i) {
+      W1[i] = 0.5 * dt * (L1[i] + L2[i]);
+      Om[i] = W1[i] + b2 * dt * dt * (C1[i] - C2[i]);
+    }
+    x_hi = x;
+    expmv(dim, Om.data(), x_hi.data());
+
+    bool do_accept = true;
+    if (adaptive) {
+      x_lo = x;
+      expmv(dim, W1.data(), x_lo.data());
+      for (int k = 0; k < dim; ++k) err[k] = x_lo[k] - x_hi[k];
+      const double dx_norm = norm2(dim, err.data());
+      const double f = rtol / dx_norm;
+      double fp = alpha * std::pow(f, pw);
+      fp = std::min(std::max(fp, 0.3), 2.0);
+      const double new_h = std::min(std::max(fp * h, min_dt), max_dt);
+      prev_h = h;
+      h = new_h;
+      do_accept = f > 1.0;
+    }
+    if (do_accept) {
+      x = x_hi;
       t += dt;
       ++acc_n;
       if (events) events[ev_n] = 1;

@@ -60,6 +60,17 @@ def load() -> ctypes.CDLL:
         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_double, ctypes.c_double, dp,
     ]
+    lib.vecode_solve_linear_magnus4.restype = ctypes.c_int
+    lib.vecode_solve_linear_magnus4.argtypes = [
+        ctypes.c_int, dp, dp, ctypes.c_double, dp,  # dim, A0, A1, w, y0
+        ctypes.c_double, ctypes.c_double,           # t0, tf
+        ctypes.c_double, ctypes.c_double,           # h0, rtol
+        ctypes.c_double, ctypes.c_double,           # min_dt, max_dt
+        ctypes.c_double, ctypes.c_double,           # alpha, order
+        ctypes.c_int, ctypes.c_int,                 # adaptive, strict_end
+        ctypes.c_int,                               # max_steps
+        dp, dp, dp, ip, ip, ip, i8p,                # outputs
+    ]
     _lib = lib
     return lib
 
@@ -133,3 +144,65 @@ def controller_update(h, dx_norm, rtol=1e-4, alpha=0.9, order=3.0,
         h, dx_norm, rtol, alpha, order, min_dt, max_dt, ctypes.byref(new_h)
     )
     return new_h.value, bool(acc)
+
+
+def solve_linear_magnus4(
+    A0: np.ndarray,
+    A1: np.ndarray,
+    w: float,
+    y0: np.ndarray,
+    t0: float,
+    tf: float,
+    h0: float,
+    *,
+    rtol: float = 1e-4,
+    min_dt: float = 1e-6,
+    max_dt: float = 1.0,
+    alpha: float = 0.9,
+    order: float = 3.0,
+    adaptive: bool = True,
+    strict_end: bool = False,
+    max_steps: int = 1_000_000,
+):
+    """Adaptive Magnus-4 oracle on y' = (A0 + cos(w t) A1) y; same return
+    dict as :func:`solve_linear_rkf45`."""
+    lib = load()
+    A0 = np.ascontiguousarray(A0, dtype=np.float64)
+    A1 = np.ascontiguousarray(A1, dtype=np.float64)
+    y0 = np.ascontiguousarray(y0, dtype=np.float64)
+    d = y0.shape[0]
+    assert A0.shape == (d, d) and A1.shape == (d, d)
+    y_final = np.zeros(d)
+    t_final = ctypes.c_double()
+    h_final = ctypes.c_double()
+    n_accept = ctypes.c_int()
+    n_reject = ctypes.c_int()
+    n_events = ctypes.c_int()
+    events = np.zeros(max_steps, dtype=np.int8)
+
+    dp = ctypes.POINTER(ctypes.c_double)
+    status = lib.vecode_solve_linear_magnus4(
+        d,
+        A0.ctypes.data_as(dp),
+        A1.ctypes.data_as(dp),
+        w,
+        y0.ctypes.data_as(dp),
+        t0, tf, h0, rtol, min_dt, max_dt, alpha, order,
+        int(adaptive), int(strict_end), max_steps,
+        y_final.ctypes.data_as(dp),
+        ctypes.byref(t_final),
+        ctypes.byref(h_final),
+        ctypes.byref(n_accept),
+        ctypes.byref(n_reject),
+        ctypes.byref(n_events),
+        events.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+    )
+    return {
+        "y_final": y_final,
+        "t_final": t_final.value,
+        "h_final": h_final.value,
+        "n_accept": n_accept.value,
+        "n_reject": n_reject.value,
+        "events": events[: n_events.value],
+        "status": status,
+    }
