@@ -341,3 +341,59 @@ def test_solve_linear_dense_modulated_stepper():
     np.testing.assert_allclose(np.asarray(sol.ys.re),
                                np.asarray(sol_ref.ys.re),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_dense_slot0_survives_first_step_overflow():
+    """Regression: a rejected FIRST trial with overflowed stages must not
+    poison ys[..., 0] (slot 0 records y0 directly, not via the
+    interpolant where 0 * inf = NaN)."""
+    def rhs(t, y):
+        return -50.0 * y ** 3          # stiff: big h0 overflows the trial
+
+    y0 = jnp.asarray([1.0, 2.0], jnp.float64)
+    sol = vo.solve_ivp_dense(
+        rhs, 0.0, 1.0, y0, save_at=jnp.asarray([0.5]),
+        h0=1.0, ctl=vo.StepControl(rtol=1e-6, min_dt=1e-9, max_dt=1.0,
+                                   max_steps=10000),
+    )
+    assert int(sol.status) == vo.DONE
+    np.testing.assert_allclose(np.asarray(sol.ys[0]), np.asarray(y0),
+                               rtol=0, atol=0)
+    assert np.isfinite(np.asarray(sol.ys)).all()
+
+
+def test_dense_failed_lane_keeps_unreached_final_slot():
+    """Regression: a lane that fails mid-run must not report its
+    mid-integration state as y(tf) in the last dense slot."""
+    def rhs(t, y):
+        return y * y                   # blows up before tf for large y0
+
+    y0 = jnp.asarray([[0.1], [3.0]], jnp.float64)  # lane 1 diverges
+    from vec_ode_tpu.dense import integrate_interp
+    from vec_ode_tpu.rk import RungeKutta
+
+    stepper = RungeKutta()
+    base = stepper.make_step_fn(lambda t, y: rhs(t, y))
+
+    import jax as _jax
+
+    def step_dense(t, x, dt):
+        xn, err = base(t, x, dt)
+        return xn, err, (rhs(t, x), rhs(t + dt, xn))
+
+    sol = integrate_interp(
+        _jax.vmap(step_dense), y0,
+        jnp.asarray([0.0, 0.9], jnp.float64), 1e-3,
+        adaptive=True,
+        ctl=vo.StepControl(rtol=1e-6, min_dt=1e-6, max_dt=0.5,
+                           max_steps=300),
+        error_norm=_jax.vmap(vo.lc.norm_l2), batch_shape=(2,),
+    )
+    st = np.asarray(sol.status)
+    assert st[0] == vo.DONE and st[1] != vo.DONE
+    # healthy lane's final slot IS its final state
+    np.testing.assert_allclose(np.asarray(sol.ys[0, -1]),
+                               np.asarray(sol.y_final[0]), rtol=0)
+    # failed lane's final slot must NOT be its mid-run state
+    assert not np.allclose(np.asarray(sol.ys[1, -1]),
+                           np.asarray(sol.y_final[1]))

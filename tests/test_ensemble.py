@@ -318,3 +318,40 @@ def test_compact_with_fsal_stepper():
                                   np.asarray(sol_p.n_accept))
     np.testing.assert_allclose(np.asarray(sol_c.y_final[0]),
                                np.asarray(sol_p.y_final[0]), rtol=0, atol=0)
+
+
+def test_compact_custom_norm_is_per_trajectory():
+    """Regression: a custom error_norm must be applied PER LANE in
+    ensemble_solve_compact (an unbatched norm would couple every lane
+    through one scalar controller decision). Results must match
+    ensemble_solve with the same norm."""
+    from vec_ode_tpu import lc
+    from vec_ode_tpu.parallel import ensemble_solve, ensemble_solve_compact
+
+    def rhs(t, y):
+        return -y * (1.0 + 0.5 * jnp.sin(t))
+
+    rng = np.random.default_rng(5)
+    y0 = jnp.asarray(rng.uniform(0.5, 2.0, (12, 3)), jnp.float64)
+    ctl = vo.StepControl(rtol=1e-7, min_dt=1e-7, max_dt=0.5, max_steps=4000)
+
+    sol = ensemble_solve(rhs, y0, 0.0, 2.0, ctl=ctl,
+                         error_norm=lc.norm_rms)
+    sol_c, stats = ensemble_solve_compact(rhs, y0, 0.0, 2.0, ctl=ctl,
+                                          error_norm=lc.norm_rms)
+    assert (np.asarray(sol_c.status) == vo.DONE).all()
+    np.testing.assert_array_equal(np.asarray(sol_c.n_accept),
+                                  np.asarray(sol.n_accept))
+    np.testing.assert_allclose(np.asarray(sol_c.y_final),
+                               np.asarray(sol.y_final), rtol=1e-12)
+
+
+def test_compact_validates_h0_range():
+    import pytest
+
+    from vec_ode_tpu.parallel import ensemble_solve_compact
+
+    y0 = jnp.ones((4, 2), jnp.float64)
+    with pytest.raises(ValueError, match="not inside the range"):
+        ensemble_solve_compact(lambda t, y: -y, y0, 0.0, 1.0, h0=5.0,
+                               ctl=vo.StepControl(max_dt=1.0))

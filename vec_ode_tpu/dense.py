@@ -46,13 +46,18 @@ from .driver import (
 Pytree = Any
 
 
-def hermite_cubic(x0: Pytree, x1: Pytree, f0: Pytree, f1: Pytree, dt, theta):
-    """Cubic Hermite interpolant on [0, 1] with endpoint values/slopes."""
-    th = theta
+def _hermite_basis(th):
+    """The four cubic Hermite basis polynomials on [0, 1]."""
     h00 = 2 * th**3 - 3 * th**2 + 1
     h10 = th**3 - 2 * th**2 + th
     h01 = -2 * th**3 + 3 * th**2
     h11 = th**3 - th**2
+    return h00, h10, h01, h11
+
+
+def hermite_cubic(x0: Pytree, x1: Pytree, f0: Pytree, f1: Pytree, dt, theta):
+    """Cubic Hermite interpolant on [0, 1] with endpoint values/slopes."""
+    h00, h10, h01, h11 = _hermite_basis(theta)
 
     def leaf(a, b, fa, fb):
         hdt = lc._match_scalar(dt, a)
@@ -104,12 +109,8 @@ def _interp_crossed(interp_kind, tab, x0, x1, idata, dt, theta, bn):
         return jax.tree_util.tree_map(leaf, x0, *idata)
 
     f0, f1 = idata
-    th = theta
-    h00 = 2 * th**3 - 3 * th**2 + 1
-    h10 = th**3 - 2 * th**2 + th
-    h01 = -2 * th**3 + 3 * th**2
-    h11 = th**3 - th**2
-    hdt = jnp.asarray(dt)[..., None] * jnp.ones_like(th)
+    h00, h10, h01, h11 = _hermite_basis(theta)
+    hdt = jnp.asarray(dt)[..., None] * jnp.ones_like(theta)
 
     def leaf(a, b, fa, fb):
         ae = jnp.expand_dims(a, bn)
@@ -206,11 +207,22 @@ def _dense_step(
         interp_kind, tab, state.x, x_next, idata, dt, theta, bn
     )
 
-    def record(buf, val):
-        m = _grid_match(crossed, buf.ndim, bn)
-        return jnp.where(m, val, buf)
+    # slot 0 records x0 DIRECTLY, not through the interpolant: a rejected
+    # first trial with overflowed stages would otherwise poison theta=0
+    # as 0 * inf = NaN, and the slot-0 bit never fires again
+    slot0 = (
+        (jnp.arange(n_grid) == 0)
+        & (state.n_iters == 0)[..., None]
+        & running[..., None]
+    )
 
-    ys = jax.tree_util.tree_map(record, state.ys, interp)
+    def record(buf, val, x0leaf):
+        m = _grid_match(crossed, buf.ndim, bn)
+        m0 = _grid_match(slot0, buf.ndim, bn)
+        return jnp.where(
+            m0, jnp.expand_dims(x0leaf, bn), jnp.where(m, val, buf))
+
+    ys = jax.tree_util.tree_map(record, state.ys, interp, state.x)
 
     t = jnp.where(do_advance, t_new, state.t)
     x = lc.tree_where(do_advance, x_next, state.x)
@@ -322,18 +334,27 @@ def integrate_interp(
         raise ValueError(f"unknown integrate_interp method: {method!r}")
     final = of_c(final_c)
 
-    # tf is landed on exactly -> overwrite the last slot with the true state
+    # tf is landed on exactly -> overwrite the last slot with the true
+    # state, but only for lanes that actually REACHED tf (a failed lane's
+    # mid-integration state must not masquerade as y(tf); its slot keeps
+    # the recorded value — zeros if never reached, like the hit driver)
     bn = jnp.ndim(final.t)
-    ys = jax.tree_util.tree_map(
-        lambda buf, leaf: jnp.concatenate(
-            [
-                jax.lax.slice_in_dim(buf, 0, buf.shape[bn] - 1, axis=bn),
-                jnp.expand_dims(leaf, bn),
-            ],
+    done = final.status == DONE
+
+    def _overwrite_last(buf, leaf):
+        last = jax.lax.index_in_dim(buf, buf.shape[bn] - 1, axis=bn,
+                                    keepdims=False)
+        nd = jnp.expand_dims(
+            jnp.where(
+                jnp.reshape(done, done.shape + (1,) * (leaf.ndim - bn)),
+                leaf, last),
+            bn)
+        return jnp.concatenate(
+            [jax.lax.slice_in_dim(buf, 0, buf.shape[bn] - 1, axis=bn), nd],
             axis=bn,
-        ),
-        final.ys, final.x,
-    )
+        )
+
+    ys = jax.tree_util.tree_map(_overwrite_last, final.ys, final.x)
     return Solution(
         ts=final.ts_grid,
         ys=ys,
@@ -412,11 +433,10 @@ def solve_ivp_dense(
             if use_p:
                 idata = tuple(K)
             else:
-                f1 = (
-                    K[-1] if (tableau.is_fsal and not advance_lower)
-                    else f(t + dt, x_next)
-                )
-                idata = (K[0], f1)
+                # this branch only runs when use_fsal is False, so the
+                # right-endpoint slope is a genuine extra eval (K[-1]
+                # would be the slope at x_b, wrong under advance_lower)
+                idata = (K[0], f(t + dt, x_next))
             return x_next, err, idata
 
         init_carry_fn = None

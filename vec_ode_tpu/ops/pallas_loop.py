@@ -431,7 +431,7 @@ def fused_loop_chunk(
     chunk,
     adaptive: bool,
     ctl,
-    tile: int = 256,
+    tile: int = 128,
     interpret: bool = False,
 ):
     """Advance every trajectory by ``chunk`` driver iterations in ONE kernel
@@ -441,6 +441,12 @@ def fused_loop_chunk(
     Returns (fs, ist, x_parts, saves) updated."""
     n_state = len(x_parts)
     B, d = x_parts[0].shape
+    if tile <= 0 or B % tile != 0:
+        # grid=(B//tile,) would silently leave lanes >= (B//tile)*tile
+        # UNWRITTEN (garbage statuses can hang the outer while loop)
+        raise ValueError(
+            f"batch {B} must be a positive multiple of tile {tile}"
+        )
     dtype = x_parts[0].dtype
     n_grid = t_grid2.shape[0]
     kernel = _make_loop_kernel(
@@ -501,7 +507,7 @@ def fused_loop_integrate(
     ctl,
     chunk: int = 8,
     persistent: bool = False,
-    tile: int = 256,
+    tile: int = 128,
     interpret: bool = False,
 ):
     """Full integration over [t_grid[0], t_grid[-1]]: an XLA while loop of

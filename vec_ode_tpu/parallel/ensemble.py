@@ -311,10 +311,10 @@ def ensemble_solve_compact(
     The plain batched loop wastes (1 - step_efficiency) of its lane
     iterations stepping already-DONE trajectories until the slowest one
     finishes. This variant runs ``chunk_iters``-bounded chunks and, between
-    chunks, COMPACTS the batch to the still-running lanes (padded to the
-    next power of two >= ``min_batch`` to bound recompilation), so fast
-    trajectories stop consuming device work as soon as their power-of-two
-    bucket drains.
+    chunks, COMPACTS the batch to the still-running lanes (padded up to a
+    multiple of ``bucket_multiple``, never below ``min_batch``, to bound
+    recompilation), so fast trajectories stop consuming device work as
+    soon as their bucket drains.
 
     Compacted sizes are rounded up to a multiple of ``bucket_multiple``
     (default max(min_batch, B//16)) — finer granularity compacts earlier
@@ -335,23 +335,28 @@ def ensemble_solve_compact(
         stepper = RungeKutta()
     has_carry = getattr(stepper, "has_carry", False)
     if getattr(stepper, "is_batched", False):
+        stepper_norm = getattr(stepper, "error_norm", None)
+        if stepper_norm is not None and error_norm is not lc.norm_l2:
+            raise ValueError(
+                "this stepper computes its own per-trajectory error norms; "
+                "a custom error_norm cannot be applied"
+            )
         step_fn = stepper.make_step_fn(rhs_or_op)
-        enorm = getattr(stepper, "error_norm", None) or lc.norm_l2_batched
+        enorm = stepper_norm or lc.norm_l2_batched
     else:
-        # vmap the per-trajectory stepper into a batched step_fn
+        # vmap the per-trajectory stepper into a batched step_fn; the
+        # PER-TRAJECTORY norm is vmapped too (same as ensemble_solve —
+        # an unbatched norm would couple every lane through one scalar
+        # controller decision)
         base = stepper.make_step_fn(rhs_or_op)
         step_fn = jax.vmap(
             base, in_axes=(0, 0, 0, 0) if has_carry else (0, 0, 0)
         )
-        enorm = (
-            jax.vmap(error_norm)
-            if error_norm is lc.norm_l2 else error_norm
-        )
+        enorm = jax.vmap(error_norm)
     if time_dtype is None:
         time_dtype = jnp.result_type(jnp.asarray(t0), jnp.asarray(tf), float)
     t_grid = make_grid(t0, tf, save_at, dtype=time_dtype)
-    if h0 is None:
-        h0 = ctl.init_h()
+    h0 = _check_h0(h0, ctl, adaptive)
 
     B = jax.tree_util.tree_leaves(y0_batch)[0].shape[0]
     carry0 = ()
