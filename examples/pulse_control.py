@@ -1,0 +1,52 @@
+"""Quantum optimal control with O(1)-memory gradients.
+
+Optimizes a sine-series pulse to transfer a 4-level system between two
+states through the reversible adjoint (`vec_ode_tpu.diff.adjoint_solve`);
+~150 Adam steps reach fidelity > 0.99. Runs on CPU in ~20 s:
+
+    python examples/pulse_control.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+# f64 workloads belong on CPU (see CLAUDE.md: f64 on the TPU
+# tunnel compiles impractically slowly); TPU runs are f32
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vec_ode_tpu.models import PulseControl
+from vec_ode_tpu.ops import cplx as cp
+
+
+def main():
+    pc = PulseControl.make(d=4, seed=0, T=5.0, n_modes=6)
+    psi0 = cp.from_complex(np.eye(4)[0][None].astype(complex), jnp.float64)
+    tgt = cp.from_complex(np.eye(4)[2][None].astype(complex), jnp.float64)
+    theta = 0.1 * jnp.ones(6, jnp.float64)
+
+    vg = jax.jit(jax.value_and_grad(
+        lambda th: pc.infidelity(th, psi0, tgt, n_steps=192)))
+    opt = optax.adam(0.3)
+    st = opt.init(theta)
+    for i in range(150):
+        v, g = vg(theta)
+        if i % 25 == 0:
+            print(f"iter {i:3d}  infidelity {float(v):.6f}")
+        up, st = opt.update(g, st)
+        theta = optax.apply_updates(theta, up)
+    print(f"final fidelity: {1 - float(v):.6f}")
+    assert 1 - float(v) > 0.98
+    print("pulse coefficients:", np.asarray(theta).round(3))
+
+
+if __name__ == "__main__":
+    main()
