@@ -186,3 +186,19 @@ def test_scan_grad_not_poisoned_after_done():
     assert np.isfinite(float(g))
     # analytic: y(1) = 1/(1+theta); d/dtheta = -1/(1+theta)^2
     np.testing.assert_allclose(float(g), -0.25, rtol=1e-5)
+
+
+def test_batched_integrate_rejects_unbatched_norm():
+    """Regression: an error_norm that reduces the whole batch to one
+    scalar would silently couple every lane's step control — must raise."""
+    import pytest
+
+    from vec_ode_tpu import lc
+    from vec_ode_tpu.driver import integrate, make_grid
+    from vec_ode_tpu.rk import RungeKutta
+
+    step = jax.vmap(RungeKutta().make_step_fn(lambda t, y: -y))
+    y0 = jnp.ones((4, 2), jnp.float64)
+    with pytest.raises(ValueError, match="PER-TRAJECTORY"):
+        integrate(step, y0, make_grid(0.0, 1.0, dtype=jnp.float64), 1e-2,
+                  adaptive=True, error_norm=lc.norm_l2, batch_shape=(4,))

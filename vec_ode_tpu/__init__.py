@@ -14,6 +14,7 @@ from .dense import solve_ivp_dense, solve_linear_dense
 from .controller import StepControl
 from .driver import (
     DONE,
+    ERR_BAD_GRID,
     ERR_MAX_STEPS,
     ERR_STALLED,
     EVT_CHKPT,
@@ -83,6 +84,7 @@ __all__ = [
     "TABLEAUS",
     "RUNNING",
     "DONE",
+    "ERR_BAD_GRID",
     "ERR_MAX_STEPS",
     "ERR_STALLED",
     "EVT_NONE",

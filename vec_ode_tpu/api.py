@@ -73,12 +73,10 @@ def solve_ivp(
         time_dtype = jnp.result_type(jnp.asarray(t0), jnp.asarray(tf), float)
     backward = _is_backward(t0, tf)
     if backward:
-        t0_orig = float(t0)
-        inner_f = f
-        f = lambda s, y: lc.scale(inner_f(t0_orig - s, y), -1.0)
-        if save_at is not None:
-            save_at = t0_orig - jnp.asarray(save_at)[::-1]
-        t0, tf = 0.0, t0_orig - float(tf)
+        f, t0, tf, save_at, t0_orig = _reverse_setup(
+            f, t0, tf, save_at,
+            lambda fn, t0o: (lambda s, y: lc.scale(fn(t0o - s, y), -1.0)),
+        )
     t_grid = make_grid(t0, tf, save_at, dtype=time_dtype)
     h0 = _check_h0(h0, ctl, adaptive)
     step_fn = stepper.make_step_fn(f)
@@ -100,31 +98,53 @@ def solve_ivp(
     )
     sol = _attach_nfev(sol, stepper)
     if backward:
-        import dataclasses as dc
-
-        import jax
-
-        sol = dc.replace(
-            sol,
-            ts=(t0_orig - sol.ts)[::-1],
-            ys=jax.tree_util.tree_map(
-                lambda a: jnp.flip(a, axis=0), sol.ys
-            ),
-            t_final=t0_orig - sol.t_final,
-        )
+        sol = _reverse_result(sol, t0_orig)
     return sol
+
+
+def _reverse_setup(fn, t0, tf, save_at, negate):
+    """Time-reversal transform for backward integration (tf < t0):
+    integrate s in [0, t0-tf] with the negated, time-mirrored callable.
+    Returns (fn', t0', tf', save_at', t0_orig)."""
+    t0_orig = float(t0)
+    fn2 = negate(fn, t0_orig)
+    if save_at is not None:
+        save_at = t0_orig - jnp.asarray(save_at)[::-1]
+    return fn2, 0.0, t0_orig - float(tf), save_at, t0_orig
+
+
+def _reverse_result(sol: Solution, t0_orig) -> Solution:
+    """Map a time-reversed Solution back to user time (ts/ys flipped,
+    t_final remapped)."""
+    import dataclasses as dc
+
+    import jax
+
+    return dc.replace(
+        sol,
+        ts=(t0_orig - sol.ts)[::-1],
+        ys=jax.tree_util.tree_map(lambda a: jnp.flip(a, axis=0), sol.ys),
+        t_final=t0_orig - sol.t_final,
+    )
 
 
 def _check_h0(h0, ctl: StepControl, adaptive: bool):
     """with_init_step validation (ode.rs:287-296): in adaptive mode a
-    concrete h0 must lie inside [min_dt, max_dt]."""
+    CONCRETE h0 (python, numpy, or un-traced jax scalar) must lie inside
+    [min_dt, max_dt]; traced warm starts are the caller's contract."""
+    import numpy as np
+
     if h0 is None:
         return ctl.init_h()
-    if adaptive and isinstance(h0, (int, float)) and not (
-        ctl.min_dt <= float(h0) <= ctl.max_dt
-    ):
+    if not adaptive:
+        return h0
+    try:
+        val = float(np.asarray(h0))
+    except Exception:  # traced value: cannot inspect
+        return h0
+    if not (ctl.min_dt <= val <= ctl.max_dt):
         raise ValueError(
-            f"Step {h0} is not inside the range "
+            f"Step {val} is not inside the range "
             f"({ctl.min_dt}, {ctl.max_dt})"
         )
     return h0
@@ -176,12 +196,10 @@ def solve_linear(
         time_dtype = jnp.result_type(jnp.asarray(t0), jnp.asarray(tf), float)
     backward = _is_backward(t0, tf)
     if backward:
-        t0_orig = float(t0)
-        inner_op = op_fn
-        op_fn = lambda s: lc.scale(inner_op(t0_orig - s), -1.0)
-        if save_at is not None:
-            save_at = t0_orig - jnp.asarray(save_at)[::-1]
-        t0, tf = 0.0, t0_orig - float(tf)
+        op_fn, t0, tf, save_at, t0_orig = _reverse_setup(
+            op_fn, t0, tf, save_at,
+            lambda fn, t0o: (lambda s: lc.scale(fn(t0o - s), -1.0)),
+        )
     t_grid = make_grid(t0, tf, save_at, dtype=time_dtype)
     h0 = _check_h0(h0, ctl, adaptive)
     step_fn = stepper.make_step_fn(op_fn)
@@ -198,14 +216,5 @@ def solve_linear(
     )
     sol = _attach_nfev(sol, stepper)
     if backward:
-        import dataclasses as dc
-
-        import jax
-
-        sol = dc.replace(
-            sol,
-            ts=(t0_orig - sol.ts)[::-1],
-            ys=jax.tree_util.tree_map(lambda a: jnp.flip(a, axis=0), sol.ys),
-            t_final=t0_orig - sol.t_final,
-        )
+        sol = _reverse_result(sol, t0_orig)
     return sol

@@ -125,9 +125,11 @@ def controller_update(h, err_norm, ctl: StepControl, prev_err_norm=None,
         )
         # after a rejection the history is a rejected attempt: the P-term
         # would see a large f/f_prev and re-grow into another rejection
-        # (limit cycle). Standard practice: pure I-term right after rejects.
+        # (limit cycle). Standard practice: pure I-term right after rejects,
+        # with the METHOD's exponent (1/pi_order — the reference's order=3
+        # quirk would re-grow h aggressively, re-entering the cycle).
         fp_i = jnp.asarray(ctl.alpha, dtype) * jnp.power(
-            f, jnp.asarray(1.0 / ctl.order, dtype)
+            f, jnp.asarray(1.0 / ctl.pi_order, dtype)
         )
         if prev_rejected is not None:
             fp = jnp.where(prev_rejected, fp_i, fp_pi)

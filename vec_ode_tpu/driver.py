@@ -244,6 +244,17 @@ def step_once(
             )
             measure = error_measure(error_norm, state.x, x_next, err_safe,
                                     ctl)
+            if jnp.ndim(measure) != jnp.ndim(stepping):
+                # an unbatched norm over a batched state couples every
+                # lane through ONE scalar controller decision — silently
+                # wrong results; the caller must vmap the norm (or use
+                # lc.norm_l2_batched)
+                raise ValueError(
+                    "error_norm reduced a batched state to shape "
+                    f"{jnp.shape(measure)} but the batch is "
+                    f"{jnp.shape(stepping)}; use a PER-TRAJECTORY norm "
+                    "(jax.vmap(error_norm) / lc.norm_l2_batched)"
+                )
             measure = jnp.where(stepping, measure, jnp.ones_like(measure))
             new_h, accept = controller_update(
                 state.h, measure, ctl, prev_err_norm=state.err_norm,
@@ -539,9 +550,12 @@ def resume(
 
         carry0 = packer.pack(stripped)
     else:
-        to_carry = lambda s: s
-        of_carry = lambda s: s
-        carry0 = state
+        # strip the loop-invariant ts_grid from the carry even unpacked
+        # (a passthrough leaf costs real per-iteration dispatch when the
+        # body doesn't fully fuse; see CLAUDE.md)
+        to_carry = lambda s: s._replace(ts_grid=())
+        of_carry = lambda s: s._replace(ts_grid=t_grid)
+        carry0 = state._replace(ts_grid=())
 
     def body_packed(bufs):
         return to_carry(body(of_carry(bufs)))

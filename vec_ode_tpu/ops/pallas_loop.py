@@ -83,6 +83,7 @@ def _make_loop_kernel(
     pi = bool(ctl.pi)
     k_i = 0.7 / float(ctl.pi_order)
     k_p = 0.4 / float(ctl.pi_order)
+    inv_pi_order = 1.0 / float(ctl.pi_order)
     strict_end = bool(ctl.strict_end_test)
 
     # interior save slots (t_grid[1:-1]) are recorded in-kernel; slot 0
@@ -168,7 +169,10 @@ def _make_loop_kernel(
                     fp_pi = alpha * jnp.exp(
                         jnp.log(f) * k_i + jnp.log(ratio) * k_p
                     )
-                    fp = jnp.where(streak > 0, fp_i, fp_pi)
+                    # post-reject I-term uses the METHOD exponent
+                    # (1/pi_order), matching controller.controller_update
+                    fp_rej = alpha * jnp.exp(jnp.log(f) * inv_pi_order)
+                    fp = jnp.where(streak > 0, fp_rej, fp_pi)
                 else:
                     fp = fp_i
                 fp = jnp.clip(fp, min_f, max_f)

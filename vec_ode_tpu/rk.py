@@ -13,7 +13,9 @@ Reference semantics preserved exactly (SURVEY.md §2.3(2)):
     (lower-order) solution* and the error estimate is err = x_b - x_berr
     (rk.rs:136-151) — classic Fehlberg without local extrapolation.
   * ``no_adaptive()`` (rk.rs:233-238) advances the b (higher-order) solution
-    with no error estimate: pass ``embedded=False`` / ``adaptive=False``.
+    with no error estimate: pass ``RungeKutta(embedded=False)`` (the driver's
+    ``adaptive=False`` alone still advances the b_err solution — the
+    advance choice belongs to the STEPPER, not the driver flag).
   * Zero entries of the tableau are skipped at trace time, mirroring nothing
     in the reference (it multiplies by zero) but producing identical math.
 
@@ -51,38 +53,14 @@ def rk_step(
     x0 + dt sum_j a_ij K_j), then x_b = x0 + dt sum b_i K_i and (embedded)
     x_berr = x0 + dt sum berr_i K_i, err = x_b - x_berr.
     """
-    s = tab.stages
-    K = [None] * s
-    K[0] = f(t, x0)
-    for i in range(1, s):
-        ti = t + float(tab.c[i]) * dt
-        idx = [j for j in range(i) if tab.a[i, j] != 0.0]
-        if idx:
-            incr = lc.lincomb([K[j] for j in idx],
-                              [float(tab.a[i, j]) for j in idx])
-            xi = lc.axpy(dt, incr, x0)
-        else:
-            xi = x0
-        K[i] = f(ti, xi)
-
-    def combo(w, base=None):
-        idx = [j for j in range(s) if w[j] != 0.0]
-        acc = lc.lincomb([K[j] for j in idx], [float(w[j]) for j in idx])
-        if base is None:
-            return lc.scale(acc, dt)
-        return lc.axpy(dt, acc, base)
-
-    x_b = combo(tab.b, x0)
-    if not embedded or tab.b_err is None:
-        return x_b, None
-
-    # err = dt * sum (b_i - berr_i) K_i, computed DIRECTLY from the weight
-    # difference rather than as x_b - x_berr (the reference's formulation,
-    # rk.rs:136-151): mathematically identical, but free of the catastrophic
-    # cancellation that floors the estimate at eps*|x| — essential for tight
-    # rtol in f32 on TPU.
-    err = combo(tab.b - tab.b_err)
-    x_next = lc.sub(x_b, err) if advance_lower else x_b
+    # (err = dt * sum (b_i - berr_i) K_i, computed DIRECTLY from the weight
+    # difference rather than as x_b - x_berr — the reference's formulation,
+    # rk.rs:136-151 — mathematically identical but free of the catastrophic
+    # cancellation that floors the estimate at eps*|x|; see rk_step_stages,
+    # the single implementation of the stage loop.)
+    x_next, err, _ = rk_step_stages(
+        f, t, x0, dt, tab, embedded=embedded, advance_lower=advance_lower,
+    )
     return x_next, err
 
 
@@ -151,33 +129,11 @@ def rk_step_fsal(
     step advances. The reference never exploits this (its rk_step always
     evaluates stage 1, rk.rs:111).
     """
-    s = tab.stages
-    K = [None] * s
-    K[0] = k0
-    for i in range(1, s):
-        ti = t + float(tab.c[i]) * dt
-        idx = [j for j in range(i) if tab.a[i, j] != 0.0]
-        if idx:
-            incr = lc.lincomb([K[j] for j in idx],
-                              [float(tab.a[i, j]) for j in idx])
-            xi = lc.axpy(dt, incr, x0)
-        else:
-            xi = x0
-        K[i] = f(ti, xi)
-
     # FSAL: stage s's state IS x_b (a[s-1] == b), so K[s-1] = f(t+dt, x_b)
-    x_b = lc.axpy(dt, lc.lincomb(
-        [K[j] for j in range(s) if tab.b[j] != 0.0],
-        [float(tab.b[j]) for j in range(s) if tab.b[j] != 0.0]), x0)
-
-    if not embedded or tab.b_err is None:
-        return x_b, None, K[s - 1]
-    db = tab.b - tab.b_err
-    idx = [j for j in range(s) if db[j] != 0.0]
-    err = lc.scale(
-        lc.lincomb([K[j] for j in idx], [float(db[j]) for j in idx]), dt
+    x_b, err, K = rk_step_stages(
+        f, t, x0, dt, tab, embedded=embedded, advance_lower=False, k0=k0,
     )
-    return x_b, err, K[s - 1]
+    return x_b, err, K[-1]
 
 
 @dataclasses.dataclass(frozen=True)
