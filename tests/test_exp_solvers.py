@@ -452,3 +452,38 @@ def test_magnus6_unitary_schrodinger():
     assert bool(sol.success)
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(sol.y_final)), 1.0, atol=1e-8)
+
+
+def test_composite_exp_many_row_selection():
+    """Regression: exp_many on nested composites (whose exp internally
+    calls multi_exp, adding ITS axis in front) must still select rows
+    correctly with index_u — the stacked protocol default interleaved the
+    axes and returned silently wrong propagators."""
+    import numpy as np
+
+    from vec_ode_tpu.ops import cplx as cp
+
+    rng = np.random.default_rng(3)
+    d = 4
+    da = cp.Cplx(jnp.asarray(rng.standard_normal(d) * 0.1),
+                 jnp.asarray(rng.standard_normal(d)))
+    db = cp.Cplx(jnp.asarray(rng.standard_normal(d) * 0.1),
+                 jnp.asarray(rng.standard_normal(d)))
+    leaf = vexp.DiagonalCplxSplit()
+    for comp in (vexp.TripleJumpSplit(leaf, leaf),
+                 vexp.SemiComplexO4Split(leaf, leaf),
+                 vexp.RKNR4Split(leaf, leaf),
+                 vexp.StrangSplit(leaf, leaf)):
+        rows = [(cp.cscale_any(da, 0.5), cp.cscale_any(db, 0.5)),
+                (da, db)]
+        stacked = comp.exp_many(rows)
+        x = cp.Cplx(jnp.asarray(rng.standard_normal(d)),
+                    jnp.asarray(rng.standard_normal(d)))
+        for r in range(2):
+            want = comp.map_exp(comp.exp(rows[r]), x)
+            got = comp.map_exp(vexp.index_u(stacked, r), x)
+            np.testing.assert_allclose(np.asarray(got.re),
+                                       np.asarray(want.re), atol=1e-12,
+                                       err_msg=str(type(comp)))
+            np.testing.assert_allclose(np.asarray(got.im),
+                                       np.asarray(want.im), atol=1e-12)

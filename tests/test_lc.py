@@ -81,3 +81,16 @@ def test_tree_where_batched_mask():
 def test_vdot():
     u = jnp.asarray([1.0 + 1.0j, 2.0])
     np.testing.assert_allclose(lc.vdot(u, u), 6.0)
+
+
+def test_quad_gl_nodes_match_tableau_constants():
+    """The GL node tables in quad.py and tableaus.py are two transcriptions
+    of the same spec constants; pin them to each other against drift."""
+    import numpy as np
+
+    from vec_ode_tpu import quad, tableaus as tb
+
+    np.testing.assert_allclose(quad._GL_01[2][0], tb.C_GAUSS_LEGENDRE_4,
+                               rtol=0, atol=1e-15)
+    np.testing.assert_allclose(quad._GL_01[3][0], tb.C_GAUSS_LEGENDRE_6,
+                               rtol=0, atol=1e-15)

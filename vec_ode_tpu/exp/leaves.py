@@ -127,10 +127,7 @@ class _CplxSplitBase(ExponentialSplit):
     def map_exp(self, U, x):
         from ..ops import cplx as cp
 
-        xw = jnp.concatenate([x.re, x.im], axis=-1)
-        yw = jnp.einsum("...ij,...j->...i", U, xw, precision=HIGHEST)
-        d = x.re.shape[-1]
-        return cp.Cplx(yw[..., :d], yw[..., d:])
+        return cp.apply_embedded(U, x)
 
     def commutator(self, La, Lb):
         from ..ops import cplx as cp
@@ -239,15 +236,34 @@ class AntiHermitianCplxSplit(_CplxSplitBase):
     def exp(self, L):
         return _skew_expm(cp_embed(L))
 
-    def multi_exp(self, L, ks):
+    def _reject_complex(self, k):
+        import numbers
+
         import numpy as np
 
-        if np.iscomplexobj(np.asarray(ks)):
+        bad = isinstance(k, (complex, np.complexfloating)) and not isinstance(
+            k, numbers.Real)
+        if not bad:
+            try:
+                bad = np.iscomplexobj(np.asarray(k))
+            except Exception:
+                bad = False
+        if bad:
             raise ValueError(
                 "AntiHermitianCplxSplit requires real rescalings: complex "
                 "coefficients (TripleJumpSplit / SemiComplexO4Split) break "
                 "anti-Hermiticity — use DenseCplxSplit for those"
             )
+
+    def scale_l(self, L, k):
+        # complex k reaches this leaf through nested composites' per-factor
+        # scale_l (bypassing multi_exp); _skew_expm would then silently
+        # return a wrong propagator, so guard here too
+        self._reject_complex(k)
+        return super().scale_l(L, k)
+
+    def multi_exp(self, L, ks):
+        self._reject_complex(ks)
         return super().multi_exp(L, ks)
 
 

@@ -70,6 +70,15 @@ class _Pair(ExponentialSplit):
         us = [self.exp(self.scale_l(L, k)) for k in np.asarray(ks)]
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *us)
 
+    def exp_many(self, Ls):
+        # per-operator loop for the same reason as multi_exp above: the
+        # protocol's stacked default runs ONE composite exp whose internal
+        # multi_exp calls put THEIR axis in front of the stacked axis,
+        # so index_u would select the wrong axis (silently wrong
+        # propagators under Magnus/CFM adaptive pairs)
+        us = [self.exp(L) for L in Ls]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *us)
+
 
 class CommutativeSplit(_Pair):
     """exp(A+B) = exp(A)exp(B) for commuting A, B (split_exp.rs:24-177)."""

@@ -30,11 +30,27 @@ from ..utils.prec import HIGHEST, mm
 from .expm import expm
 
 
+def _as_complex_scalar(o):
+    """(re, im) floats if o is a complex-KIND scalar (python complex or any
+    np.complexfloating, incl. complex64), else None."""
+    import numpy as np
+
+    if isinstance(o, (complex, np.complexfloating)):
+        zc = complex(o)
+        return zc.real, zc.imag
+    return None
+
+
 class Cplx(NamedTuple):
     """Complex array as a (re, im) pair of real arrays. A pytree."""
 
     re: jax.Array
     im: jax.Array
+
+    # numpy must NOT treat a Cplx as an array-like (a tuple!): a numpy
+    # scalar on the LEFT of * would otherwise consume it into a stacked
+    # ndarray instead of deferring to __rmul__
+    __array_ufunc__ = None
 
     @property
     def shape(self):
@@ -48,12 +64,21 @@ class Cplx(NamedTuple):
     def __add__(self, o):
         if isinstance(o, Cplx):
             return Cplx(self.re + o.re, self.im + o.im)
+        z = _as_complex_scalar(o)
+        if z is not None:
+            return Cplx(self.re + z[0], self.im + z[1])
         return Cplx(self.re + o, self.im)
 
     def __sub__(self, o):
         if isinstance(o, Cplx):
             return Cplx(self.re - o.re, self.im - o.im)
+        z = _as_complex_scalar(o)
+        if z is not None:
+            return Cplx(self.re - z[0], self.im - z[1])
         return Cplx(self.re - o, self.im)
+
+    def __rsub__(self, o):
+        return (-self).__add__(o)
 
     def __neg__(self):
         return Cplx(-self.re, -self.im)
@@ -64,8 +89,9 @@ class Cplx(NamedTuple):
                 self.re * o.re - self.im * o.im,
                 self.re * o.im + self.im * o.re,
             )
-        if isinstance(o, complex):
-            return cscale(self, o)
+        z = _as_complex_scalar(o)
+        if z is not None:
+            return cscale(self, complex(z[0], z[1]))
         return Cplx(self.re * o, self.im * o)
 
     __rmul__ = __mul__
@@ -125,6 +151,16 @@ def extract(M: jax.Array) -> Cplx:
     return Cplx(M[..., :d, :d], M[..., d:, :d])
 
 
+def apply_embedded(M: jax.Array, x: Cplx) -> Cplx:
+    """Apply an EMBEDDED real (..., 2d, 2d) matrix to a Cplx vector with one
+    widened real matvec (the single implementation shared by the complex
+    split leaves and any embedded-propagator code)."""
+    xw = jnp.concatenate([x.re, x.im], axis=-1)
+    yw = jnp.einsum("...ij,...j->...i", M, xw, precision=HIGHEST)
+    d = x.re.shape[-1]
+    return Cplx(yw[..., :d], yw[..., d:])
+
+
 def cmatmul(A: Cplx, B: Cplx) -> Cplx:
     """Complex matmul via 3 real matmuls (Karatsuba/Gauss trick)."""
     t1 = mm(A.re, B.re)
@@ -170,7 +206,13 @@ def cscale_any(c: Cplx, z) -> Cplx:
     ):
         z = float(z)
         return Cplx(c.re * z, c.im * z)
-    zt = jnp.asarray(z).astype(c.re.dtype)
+    zt = jnp.asarray(z)
+    if jnp.issubdtype(zt.dtype, jnp.complexfloating):
+        # complex ARRAY scalar (traced jax complex or 0-d ndarray): a
+        # real cast would silently drop the imaginary part
+        return c * Cplx(jnp.real(zt).astype(c.re.dtype),
+                        jnp.imag(zt).astype(c.re.dtype))
+    zt = zt.astype(c.re.dtype)
     return Cplx(c.re * zt, c.im * zt)
 
 

@@ -16,8 +16,10 @@ TPU-first design notes:
   * All matmuls batch over leading axes via ``jnp.matmul`` — XLA tiles them
     onto the MXU; for d<=128 batched small matrices XLA lowers to efficient
     batched GEMMs.
-  * Complex support: JAX complex dtypes lower to real/imag pairs on TPU; all
-    arithmetic below is dtype-generic.
+  * Complex support: the arithmetic below is dtype-generic, but THIS
+    backend has no complex dtypes at all (CLAUDE.md) — on TPU route
+    complex work through ``ops.cplx`` (``cexpm`` / the ``*CplxSplit``
+    leaves, real-pair ring embedding); complex-dtype expm works on CPU.
 """
 
 from __future__ import annotations
@@ -89,13 +91,14 @@ def _taylor12_ps(As, ident):
             + c[4 * j + 2] * A2 + c[4 * j + 3] * A3
         )
 
-    acc = block(2) + mm(A4, c[12] * ident)  # B2 + A4*B3 (B3 = c12*I only)
+    acc = block(2) + c[12] * A4             # B2 + A4*B3 (B3 = c12*I only)
     acc = block(1) + mm(A4, acc)
     return block(0) + mm(A4, acc)
 
 
 def _expm_impl(A: jax.Array, max_squarings: int,
-               method: str = "auto") -> jax.Array:
+               method: str = "auto", differentiable: bool = False
+               ) -> jax.Array:
     A = jnp.asarray(A)
     d = A.shape[-1]
     if A.shape[-2] != d:
@@ -137,6 +140,16 @@ def _expm_impl(A: jax.Array, max_squarings: int,
 
     # uniform squaring: R <- R^2, s times. s is one scalar for the whole
     # batch, so this while_loop has uniform trip count across the ensemble.
+    # ``differentiable=True`` swaps the dynamic while_loop for a bounded
+    # masked scan (reverse-mode differentiable; always pays max_squarings
+    # matmuls) — used by expm_frechet so second-order gradients work.
+    if differentiable:
+        def sq(Rc, i):
+            return jnp.where(i < s, mm(Rc, Rc), Rc), None
+
+        R, _ = jax.lax.scan(sq, R, jnp.arange(max_squarings))
+        return R
+
     def cond(c):
         i, _ = c
         return i < s
@@ -158,7 +171,7 @@ def expm_frechet(A: jax.Array, E: jax.Array, *,
     top = jnp.concatenate([A, E], axis=-1)
     bot = jnp.concatenate([jnp.zeros_like(A), A], axis=-1)
     F = _expm_impl(jnp.concatenate([top, bot], axis=-2), max_squarings,
-                   method)
+                   method, differentiable=True)
     return F[..., :d, d:]
 
 
