@@ -58,6 +58,12 @@ def split_cfm_step(ops_fn, sp_a, sp_b, t, x, dt, rho, sigma, c):
     rho = np.asarray(rho)
     sigma = np.asarray(sigma)
     c = np.asarray(c)
+    if rho.ndim != 2 or sigma.ndim != 2:
+        raise ValueError(
+            "split_cfm: rho and sigma must be 2-D (rows of quadrature "
+            f"coefficients); got shapes {rho.shape} and {sigma.shape} — "
+            "wrap a single row as ((...),)"
+        )
     if rho.shape[1] != len(c) or sigma.shape[1] != len(c):
         raise ValueError("split_cfm: incompatible array dimensions")
     if sigma.shape[0] != rho.shape[0] + 1:

@@ -133,7 +133,8 @@ def norm_l2_batched(v: Pytree):
 def norm_rms(v: Pytree):
     """RMS norm: L2 / sqrt(n)."""
     n = sum(a.size for a in jax.tree_util.tree_leaves(v))
-    return norm_l2(v) / jnp.sqrt(jnp.asarray(float(n), dtype=norm_l2(v).dtype))
+    n2 = norm_l2(v)
+    return n2 / jnp.sqrt(jnp.asarray(float(n), dtype=n2.dtype))
 
 
 def vdot(u: Pytree, v: Pytree):
@@ -152,6 +153,15 @@ def tree_where(mask, a: Pytree, b: Pytree) -> Pytree:
     def sel(x, y):
         m = mask
         extra = x.ndim - m.ndim
+        if extra < 0:
+            # silently inflating a low-rank leaf to the mask's shape would
+            # change the carry structure mid-loop (opaque while_loop error
+            # far from the cause) — fail loudly here instead
+            raise ValueError(
+                f"tree_where: leaf of shape {x.shape} has lower rank than "
+                f"the mask {jnp.shape(m)}; batched selects need every leaf "
+                "to carry the batch axes"
+            )
         if extra > 0:
             m = m.reshape(m.shape + (1,) * extra)
         return jnp.where(m, x, y)

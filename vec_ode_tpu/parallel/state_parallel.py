@@ -110,7 +110,10 @@ def solve_linear_state_sharded(
     """
     if stepper is None:
         stepper = RungeKutta()
-    axis = axis or mesh.axis_names[0]
+    # default to the LAST mesh axis, matching local_rows — on a multi-axis
+    # mesh the two defaulting to different axes would silently mismatch
+    # row blocks against state shards
+    axis = axis or mesh.axis_names[-1]
     if time_dtype is None:
         time_dtype = jnp.result_type(jnp.asarray(t0), jnp.asarray(tf), float)
     t_grid = make_grid(t0, tf, save_at, dtype=time_dtype)
@@ -137,9 +140,15 @@ def solve_linear_state_sharded(
                 return jnp.sqrt(jax.lax.psum(sq, axis))
 
             step_fn = stepper.make_step_fn(rhs)
+            init_carry_fn = (
+                stepper.make_init_carry(rhs)
+                if getattr(stepper, "has_carry", False) else None
+            )
             return integrate(
                 step_fn, y_local, t_grid, h0,
                 adaptive=adaptive, ctl=ctl, error_norm=err_norm,
+                pack_carry=getattr(stepper, "prefers_packed_carry", False),
+                init_carry_fn=init_carry_fn,
             )
 
         return run
@@ -213,11 +222,18 @@ def ensemble_solve_state_sharded(
                 return jnp.sqrt(jax.lax.psum(sq, state_axis))
 
             step_fn = stepper.make_step_fn(rhs)
+            init_carry_fn = (
+                stepper.make_init_carry(rhs)
+                if getattr(stepper, "has_carry", False) else None
+            )
 
             def single(y0):
                 return integrate(
                     step_fn, y0, t_grid, h0,
                     adaptive=adaptive, ctl=ctl, error_norm=err_norm,
+                    pack_carry=getattr(stepper, "prefers_packed_carry",
+                                       False),
+                    init_carry_fn=init_carry_fn,
                 )
 
             return jax.vmap(single)(y_local)

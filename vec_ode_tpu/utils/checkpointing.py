@@ -34,9 +34,17 @@ def save_state(path, state: IntState) -> None:
         pass
     flat, treedef = jax.tree_util.tree_flatten(state)
     np.savez(
-        path.with_suffix(".npz"),
+        _npz_path(path),
         **{f"leaf_{i}": np.asarray(a) for i, a in enumerate(flat)},
     )
+
+
+def _npz_path(path: pathlib.Path) -> pathlib.Path:
+    """APPEND .npz (with_suffix would REPLACE a dotted checkpoint name's
+    tail — 'ckpt.step100' and 'ckpt.step200' would collide on ckpt.npz)."""
+    if path.suffix == ".npz":
+        return path
+    return pathlib.Path(str(path) + ".npz")
 
 
 def load_state(path, like: Optional[IntState] = None) -> IntState:
@@ -59,11 +67,21 @@ def load_state(path, like: Optional[IntState] = None) -> IntState:
             return jax.tree_util.tree_map(jax.numpy.asarray, restored)
     except ImportError:
         pass
-    data = np.load(path.with_suffix(".npz"))
+    data = np.load(_npz_path(path))
     leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
     if like is None:
         raise ValueError("load_state from npz requires a template `like`")
-    treedef = jax.tree_util.tree_structure(like)
+    like_leaves, treedef = jax.tree_util.tree_flatten(like)
+    if len(leaves) != len(like_leaves):
+        raise ValueError(
+            f"checkpoint has {len(leaves)} leaves but the template has "
+            f"{len(like_leaves)} — structure mismatch"
+        )
+    # cast each restored leaf to the TEMPLATE's dtype (an x64-saved carry
+    # restored under x32 would otherwise silently downcast inconsistently
+    # with a fresh IntState)
     return jax.tree_util.tree_unflatten(
-        treedef, [jax.numpy.asarray(a) for a in leaves]
+        treedef,
+        [jax.numpy.asarray(a, getattr(l, "dtype", None))
+         for a, l in zip(leaves, like_leaves)],
     )
