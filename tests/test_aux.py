@@ -163,3 +163,16 @@ def test_reference_mode_livelocks_silently():
     sol = vo.integrate(step_fn, jnp.asarray([1.0, 0.0], jnp.float64),
                        t_grid, 1e-2, adaptive=True, ctl=ctl)
     assert int(sol.status) == vo.ERR_MAX_STEPS
+
+
+def test_checkpoint_names_do_not_collide(tmp_path):
+    """Regression: dotted checkpoint names ('ckpt.step100' vs
+    'ckpt.step200') must save to distinct npz files (with_suffix used to
+    collapse both onto ckpt.npz, silently destroying the first)."""
+    from vec_ode_tpu.utils.checkpointing import _npz_path
+
+    a = _npz_path(tmp_path / "ckpt.step100")
+    b = _npz_path(tmp_path / "ckpt.step200")
+    assert a != b
+    assert a.name == "ckpt.step100.npz" and b.name == "ckpt.step200.npz"
+    assert _npz_path(tmp_path / "plain.npz").name == "plain.npz"
