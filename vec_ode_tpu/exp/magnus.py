@@ -169,7 +169,10 @@ class Magnus6:
     op_fn: Callable = None
     adaptive: bool = True
 
-    nfev_per_step: int = 8
+    @property
+    def nfev_per_step(self) -> int:
+        # 3 sub-interval GL2 pairs + the full-interval pair when adaptive
+        return 8 if self.adaptive else 6
 
     def make_step_fn(self, op_fn=None):
         fn = op_fn if op_fn is not None else self.op_fn

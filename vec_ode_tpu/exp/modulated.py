@@ -40,11 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.cplx import Cplx, cmatmul, embed
-from ..ops.pallas_expmv import (
-    chain_expmv_pallas,
-    chain_expmv_xla,
-    fused_chain_apply,
-)
+from ..ops.pallas_expmv import chain_expmv_xla, fused_chain_apply
 from ..utils.prec import HIGHEST
 from .magnus import _B2, _C_MID, _SUB_LEN, _SUB_OFF
 
@@ -250,40 +246,20 @@ def _fused_result(op, y_parts, e, adaptive):
 
 
 def _apply_chains(op: ModulatedOperator, basis_w, norms, chains, x, *,
-                  m, max_squarings, use_pallas, tile=256, interpret=False):
-    """Run the chain-exponential action (see ops/pallas_expmv.py) on state x.
+                  m, max_squarings):
+    """Run the chain-exponential action (ops/pallas_expmv.py's XLA
+    reference path) on state x — the FALLBACK the steppers use when the
+    fused kernel (fused_chain_apply, taken upstream in each step_fn) is
+    ineligible.
 
     chains: (..., C, R, K) coefficient rows; chain 0 is the advance result,
     chain 1 (if present) the embedded comparison whose distance to chain 0
     is returned as the per-trajectory error norm. Works for scalar AND
-    natively-batched (t, x, dt) — one code path serves the single-trajectory
-    driver, vmap, and the batched-carry driver; the fused Pallas kernel
-    engages on the batched TPU path (lane-aligned D, tileable B).
+    natively-batched (t, x, dt).
     """
     parts = (x.re, x.im) if op.is_cplx else (x,)
     dtype = parts[0].dtype
     m, theta = _taylor_params(dtype, m)
-    C = chains.shape[-3]
-    D = sum(p.shape[-1] for p in parts)
-    if (
-        use_pallas
-        and parts[0].ndim == 2
-        and chains.ndim == 4
-        and chains.shape[0] == parts[0].shape[0]
-        and D % 128 == 0
-    ):
-        t_eff = _pick_tile(parts[0].shape[0], tile)
-        if t_eff >= 8:
-            # everything (widening, scaling decision, Taylor chains, error
-            # norm) runs inside ONE kernel — XLA-issued ops pay a large
-            # per-dispatch cost on this backend (see ops/pallas_expmv.py)
-            y_parts, e = chain_expmv_pallas(
-                chains.astype(dtype), parts, basis_w.astype(dtype),
-                m=m, theta=theta, max_squarings=max_squarings,
-                tile=t_eff, interpret=interpret,
-            )
-            y = Cplx(*y_parts) if op.is_cplx else y_parts[0]
-            return y, (e if C >= 2 else None)
     xw = _widen(x, op.is_cplx)
     cs, n_pass = _scale_chains(chains.astype(dtype), norms, dtype,
                                max_squarings, theta)
@@ -319,7 +295,12 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
     if t_grid.dtype != parts[0].dtype:
         return None
     B = parts[0].shape[0]
+    # persistent LOOP kernels crash the TPU runtime at tile=256 with >=64
+    # grid cells (CLAUDE.md); tile=256 below that regime measures ~9%
+    # faster, so cap to 128 only where 256 would enter it
     t_eff = _pick_tile(B)
+    if t_eff == 256 and B // 256 >= 64:
+        t_eff = _pick_tile(B, cap=128)
     if t_eff < 8:
         return None
 
@@ -428,7 +409,6 @@ class MidpointModulated:
             xf, _ = _apply_chains(
                 self.op, basis_w, norms, chains, x,
                 m=self.m, max_squarings=self.max_squarings,
-                use_pallas=False, interpret=self.interpret,
             )
             return xf, None
 
@@ -553,7 +533,6 @@ class MagnusModulated4:
             return _apply_chains(
                 self.op, basis_w, norms, chains, x,
                 m=self.m, max_squarings=self.max_squarings,
-                use_pallas=False, interpret=self.interpret,
             )
 
         return step_fn
@@ -612,10 +591,15 @@ class MagnusModulated6:
     use_pallas: bool = True
     interpret: bool = False
 
-    nfev_per_step: int = 8
     is_batched = True     # see MidpointModulated
     error_norm = staticmethod(lambda e: e)
     prefers_packed_carry = True
+
+    @property
+    def nfev_per_step(self) -> int:
+        # 3 sub-intervals x 2 GL nodes, plus the 2 full-interval comparison
+        # nodes only in adaptive mode
+        return 8 if self.adaptive else 6
 
     def __post_init__(self):
         ext, pairs = self.op.commutator_extension()
@@ -717,7 +701,6 @@ class MagnusModulated6:
             return _apply_chains(
                 self.op, basis_w, norms, chains, x,
                 m=self.m, max_squarings=self.max_squarings,
-                use_pallas=False, interpret=self.interpret,
             )
 
         return step_fn
@@ -890,7 +873,6 @@ class CFMModulated:
             return _apply_chains(
                 self.op, basis_w, norms, chains, x,
                 m=self.m, max_squarings=self.max_squarings,
-                use_pallas=False, interpret=self.interpret,
             )
 
         return step_fn

@@ -43,9 +43,14 @@ class LinearConstant:
 
     def exact(self, t, y0):
         from ..ops.expm import expm
+        from ..utils.prec import HIGHEST
 
         t = jnp.asarray(t, jnp.result_type(self.A.dtype, float))
-        return expm(self.A * t.astype(self.A.dtype)) @ y0
+        # batch-aware matvec at HIGHEST precision (a bare `@` would run as
+        # bf16 on TPU f32 AND consume a (B, d) batch as a matrix product)
+        return jnp.einsum("ij,...j->...i",
+                          expm(self.A * t.astype(self.A.dtype)), y0,
+                          precision=HIGHEST)
 
 
 @dataclasses.dataclass(frozen=True)

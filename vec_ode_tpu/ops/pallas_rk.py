@@ -26,8 +26,6 @@ multiple of 128 (the TPU lane width).
 from __future__ import annotations
 
 import dataclasses
-import math
-from functools import partial
 from typing import Callable, Optional
 
 import jax
