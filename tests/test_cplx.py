@@ -270,3 +270,38 @@ def test_antihermitian_pair_rejects_complex_rescalings():
         assert False, "expected ValueError"
     except ValueError as e:
         assert "anti-Hermiticity" in str(e)
+
+
+def test_cplx_scalar_algebra_regressions():
+    """Regressions for the scalar-operand hazards: numpy scalars on the
+    LEFT of * must not consume the pair as an array-like; complex scalars
+    (python AND numpy, incl. complex64) must rotate both halves without
+    introducing complex-dtype leaves; cscale_any must not drop the
+    imaginary part of complex ARRAY scalars."""
+    c = cp.Cplx(jnp.asarray([1.0, 2.0]), jnp.asarray([3.0, 4.0]))
+
+    r = np.float64(2.0) * c
+    assert isinstance(r, cp.Cplx)
+    np.testing.assert_allclose(np.asarray(r.re), [2, 4])
+
+    r = c + 1j
+    np.testing.assert_allclose(np.asarray(r.re), [1, 2])
+    np.testing.assert_allclose(np.asarray(r.im), [4, 5])
+    assert not jnp.issubdtype(r.re.dtype, jnp.complexfloating)
+
+    r = c * np.complex64(1j)
+    np.testing.assert_allclose(np.asarray(r.re), [-3, -4])
+    np.testing.assert_allclose(np.asarray(r.im), [1, 2])
+    assert not jnp.issubdtype(r.im.dtype, jnp.complexfloating)
+
+    r = cp.cscale_any(c, jnp.asarray(1j))        # traced-style array scalar
+    np.testing.assert_allclose(np.asarray(r.re), [-3, -4])
+    np.testing.assert_allclose(np.asarray(r.im), [1, 2])
+
+    r = cp.cscale_any(c, np.asarray(0.5 + 0.5j))  # 0-d ndarray
+    np.testing.assert_allclose(np.asarray(r.re), [-1, -1])
+    np.testing.assert_allclose(np.asarray(r.im), [2, 3])
+
+    r = 1.0 - c                                   # __rsub__
+    np.testing.assert_allclose(np.asarray(r.re), [0, -1])
+    np.testing.assert_allclose(np.asarray(r.im), [-3, -4])
