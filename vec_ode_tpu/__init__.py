@@ -7,7 +7,7 @@ states), re-designed TPU-first: pytree vector spaces, branchless
 ``vmap``/``shard_map`` ensemble scale-out. See SURVEY.md for the layer map.
 """
 
-from . import lc, tableaus
+from . import config, lc, tableaus
 from . import dense, diff, exp, models, parallel, quad
 from .api import solve_ivp, solve_linear
 from .dense import solve_ivp_dense, solve_linear_dense
@@ -49,6 +49,7 @@ from .tableaus import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "config",
     "lc",
     "tableaus",
     "dense",

@@ -129,25 +129,10 @@ def _reverse_result(sol: Solution, t0_orig) -> Solution:
 
 
 def _check_h0(h0, ctl: StepControl, adaptive: bool):
-    """with_init_step validation (ode.rs:287-296): in adaptive mode a
-    CONCRETE h0 (python, numpy, or un-traced jax scalar) must lie inside
-    [min_dt, max_dt]; traced warm starts are the caller's contract."""
-    import numpy as np
+    """Shared with the ensemble path — see controller.check_h0."""
+    from .controller import check_h0
 
-    if h0 is None:
-        return ctl.init_h()
-    if not adaptive:
-        return h0
-    try:
-        val = float(np.asarray(h0))
-    except Exception:  # traced value: cannot inspect
-        return h0
-    if not (ctl.min_dt <= val <= ctl.max_dt):
-        raise ValueError(
-            f"Step {val} is not inside the range "
-            f"({ctl.min_dt}, {ctl.max_dt})"
-        )
-    return h0
+    return check_h0(h0, ctl, adaptive)
 
 
 def _attach_nfev(sol: Solution, stepper) -> Solution:

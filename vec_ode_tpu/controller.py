@@ -91,6 +91,32 @@ class StepControl:
         return math.sqrt(self.min_dt * self.max_dt)
 
 
+def check_h0(h0, ctl: StepControl, adaptive: bool):
+    """``with_init_step`` validation (ode.rs:287-296): in adaptive mode a
+    CONCRETE h0 — python/numpy scalar, un-traced jax scalar, or a
+    per-trajectory (B,) array of warm starts — must lie inside
+    [min_dt, max_dt]; traced values are the caller's contract. Returns the
+    (defaulted) h0. Shared by the scalar api and the ensemble path."""
+    import numpy as np
+
+    if h0 is None:
+        return ctl.init_h()
+    if not adaptive:
+        return h0
+    try:
+        arr = np.asarray(h0)
+    except Exception:
+        return h0  # traced: cannot inspect
+    if arr.dtype.kind in "fi" and arr.size and (
+        (arr < ctl.min_dt).any() or (arr > ctl.max_dt).any()
+    ):
+        raise ValueError(
+            f"Step {h0} is not inside the range "
+            f"({ctl.min_dt}, {ctl.max_dt})"
+        )
+    return h0
+
+
 def controller_update(h, err_norm, ctl: StepControl, prev_err_norm=None,
                       prev_rejected=None):
     """One controller decision. Returns (new_h, accept).

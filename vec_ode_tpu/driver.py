@@ -352,7 +352,19 @@ def step_once(
 
 @dataclasses.dataclass
 class Solution:
-    """Integration result. ``ts``/``ys`` follow the save grid."""
+    """Integration result. ``ts``/``ys`` follow the save grid.
+
+    ``path`` records WHICH execution path produced the result (static
+    metadata, not a traced value):
+      * ``"xla-driver"`` — the lax.while_loop/scan driver in this module;
+      * ``"xla-driver+pallas-step"`` — same driver, stepper ran as one
+        fused Pallas kernel per iteration (ops/pallas_rk.py /
+        ops/pallas_expmv.py / ops/pallas_dense.py);
+      * ``"pallas-loop-persistent"`` / ``"pallas-loop-chunked"`` — the
+        ENTIRE loop ran on-chip (ops/pallas_loop.py).
+    A batched TPU solve silently landing on "xla-driver" is ~10x slower
+    than the fused paths — set ``vec_ode_tpu.config.warn_on_fallback =
+    True`` to get a warning with the failed eligibility rule."""
 
     ts: jax.Array
     ys: Pytree
@@ -364,6 +376,7 @@ class Solution:
     n_iters: jax.Array
     h_final: jax.Array
     n_rhs_evals: Optional[jax.Array] = None  # iterations x stages (api layer)
+    path: str = "xla-driver"                 # static execution-path tag
 
     @property
     def success(self):
@@ -393,9 +406,9 @@ jax.tree_util.register_pytree_node(
     lambda s: (
         (s.ts, s.ys, s.t_final, s.y_final, s.status, s.n_accept, s.n_reject,
          s.n_iters, s.h_final, s.n_rhs_evals),
-        None,
+        s.path,
     ),
-    lambda aux, ch: Solution(*ch),
+    lambda aux, ch: Solution(*ch, path=aux),
 )
 
 

@@ -267,6 +267,15 @@ def _apply_chains(op: ModulatedOperator, basis_w, norms, chains, x, *,
     return _unwiden(y, op.is_cplx), e
 
 
+def _ineligible(reason: str):
+    """Record a fused-loop eligibility failure (opt-in warning via
+    config.warn_on_fallback) and return None so the caller falls back."""
+    from .. import config
+
+    config._warn_fallback(reason)
+    return None
+
+
 def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
                     adaptive, chunk=8, persistent=None):
     """Shared fused-integrator-loop harness (ops/pallas_loop.py): runs the
@@ -274,26 +283,34 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
     launch per solve (in-kernel while loop; ``persistent=False`` falls back
     to chunked launches of ``chunk`` iterations) — and builds a
     driver-compatible Solution. Returns None when the configuration is not
-    kernel-eligible (the caller falls back to the XLA driver)."""
+    kernel-eligible (the caller falls back to the XLA driver; each gate
+    names its rule for config.warn_on_fallback)."""
     from ..driver import Solution
     from ..ops.pallas_loop import fused_loop_integrate, make_chain_step_builder
 
     op = stepper.op
     on_tpu = jax.default_backend() == "tpu" or stepper.interpret
     if not (stepper.use_pallas and on_tpu):
-        return None
+        return None   # not a fallback: pallas disabled or non-TPU backend
     if op.coeff_cols_fn is None:
-        return None
+        return _ineligible(
+            "ModulatedOperator.coeff_cols_fn is None (the fused loop "
+            "samples coefficients in-kernel)")
     if t_grid.shape[0] > 10:   # interior saves live in kernel carry bufs
-        return None
+        return _ineligible(
+            f"save grid has {t_grid.shape[0]} points > 10 (interior saves "
+            "live in kernel carry buffers)")
     parts = (y0.re, y0.im) if op.is_cplx else (y0,)
     if parts[0].ndim != 2:
-        return None
+        return _ineligible(
+            f"state ndim {parts[0].ndim} != 2 (need a (B, d) batch)")
     D = sum(p.shape[-1] for p in parts)
     if D % 128 != 0:
-        return None
+        return _ineligible(
+            f"widened state dim {D} is not a multiple of 128 lanes")
     if t_grid.dtype != parts[0].dtype:
-        return None
+        return _ineligible(
+            f"time dtype {t_grid.dtype} != state dtype {parts[0].dtype}")
     B = parts[0].shape[0]
     # persistent LOOP kernels crash the TPU runtime at tile=256 with >=64
     # grid cells (CLAUDE.md); tile=256 below that regime measures ~9%
@@ -302,7 +319,7 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
     if t_eff == 256 and B // 256 >= 64:
         t_eff = _pick_tile(B, cap=128)
     if t_eff < 8:
-        return None
+        return _ineligible(f"batch {B} gives a kernel tile < 8")
 
     basis_w = (
         stepper._ext_basis_w
@@ -351,7 +368,21 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
         n_reject=ist[:, 4],
         n_iters=ist[:, 5],
         h_final=fs[:, 1],
+        path=("pallas-loop-persistent"
+              if (persistent is None or persistent)
+              else "pallas-loop-chunked"),
     )
+
+
+def _modulated_step_path(self, y0) -> str:
+    """Static execution-path tag for the per-STEP stepper under the XLA
+    driver (Solution.path annotation; the whole-loop kernel reports its own
+    tag from fused_loop_solve)."""
+    if self.use_pallas and jax.default_backend() == "tpu":
+        ok, _, _ = _pallas_ready(self.op, y0)
+        if ok:
+            return "xla-driver+pallas-step"
+    return "xla-driver"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -376,6 +407,7 @@ class MidpointModulated:
     # convention as ops.pallas_rk.FusedModulatedLinearRK)
     error_norm = staticmethod(lambda e: e)
     prefers_packed_carry = True   # many-GEMM loop body: packed carry wins
+    step_path = _modulated_step_path
 
     def make_step_fn(self, op_fn=None):
         basis_w = _real_basis(self.op.basis)
@@ -457,6 +489,7 @@ class MagnusModulated4:
     is_batched = True     # see MidpointModulated
     error_norm = staticmethod(lambda e: e)
     prefers_packed_carry = True
+    step_path = _modulated_step_path
 
     def __post_init__(self):
         ext, pairs = self.op.commutator_extension()
@@ -594,6 +627,7 @@ class MagnusModulated6:
     is_batched = True     # see MidpointModulated
     error_norm = staticmethod(lambda e: e)
     prefers_packed_carry = True
+    step_path = _modulated_step_path
 
     @property
     def nfev_per_step(self) -> int:
@@ -771,6 +805,7 @@ class CFMModulated:
     is_batched = True     # see MidpointModulated
     error_norm = staticmethod(lambda e: e)
     prefers_packed_carry = True
+    step_path = _modulated_step_path
 
     @property
     def nfev_per_step(self) -> int:

@@ -257,19 +257,25 @@ class FusedModulatedLinearRK:
         from ..ops.cplx import Cplx
         from .pallas_loop import fused_loop_integrate, make_rk_step_builder
 
+        from ..exp.modulated import _ineligible
+
         if not (self.use_pallas and jax.default_backend() == "tpu"):
-            return None
+            return None   # not a fallback: pallas disabled or non-TPU
         if t_grid.shape[0] > 10:   # interior saves live in kernel carry bufs
-            return None
+            return _ineligible(
+                f"save grid has {t_grid.shape[0]} points > 10 (interior "
+                "saves live in kernel carry buffers)")
         if not adaptive or self.tableau.b_err is None:
-            return None
+            return None   # fixed-step: the per-step kernel path is used
         if y0.re.ndim != 2:
-            return None
+            return _ineligible(
+                f"state ndim {y0.re.ndim} != 2 (need a (B, d) batch)")
         B, d = y0.re.shape
         # measured crossover: the loop kernel (tile<=128, chunked) wins below
         # ~2k trajectories where per-iteration dispatch dominates; above,
         # the per-step kernel (tile 256, XLA-pipelined across iterations) is
-        # ~15-20% faster — fall back there
+        # ~15-20% faster — fall back there (to the FAST per-step kernel,
+        # not the slow XLA stepper: no fallback warning)
         if B > 2048:
             return None
         # loop-kernel tile caps at 128: tile=256 at 64+ grid cells crashes
@@ -279,9 +285,12 @@ class FusedModulatedLinearRK:
         while loop_tile > 0 and B % loop_tile != 0:
             loop_tile //= 2
         if (2 * d) % 128 != 0 or loop_tile < 8:
-            return None
+            return _ineligible(
+                f"widened dim {2 * d} not a multiple of 128 lanes, or "
+                f"batch {B} gives a loop tile < 8")
         if t_grid.dtype != y0.re.dtype:
-            return None
+            return _ineligible(
+                f"time dtype {t_grid.dtype} != state dtype {y0.re.dtype}")
 
         builder = make_rk_step_builder(
             self.tableau, self.u_fn, self.advance_lower,
@@ -320,7 +329,20 @@ class FusedModulatedLinearRK:
             n_reject=ist[:, 4],
             n_iters=ist[:, 5],
             h_final=fs[:, 1],
+            path=("pallas-loop-persistent"
+                  if (persistent is None or persistent)
+                  else "pallas-loop-chunked"),
         )
+
+    def step_path(self, y0) -> str:
+        """Static execution-path tag of the per-STEP stepper under the XLA
+        driver (Solution.path annotation)."""
+        d = y0.re.shape[-1]
+        if (self.use_pallas and jax.default_backend() == "tpu"
+                and y0.re.ndim == 2 and y0.re.shape[0] % self.tile == 0
+                and (2 * d) % 128 == 0):
+            return "xla-driver+pallas-step"
+        return "xla-driver"
 
     def make_step_fn(self, rhs=None):
         if rhs is not None:

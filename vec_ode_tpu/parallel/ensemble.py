@@ -33,29 +33,8 @@ from ..rk import RungeKutta
 Pytree = Any
 
 
-def _check_h0(h0, ctl: StepControl, adaptive: bool):
-    """with_init_step validation (ode.rs:287-296) for the ensemble path:
-    concrete scalar OR per-trajectory h0 values must lie inside
-    [min_dt, max_dt] in adaptive mode (traced warm starts are the caller's
-    contract)."""
-    import numpy as np
-
-    if h0 is None:
-        return ctl.init_h()
-    if not adaptive:
-        return h0
-    try:
-        arr = np.asarray(h0)
-    except Exception:
-        return h0  # traced: cannot inspect
-    if arr.dtype.kind in "fi" and arr.size and (
-        (arr < ctl.min_dt).any() or (arr > ctl.max_dt).any()
-    ):
-        raise ValueError(
-            f"Step {h0} is not inside the range "
-            f"({ctl.min_dt}, {ctl.max_dt})"
-        )
-    return h0
+from ..controller import check_h0 as _check_h0  # noqa: E402 (shared
+# with_init_step validation, ode.rs:287-296 — see controller.check_h0)
 
 
 def ensemble_solve(
@@ -151,6 +130,9 @@ def ensemble_solve(
                 batch_shape=(b,),
                 pack_carry=getattr(stepper, "prefers_packed_carry", False),
             )
+            step_path = getattr(stepper, "step_path", None)
+            if step_path is not None:
+                sol = dc.replace(sol, path=step_path(y0))
             # match the vmap path's output batching (uniform out_specs under
             # shard_map): broadcast the shared save grid per trajectory
             return dc.replace(
