@@ -116,7 +116,7 @@ def bench_cfm4_driven(results):
             return (yn, acc + sol.n_accept), None
 
         zeros = jnp.zeros((y0.re.shape[0],), jnp.int32)
-        (yf, acc), _ = jax.lax.scan(body, (y0, zeros), None, length=4)
+        (yf, acc), _ = jax.lax.scan(body, (y0, zeros), None, length=16)
         return acc, yf
 
     def sync():
@@ -126,7 +126,7 @@ def bench_cfm4_driven(results):
     wall, (steps, _) = timed(sync)
     results.append({
         "metric": f"adaptive CFM-4 (GL2) steps/sec, {B}x64-dim complex "
-                  "(per-trajectory 128x128 expm, 2 exps/step)",
+                  "(batched stacked expm, 2+1 exps/step)",
         "value": round(steps / wall, 1), "unit": "steps/sec",
     })
 
@@ -158,7 +158,7 @@ def bench_magnus4_driven(results):
             return (yn, acc + sol.n_accept), None
 
         zeros = jnp.zeros((y0.re.shape[0],), jnp.int32)
-        (yf, acc), _ = jax.lax.scan(body, (y0, zeros), None, length=4)
+        (yf, acc), _ = jax.lax.scan(body, (y0, zeros), None, length=16)
         return acc, yf
 
     def sync():
@@ -168,7 +168,7 @@ def bench_magnus4_driven(results):
     wall, (steps, _) = timed(sync)
     results.append({
         "metric": f"adaptive Magnus-4 steps/sec, {B}x64-dim complex "
-                  "(commutator + 2 exps/step)",
+                  "(batched commutator + stacked expm pair)",
         "value": round(steps / wall, 1), "unit": "steps/sec",
     })
 
@@ -216,6 +216,53 @@ def _bench_modulated(results, make_stepper, label, B=256, length=16):
     results.append({
         "metric": f"{label}, {B}x64-dim complex (modulated shared-basis "
                   "Taylor action, no per-trajectory expm)",
+        "value": round(steps / wall, 1), "unit": "steps/sec",
+    })
+
+
+def bench_magnus4_auto_structured(results, B=256, length=16):
+    """The reference's BLACK-BOX operator contract (magnus.rs:32) routed
+    through exp.auto_modulated: structure is recovered from op_fn samples
+    at setup, then the solve runs on the shared-basis fast path — same
+    problem and tolerances as the generic magnus4_driven row."""
+    model = DrivenDense.make(d=64, seed=0)
+    op_fn = lambda t: model.op_pair(t, jnp.float32)
+    mod = vexp.auto_modulated(op_fn, 0.0, 1.0)
+    assert mod is not None and mod.n_terms == 2
+    rng = np.random.default_rng(2)
+    psi0 = rng.standard_normal((B, 64)) + 1j * rng.standard_normal((B, 64))
+    psi0 /= np.linalg.norm(psi0, axis=-1, keepdims=True)
+    y0 = cp.from_complex(psi0, jnp.float32)
+
+    stepper = vexp.MagnusModulated4(mod)
+    ctl = vo.StepControl(rtol=1e-5, min_dt=1e-5, max_dt=0.25)
+
+    @jax.jit
+    def run(y0):
+        def body(carry, _):
+            y, acc = carry
+            sol = ensemble_solve(
+                None, y, 0.0, 1.0, stepper=stepper, adaptive=True, ctl=ctl,
+                h0=1e-2, time_dtype=jnp.float32,
+            )
+            n = jnp.sqrt(jnp.sum(sol.y_final.re**2 + sol.y_final.im**2,
+                                 axis=-1, keepdims=True))
+            yn = cp.Cplx(sol.y_final.re / n, sol.y_final.im / n)
+            return (yn, acc + sol.n_accept), None
+
+        zeros = jnp.zeros((y0.re.shape[0],), jnp.int32)
+        (yf, acc), _ = jax.lax.scan(body, (y0, zeros), None, length=length)
+        return acc, yf
+
+    def sync():
+        na, yf = run(y0)
+        return int(np.asarray(na).sum()), float(np.asarray(yf.re[0, 0]))
+
+    wall, (steps, _) = timed(sync)
+    results.append({
+        "metric": f"adaptive Magnus-4 steps/sec, {B}x64-dim complex, "
+                  "BLACK-BOX op_fn via auto_modulated (recovered "
+                  "shared-basis fast path)",
         "value": round(steps / wall, 1), "unit": "steps/sec",
     })
 
@@ -383,6 +430,7 @@ ALL = {
     "magnus2_lz": bench_magnus2_lz,
     "cfm4_driven": bench_cfm4_driven,
     "magnus4_driven": bench_magnus4_driven,
+    "magnus4_auto": bench_magnus4_auto_structured,
     "cfm4_modulated": bench_cfm4_modulated,
     "magnus4_modulated": bench_magnus4_modulated,
     "magnus6_modulated": bench_magnus6_modulated,

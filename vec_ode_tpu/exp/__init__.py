@@ -4,6 +4,7 @@ Counterpart of the reference's ``src/exp`` module tree, plus the concrete
 operator leaves the reference never shipped (SURVEY.md §1).
 """
 
+from .auto import auto_modulated
 from .cfm import CFM, CFM4, CFM4_BLANES17, cfm_exp, cfm_step
 from .leaves import (
     AntiHermitianCplxSplit,
@@ -68,6 +69,7 @@ __all__ = [
     "SplitCFM",
     "split_midpoint_step",
     "split_cfm_step",
+    "auto_modulated",
     "ModulatedOperator",
     "modulated_exp_apply",
     "MidpointModulated",

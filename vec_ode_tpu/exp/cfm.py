@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import tableaus as tb
+from .magnus import _DenseBatchedStepper
 from .protocol import ExponentialSplit
 
 
@@ -98,13 +99,62 @@ def cfm_step(
     return xf, lc.sub(xe, xf)
 
 
+def _cfm_batched_step(assemble, split, t, x, dt, alpha, c, alpha_err, *,
+                      use_pallas, interpret, max_squarings=16):
+    """Batched CFM on per-trajectory dense operators: all main + error
+    exponentials in ONE stacked batched expm (default executor; the
+    opt-in fused kernel builds the row lincombs in-kernel instead — see
+    exp/dense_fast.py). Unequal main/error chain lengths are native: no
+    zero-row padding."""
+    from . import dense_fast as df
+
+    J = len(c)
+    samples = [assemble(t + float(cj) * dt) for cj in c]
+    Es = [df.embed_node(split, s) for s in samples]
+
+    def _rows(mats, mat, scale):
+        out = []
+        for i in range(mat.shape[0]):
+            acc = None
+            for j in range(J):
+                if mat[i, j] == 0.0:
+                    continue
+                term = float(mat[i, j]) * mats[j]
+                acc = term if acc is None else acc + term
+            out.append(scale * acc)
+        return out
+
+    def kernel_chains(mats, scalars):
+        (dt_s,) = scalars[0]
+        main = _rows(mats, alpha, dt_s)
+        if alpha_err is None:
+            return [main]
+        return [main, _rows(mats, alpha_err, dt_s)]
+
+    def xla_chains():
+        dt3 = dt[..., None, None].astype(Es[0].dtype)
+        main = _rows(Es, alpha, dt3)
+        if alpha_err is None:
+            return [main]
+        return [main, _rows(Es, alpha_err, dt3)]
+
+    return df.run_batched_chains(
+        split, x, dt, Es, kernel_chains, xla_chains,
+        adaptive=alpha_err is not None, use_pallas=use_pallas,
+        interpret=interpret, max_squarings=max_squarings,
+    )
+
+
 @dataclasses.dataclass(frozen=True)
-class CFM:
+class CFM(_DenseBatchedStepper):
     """Generic CFM stepper from coefficient matrices.
 
     alpha: (s, k) — s exponentials over k quadrature samples.
     c: (k,) — quadrature nodes on [0, 1].
     alpha_err: optional (s_err, k) embedded lower-order pass.
+
+    Over a dense split, ensembles execute natively batched (see
+    exp/magnus.py:_DenseBatchedStepper).
     """
 
     split: ExponentialSplit
@@ -112,13 +162,18 @@ class CFM:
     c: tuple
     alpha_err: Optional[tuple] = None
     op_fn: Callable = None
+    batched: Optional[bool] = None   # None = auto (see _DenseBatchedStepper)
+    use_pallas: bool = False  # opt-in; XLA stacked-expm measures faster
+    interpret: bool = False
+    max_squarings: int = 16
 
     @property
     def nfev_per_step(self) -> int:
         return len(self.c)
 
-    def make_step_fn(self, op_fn=None):
+    def make_step_fn(self, op_fn=None, params=None):
         fn = op_fn if op_fn is not None else self.op_fn
+        assemble = self._assembler(fn, params)
         alpha = np.asarray(self.alpha)
         c = np.asarray(self.c)
         alpha_err = None if self.alpha_err is None else np.asarray(
@@ -126,6 +181,14 @@ class CFM:
         )
 
         def step_fn(t, x, dt):
+            if self._batched_mode(t):
+                return _cfm_batched_step(
+                    assemble, self.split, t, x, dt, alpha, c, alpha_err,
+                    use_pallas=self.use_pallas, interpret=self.interpret,
+                    max_squarings=self.max_squarings,
+                )
+            if params is not None:
+                raise ValueError("params requires the batched driver")
             return cfm_step(fn, self.split, t, x, dt, alpha, c, alpha_err)
 
         return step_fn
@@ -136,20 +199,23 @@ def _tupled(a):
 
 
 def CFM4(split: ExponentialSplit, op_fn: Callable = None, *,
-         adaptive: bool = True) -> CFM:
+         adaptive: bool = True, **kw) -> CFM:
     """The reference ExpCFMSolver configuration (cfm.rs:131-162): order 4/2
-    pair on 2-node Gauss-Legendre. ``adaptive=False`` is ``no_adaptive()``."""
+    pair on 2-node Gauss-Legendre. ``adaptive=False`` is ``no_adaptive()``.
+    Extra kwargs (batched / use_pallas / interpret / max_squarings) pass
+    through to :class:`CFM`."""
     return CFM(
         split=split,
         alpha=_tupled(tb.CFM_R4_J2_GL),
         c=tuple(tb.C_GAUSS_LEGENDRE_4),
         alpha_err=_tupled(tb.CFM_R2_J1_GL) if adaptive else None,
         op_fn=op_fn,
+        **kw,
     )
 
 
 def CFM4_BLANES17(split: ExponentialSplit, op_fn: Callable = None, *,
-                  adaptive: bool = True) -> CFM:
+                  adaptive: bool = True, **kw) -> CFM:
     """Blanes 4-exponential order-4 CFM on 3-node Gauss-Legendre — the
     coefficient set the reference defines but never uses (dat/mod.rs:76-80)."""
     return CFM(
@@ -162,4 +228,5 @@ def CFM4_BLANES17(split: ExponentialSplit, op_fn: Callable = None, *,
         if adaptive
         else None,
         op_fn=op_fn,
+        **kw,
     )

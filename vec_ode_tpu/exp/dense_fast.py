@@ -1,0 +1,167 @@
+"""Natively-batched execution for the GENERIC dense exponential steppers.
+
+The reference's exponential solvers take a black-box operator callback
+(``Fun: FnMut(&[T]) -> Vec<L>``, magnus.rs:32, cfm.rs:54); under an
+adaptive ensemble every trajectory carries its own time, so the samples
+A_b(t_i) are per-trajectory dense matrices with no shared structure. This
+module executes that contract efficiently on TPU:
+
+  * one ``jax.vmap(op_fn)`` per quadrature node assembles the batched
+    samples (the callback itself stays scalar-time, reference semantics);
+  * ALL chain exponentials run as ONE stacked batched expm (ops.expm —
+    Paterson-Stockmeyer Taylor on XLA's batched GEMMs, which measure
+    ~16.5 TF/s f32-HIGHEST on the target chip) followed by the cheap
+    sequential matvecs — the default executor;
+  * ``use_pallas=True`` opts into the fully-fused per-trajectory kernel
+    (ops/pallas_dense.py: in-kernel commutators, scaling, propagators,
+    error norm). Measured at 256x64c it runs 1.81 ms/step vs the
+    stacked-expm path's 1.22 — Mosaic's serial per-trajectory matmuls
+    (~11.3 TF/s) lose to XLA's batched GEMMs — so it stays opt-in; see
+    ops/pallas_dense.py for the cost model and the generic contract's
+    FLOP floor.
+
+The steppers in exp/magnus.py and exp/cfm.py call into this module when
+their split advertises ``supports_batched_dense`` (DenseSplit /
+DenseCplxSplit) and the driver hands them batched (t, x, dt).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pallas_dense import dense_chains_xla, fused_dense_chain_apply
+from .protocol import ExponentialSplit
+
+# (PS degree, theta) per dtype: degree 12 costs the same 5 matmuls as
+# degree 8 via Paterson-Stockmeyer but admits theta=1.0 in f32 (truncation
+# ~1e-9 relative — under f32 eps), so adaptive steps with dt*||A|| <~ 1
+# pay ZERO squaring matmuls. f64 keeps the tight theta for ~eps truncation.
+_PS_CFG = {32: (12, 1.0), 64: (12, 0.25)}
+
+
+def ps_params(dtype):
+    return _PS_CFG[jnp.finfo(dtype).bits]
+
+
+def split_parts(split, x):
+    """State as real 2-D parts: (re, im) for Cplx splits, (x,) for real."""
+    if getattr(split, "is_cplx_split", False):
+        return (x.re, x.im)
+    return (x,)
+
+
+def split_unparts(split, parts):
+    if getattr(split, "is_cplx_split", False):
+        from ..ops.cplx import Cplx
+
+        return Cplx(*parts)
+    return parts[0]
+
+
+def embed_node(split, L):
+    """Per-trajectory operator sample -> real working matrix (B, D, D)."""
+    if getattr(split, "is_cplx_split", False):
+        from ..ops.cplx import embed
+
+        return embed(L)
+    return jnp.asarray(L)
+
+
+def kernel_ok(parts, use_pallas: bool, interpret: bool) -> bool:
+    """Fused-kernel eligibility. The kernel is OPT-IN (``use_pallas=True``
+    on the stepper) or forced by ``interpret`` (tests): measured on the
+    target v5e, XLA's batched GEMMs (~16.5 TF/s f32-HIGHEST) beat the
+    kernel's serial per-trajectory Mosaic matmuls (~11.3 TF/s) at every
+    batch size tried (1.22 vs 1.81 ms/step at 256x64c), so the DEFAULT
+    batched executor is the stacked-expm XLA path below."""
+    if not (interpret or
+            (use_pallas and jax.default_backend() == "tpu")):
+        return False
+    if parts[0].ndim != 2:
+        return False
+    B = parts[0].shape[0]
+    D = sum(p.shape[-1] for p in parts)
+    return D % 128 == 0 and B % 8 == 0
+
+
+def widen(parts):
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+
+
+def unwiden(split, yw):
+    if getattr(split, "is_cplx_split", False):
+        from ..ops.cplx import Cplx
+
+        d = yw.shape[-1] // 2
+        return Cplx(yw[..., :d], yw[..., d:])
+    return yw
+
+
+def run_batched_chains(
+    split: ExponentialSplit,
+    x,
+    dt: jax.Array,                       # (B,)
+    node_embedded: Sequence[jax.Array],  # n_nodes of (B, D, D)
+    kernel_chain_builder: Callable,      # in-kernel builder (mats, scalars)
+    xla_chains: Callable,                # () -> [C][R_c] (B, D, D) exponents
+    *,
+    adaptive: bool,
+    use_pallas: bool,
+    interpret: bool,
+    max_squarings: int = 16,
+):
+    """Execute the chain structure on the fused kernel when eligible, else
+    on the XLA reference path. Returns (y, err_norm or None) with err as a
+    PER-TRAJECTORY NORM (the batched drivers use error_norm=identity)."""
+    parts = split_parts(split, x)
+    dtype = parts[0].dtype
+    m, theta = ps_params(dtype)
+    if kernel_ok(parts, use_pallas, interpret):
+        B = parts[0].shape[0]
+        D = sum(p.shape[-1] for p in parts)
+        n_nodes = len(node_embedded)
+        node_ops = jnp.stack(
+            [e.astype(dtype) for e in node_embedded], axis=1
+        ).reshape(B * n_nodes * D, D)
+        y_parts, e = fused_dense_chain_apply(
+            [dt.astype(dtype)[:, None]],
+            node_ops,
+            parts,
+            kernel_chain_builder,
+            n_nodes=n_nodes,
+            m=m,
+            theta=theta,
+            max_squarings=max_squarings,
+            interpret=interpret,
+        )
+        return split_unparts(split, y_parts), (e if adaptive else None)
+    # DEFAULT batched executor: one stacked batched expm (ops.expm — PS
+    # Taylor + batch-uniform squaring + exact Frechet-adjoint VJP, so
+    # reverse-mode through method="scan" solves keeps working) for ALL
+    # chain exponents at once, then the cheap sequential matvecs. Measured
+    # 1.22 ms/step at 256x64c vs 1.41 (old per-trajectory vmap) and 1.81
+    # (fused Mosaic kernel).
+    from ..ops.expm import expm
+    from ..utils.prec import HIGHEST
+
+    chains = xla_chains()
+    flat = [W.astype(dtype) for chain in chains for W in chain]
+    U = expm(jnp.stack(flat), max_squarings=max_squarings)
+    xw = widen(parts)
+
+    def apply_chain(idx0, chain_len, v):
+        for i in range(chain_len):
+            v = jnp.einsum("...ij,...j->...i", U[idx0 + i], v,
+                           precision=HIGHEST)
+        return v
+
+    y = apply_chain(0, len(chains[0]), xw)
+    if len(chains) < 2:
+        return unwiden(split, y), None
+    ev = apply_chain(len(chains[0]), len(chains[1]), xw)
+    dv = ev - y
+    e = jnp.sqrt(jnp.sum(dv * dv, axis=-1))
+    return unwiden(split, y), (e if adaptive else None)

@@ -83,6 +83,10 @@ class DenseSplit(ExponentialSplit):
 
     max_squarings: int = 16
 
+    # generic steppers over this leaf batch natively through the fused
+    # per-trajectory dense kernel (exp/dense_fast.py, ops/pallas_dense.py)
+    supports_batched_dense = True
+
     def __post_init__(self):
         _check_max_squarings(self.max_squarings)
 
@@ -123,6 +127,9 @@ class _CplxSplitBase(ExponentialSplit):
     route through cscale_any (complex trace-time coefficients, real traced
     dt). Propagators are EMBEDDED real (..., 2d, 2d) matrices; the shared
     map_exp applies them with one widened real matmul."""
+
+    # states are Cplx (re, im) pairs; dense_fast widens them to (B, 2d)
+    is_cplx_split = True
 
     def map_exp(self, U, x):
         from ..ops import cplx as cp
@@ -180,6 +187,10 @@ class DenseCplxSplit(_CplxSplitBase):
     quantum problems on TPU (no eigh required)."""
 
     max_squarings: int = 16
+
+    # generic steppers over this leaf batch natively through the fused
+    # per-trajectory dense kernel (exp/dense_fast.py, ops/pallas_dense.py)
+    supports_batched_dense = True
 
     def __post_init__(self):
         _check_max_squarings(self.max_squarings)

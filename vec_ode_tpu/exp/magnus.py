@@ -18,9 +18,10 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 
 from .protocol import ExponentialSplit
 
@@ -85,6 +86,70 @@ def magnus6_step(op_fn, split: ExponentialSplit, t, x, dt, *,
     return xf, err
 
 
+def _midpoint_batched_step(assemble, split, t, x, dt, *, use_pallas,
+                           interpret, max_squarings=16):
+    """Batched exponential midpoint on per-trajectory dense operators
+    (default: stacked batched expm; opt-in fused kernel — see
+    exp/dense_fast.py). ``assemble(t_vec)`` -> per-trajectory operators."""
+    from . import dense_fast as df
+
+    A = assemble(t + 0.5 * dt)
+    E = df.embed_node(split, A)
+
+    def kernel_chains(mats, scalars):
+        (dt_s,) = scalars[0]
+        return [[dt_s * mats[0]]]
+
+    def xla_chains():
+        return [[dt[..., None, None].astype(E.dtype) * E]]
+
+    return df.run_batched_chains(
+        split, x, dt, [E], kernel_chains, xla_chains,
+        adaptive=False, use_pallas=use_pallas, interpret=interpret,
+        max_squarings=max_squarings,
+    )
+
+
+def _magnus4_batched_step(assemble, split, t, x, dt, *, adaptive,
+                          use_pallas, interpret, max_squarings=16):
+    """Batched Magnus-4 on per-trajectory dense operators: the batched
+    commutator + ONE stacked batched expm of the order-4/2 exponent pair
+    (default executor; the opt-in fused kernel moves the commutator and
+    propagators in-kernel — see exp/dense_fast.py for the measured
+    trade)."""
+    from ..ops.pallas_dense import _mm
+    from ..utils.prec import HIGHEST
+    from . import dense_fast as df
+
+    t_mid = t + 0.5 * dt
+    A1 = assemble(t_mid - _C_MID * dt)
+    A2 = assemble(t_mid + _C_MID * dt)
+    E1 = df.embed_node(split, A1)
+    E2 = df.embed_node(split, A2)
+
+    def kernel_chains(mats, scalars):
+        M1, M2 = mats
+        (dt_s,) = scalars[0]
+        w1 = (0.5 * dt_s) * (M1 + M2)
+        comm = _mm(M1, M2, HIGHEST) - _mm(M2, M1, HIGHEST)
+        omega = w1 + (_B2 * dt_s * dt_s) * comm
+        return [[omega], [w1]] if adaptive else [[omega]]
+
+    def xla_chains():
+        from ..utils.prec import mm
+
+        dt3 = dt[..., None, None].astype(E1.dtype)
+        w1 = 0.5 * dt3 * (E1 + E2)
+        omega = w1 + (_B2 * dt3 * dt3) * (mm(E1, E2) - mm(E2, E1))
+        return [[omega], [w1]] if adaptive else [[omega]]
+
+    return df.run_batched_chains(
+        split, x, dt, [E1, E2], kernel_chains, xla_chains,
+        adaptive=adaptive, use_pallas=use_pallas, interpret=interpret,
+        max_squarings=max_squarings,
+    )
+
+
 def magnus4_step(op_fn, split: ExponentialSplit, t, x, dt, *,
                  adaptive: bool = True):
     """4th-order Magnus with 2-node GL quadrature — magnus.rs:28-83.
@@ -113,45 +178,122 @@ def magnus4_step(op_fn, split: ExponentialSplit, t, x, dt, *,
     return xf, err
 
 
+class _DenseBatchedStepper:
+    """Shared batched-execution surface for the generic exp steppers.
+
+    When the split is a dense leaf (``supports_batched_dense``:
+    DenseSplit / DenseCplxSplit), the stepper is natively batched
+    (``is_batched``): the ensemble driver hands it batched (t, x, dt), all
+    chain exponentials run as ONE stacked batched expm (or the opt-in
+    fused Pallas kernel, ``use_pallas=True``), and the step returns the
+    per-trajectory error NORM (``error_norm`` = identity). Scalar solves
+    (solve_linear) keep the reference-shaped pytree path unchanged. Set
+    ``batched=False`` to force the vmapped scalar path (required for
+    ensemble ``params``)."""
+
+    prefers_packed_carry = True
+    error_norm = staticmethod(lambda e: e)
+    # ensemble_solve params support: op_fn(t, p) vmapped over (t, params)
+    supports_batched_params = True
+
+    def _assembler(self, fn, params):
+        """Batched node assembly: vmap the scalar-contract callback over
+        per-trajectory times (and params, when given)."""
+        if params is None:
+            return lambda tv: jax.vmap(fn)(tv)
+        return lambda tv: jax.vmap(fn)(tv, params)
+
+    @property
+    def is_batched(self) -> bool:
+        if self.batched is not None:
+            return self.batched
+        return bool(getattr(self.split, "supports_batched_dense", False))
+
+    def _batched_mode(self, t) -> bool:
+        return (
+            jnp.ndim(t) >= 1
+            and self.is_batched
+            and getattr(self.split, "supports_batched_dense", False)
+        )
+
+    def step_path(self, y0) -> str:
+        from . import dense_fast as df
+
+        if getattr(self.split, "supports_batched_dense", False):
+            parts = df.split_parts(self.split, y0)
+            if df.kernel_ok(parts, self.use_pallas, self.interpret):
+                return "xla-driver+pallas-step"
+        return "xla-driver"
+
+
 @dataclasses.dataclass(frozen=True)
-class ExpMidpoint:
+class ExpMidpoint(_DenseBatchedStepper):
     """Fixed-step exponential midpoint (MidpointExpLinearSolver,
     magnus.rs:85-148). Order 2, no error estimate."""
 
     split: ExponentialSplit
     op_fn: Callable = None  # set via make_step_fn argument instead if None
+    batched: Optional[bool] = None   # None = auto (see _DenseBatchedStepper)
+    use_pallas: bool = False  # opt-in; XLA stacked-expm measures faster
+    interpret: bool = False
+    max_squarings: int = 16
 
     nfev_per_step: int = 1
 
-    def make_step_fn(self, op_fn=None):
+    def make_step_fn(self, op_fn=None, params=None):
         fn = op_fn if op_fn is not None else self.op_fn
+        assemble = self._assembler(fn, params)
 
         def step_fn(t, x, dt):
+            if self._batched_mode(t):
+                return _midpoint_batched_step(
+                    assemble, self.split, t, x, dt,
+                    use_pallas=self.use_pallas, interpret=self.interpret,
+                    max_squarings=self.max_squarings,
+                )
+            if params is not None:
+                raise ValueError("params requires the batched driver")
             return midpoint_step(fn, self.split, t, x, dt)
 
         return step_fn
 
 
 @dataclasses.dataclass(frozen=True)
-class Magnus4:
+class Magnus4(_DenseBatchedStepper):
     """Adaptive Magnus-4 (MagnusExpLinearSolver, magnus.rs:151-285), with the
     error norm wired correctly (see module docstring).
 
     ``adaptive=False`` skips the order-2 comparison propagator entirely
     (one expm per step) — the fixed-step economy the reference never
     implemented for Magnus (its magnus_42 always computes both,
-    magnus.rs:63-79)."""
+    magnus.rs:63-79).
+
+    Over a dense split, ensembles execute natively batched with ONE fused
+    Pallas kernel per driver iteration (see _DenseBatchedStepper)."""
 
     split: ExponentialSplit
     op_fn: Callable = None
     adaptive: bool = True
+    batched: Optional[bool] = None   # None = auto (see _DenseBatchedStepper)
+    use_pallas: bool = False  # opt-in; XLA stacked-expm measures faster
+    interpret: bool = False
+    max_squarings: int = 16
 
     nfev_per_step: int = 2
 
-    def make_step_fn(self, op_fn=None):
+    def make_step_fn(self, op_fn=None, params=None):
         fn = op_fn if op_fn is not None else self.op_fn
+        assemble = self._assembler(fn, params)
 
         def step_fn(t, x, dt):
+            if self._batched_mode(t):
+                return _magnus4_batched_step(
+                    assemble, self.split, t, x, dt, adaptive=self.adaptive,
+                    use_pallas=self.use_pallas, interpret=self.interpret,
+                    max_squarings=self.max_squarings,
+                )
+            if params is not None:
+                raise ValueError("params requires the batched driver")
             return magnus4_step(fn, self.split, t, x, dt,
                                 adaptive=self.adaptive)
 

@@ -82,10 +82,19 @@ def ensemble_solve(
         step_fn = stepper.make_step_fn(rhs_or_op)
     else:
         if getattr(stepper, "is_batched", False):
-            raise ValueError(
-                "params is unsupported for natively-batched steppers"
-            )
-        step_fn = None  # built per-trajectory below
+            if not getattr(stepper, "supports_batched_params", False):
+                raise ValueError(
+                    "params is unsupported for natively-batched steppers "
+                    "(this stepper embeds its own RHS); for the generic "
+                    "exp steppers pass batched=False to use the vmapped "
+                    "path instead"
+                )
+            # batched dense steppers: op_fn(t, p) vmapped over (t, params);
+            # the step_fn binds the LOCAL params shard inside the mapped
+            # body (below), so shard_map slices it correctly
+            step_fn = None
+        else:
+            step_fn = None  # built per-trajectory below
 
     h_batched = hasattr(h0, "ndim") and jnp.ndim(h0) == 1
 
@@ -105,7 +114,10 @@ def ensemble_solve(
         def batched(y0, p, h):
             import dataclasses as dc
 
-            del p  # params unsupported for natively-batched steppers
+            fn = (
+                step_fn if p is None
+                else stepper.make_step_fn(rhs_or_op, params=p)
+            )
             b = jax.tree_util.tree_leaves(y0)[0].shape[0]
             sol = None
             if fused_solve is not None and method == "while":
@@ -124,7 +136,7 @@ def ensemble_solve(
                     "configuration (see fused_loop_solve eligibility)"
                 )
             sol = integrate(
-                step_fn, y0, t_grid, h,
+                fn, y0, t_grid, h,
                 adaptive=adaptive, ctl=ctl,
                 error_norm=enorm, method=method,
                 batch_shape=(b,),
