@@ -87,7 +87,9 @@ def test_warn_on_fallback_names_the_rule():
         assert any("save grid has 14 points" in m for m in msgs), msgs
     finally:
         vo.config.warn_on_fallback = False
-    assert sol.path == "xla-driver"
+    # loop kernel ineligible, but the per-STEP kernel still engages
+    # (interpret honors the kernel path on CPU)
+    assert sol.path == "xla-driver+pallas-step"
 
 
 def test_no_warning_when_not_opted_in():

@@ -378,7 +378,8 @@ def _modulated_step_path(self, y0) -> str:
     """Static execution-path tag for the per-STEP stepper under the XLA
     driver (Solution.path annotation; the whole-loop kernel reports its own
     tag from fused_loop_solve)."""
-    if self.use_pallas and jax.default_backend() == "tpu":
+    if self.use_pallas and (jax.default_backend() == "tpu"
+                            or self.interpret):
         ok, _, _ = _pallas_ready(self.op, y0)
         if ok:
             return "xla-driver+pallas-step"
@@ -412,7 +413,9 @@ class MidpointModulated:
     def make_step_fn(self, op_fn=None):
         basis_w = _real_basis(self.op.basis)
         norms = jnp.max(jnp.sum(jnp.abs(basis_w), axis=-2), axis=-1)
-        use_pallas = self.use_pallas and jax.default_backend() == "tpu"
+        use_pallas = self.use_pallas and (
+            jax.default_backend() == "tpu" or self.interpret
+        )
 
         K0 = self.op.n_terms
 
@@ -500,7 +503,9 @@ class MagnusModulated4:
         basis_w = self._ext_basis_w
         pairs = self._pairs
         norms = jnp.max(jnp.sum(jnp.abs(basis_w), axis=-2), axis=-1)
-        use_pallas = self.use_pallas and jax.default_backend() == "tpu"
+        use_pallas = self.use_pallas and (
+            jax.default_backend() == "tpu" or self.interpret
+        )
 
         K0 = self.op.n_terms
         adaptive = self.adaptive
@@ -656,7 +661,9 @@ class MagnusModulated6:
         basis_w = self._ext_basis_w
         pairs = self._pairs
         norms = jnp.max(jnp.sum(jnp.abs(basis_w), axis=-2), axis=-1)
-        use_pallas = self.use_pallas and jax.default_backend() == "tpu"
+        use_pallas = self.use_pallas and (
+            jax.default_backend() == "tpu" or self.interpret
+        )
 
         K0 = self.op.n_terms
         adaptive = self.adaptive
@@ -827,7 +834,9 @@ class CFMModulated:
                 f"({n_err} > {n_main})"
             )
         norms = jnp.max(jnp.sum(jnp.abs(basis_w), axis=-2), axis=-1)
-        use_pallas = self.use_pallas and jax.default_backend() == "tpu"
+        use_pallas = self.use_pallas and (
+            jax.default_backend() == "tpu" or self.interpret
+        )
 
         K0 = self.op.n_terms
         J = len(c_nodes)
