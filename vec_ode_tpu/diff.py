@@ -314,7 +314,9 @@ def make_adjoint_solver(
     The backward sweep per step n (from the terminal state, nothing stored):
       1. x_n      = e^{-M_n} x_{n+1}           (trajectory reconstruction —
                     exactly stable when the basis is anti-Hermitian; for
-                    dissipative operators this amplifies, use method="scan")
+                    dissipative operators use ``adjoint_solve(...,
+                    anchor_every=k)``: checkpointed re-anchoring bounds the
+                    amplification per k-step segment)
       2. a_n      = e^{M_n^T} a_{n+1}          (state cotangent; transposed
                     working basis, same coefficients)
       3. c̄_k      = <a_{n+1}, D_{W_k} e^{M_n} x_n>  for every basis element,
@@ -914,6 +916,7 @@ def adjoint_solve(
     use_pallas: bool = True,
     save_at_steps=None,
     basis_grad: bool = False,
+    anchor_every: Optional[int] = None,
 ):
     """Terminal state of dx/dt = (Σ_k coeff_fn(t, theta)[k] · basis[k]) x
     after ``n_steps`` fixed Magnus steps, differentiable w.r.t. ``theta``
@@ -928,10 +931,38 @@ def adjoint_solve(
     basis matrices themselves (Hamiltonian learning; O(n_steps * D^2)
     backward memory — see :func:`make_adjoint_basis_solver`).
 
+    ``anchor_every=k`` enables ANCHORED reconstruction for DISSIPATIVE
+    (non-norm-preserving) operators — Lindblad superoperators, decaying
+    modes: the plain O(1) sweep reconstructs x backward with inverse
+    propagators, which amplifies roundoff by ~e^{2*gamma*T} over the whole
+    horizon; anchoring stores the state every k steps (the save_at_steps
+    machinery, with only the terminal state returned) and re-starts each
+    backward segment from its stored anchor, bounding the amplification at
+    e^{2*gamma*k*dt} per segment for O(n_steps/k) memory. Pick k so
+    gamma*k*dt <~ 1.
+
     ``basis``/``y0`` may be ``Cplx`` (real-pair complex); the widening is
     ordinary differentiable concatenation outside the custom VJP."""
     from .exp.modulated import _unwiden, _widen
     from .ops.cplx import Cplx
+
+    if anchor_every is not None:
+        if save_at_steps is not None or basis_grad:
+            raise ValueError(
+                "anchor_every composes with neither save_at_steps (saves "
+                "ARE anchors already) nor basis_grad")
+        k = int(anchor_every)
+        if k < 1:
+            raise ValueError(f"anchor_every must be >= 1, got {anchor_every}")
+        anchors = tuple(range(k, n_steps, k)) + (n_steps,)
+        solver = make_adjoint_saves_solver(
+            basis, coeff_fn, n_steps=n_steps, save_at_steps=anchors,
+            order=order, m=m, max_squarings=max_squarings,
+            use_pallas=use_pallas,
+        )
+        is_cplx = isinstance(y0, Cplx)
+        yfw = solver(theta, _widen(y0, is_cplx), t0, tf)[-1]
+        return _unwiden(yfw, is_cplx)
 
     if basis_grad:
         if save_at_steps is not None:
