@@ -406,6 +406,13 @@ def bench_lz_sweep_efficiency(results):
     sol = ensemble_solve(rhs, y0, -8.0, 8.0, ctl=ctl, h0=1e-2,
                          time_dtype=jnp.float32)
     eff_plain = float(step_efficiency(sol))
+    # mesh-composable accounting: what an 8-shard split of this batch
+    # would waste per device, plain order vs cost-sorted placement
+    # (parallel.cost_sorted_permutation; the velocities are already
+    # monotone here, so the sorted number IS the placement-mitigated one)
+    eff_8shard = float(step_efficiency(sol, n_shards=8))
+    per_shard = [round(float(e), 4) for e in np.asarray(
+        step_efficiency(sol, n_shards=8, per_shard=True))]
 
     t0 = time.perf_counter()
     sol_c, stats = ensemble_solve_compact(
@@ -419,6 +426,8 @@ def bench_lz_sweep_efficiency(results):
         "value": round(stats["efficiency"], 4), "unit": "fraction",
         "detail": {
             "plain_batched_efficiency": round(eff_plain, 4),
+            "sorted_8shard_efficiency": round(eff_8shard, 4),
+            "per_shard_efficiency": per_shard,
             "compact_wall_s": round(wall, 2),
             "useful_lane_iters": stats["useful_lane_iters"],
         },

@@ -3,7 +3,9 @@
 from .ensemble import (
     ensemble_mesh,
     ensemble_solve,
+    cost_sorted_permutation,
     ensemble_solve_compact,
+    inverse_permutation,
     shard_batch,
     step_efficiency,
 )
@@ -17,6 +19,8 @@ from .state_parallel import (
 __all__ = [
     "ensemble_solve",
     "ensemble_solve_compact",
+    "cost_sorted_permutation",
+    "inverse_permutation",
     "ensemble_mesh",
     "shard_batch",
     "step_efficiency",
