@@ -222,18 +222,43 @@ def _parity_shardmap_fused(model):
 def kernel_parity_suite(model):
     """On-device parity for EVERY kernel family, recorded in the headline
     JSON each run (VERDICT r2 weak #3: 'bit-identical' claims should be
-    machine-checked every round, not asserted)."""
+    machine-checked every round, not asserted).
+
+    Each family runs under a SIGALRM timeout: a transient tunnel hang or
+    compile stall in one family records a per-family failure instead of
+    sinking the headline measurement."""
+    import signal
+
     if jax.default_backend() != "tpu":
         return {"skipped": "not on TPU"}
-    return {
-        "rk_step": kernel_parity_on_device(model),
-        "chain_exp_step": _parity_chain_exp_step(model),
-        "loop_persistent_vs_chunked": _parity_loop_persistent_vs_chunked(
-            model),
-        "adjoint_bwd": _parity_adjoint_bwd(model),
-        "dense_generic": _parity_dense_generic(model),
-        "shardmap_fused_loop": _parity_shardmap_fused(model),
+    fams = {
+        "rk_step": kernel_parity_on_device,
+        "chain_exp_step": _parity_chain_exp_step,
+        "loop_persistent_vs_chunked": _parity_loop_persistent_vs_chunked,
+        "adjoint_bwd": _parity_adjoint_bwd,
+        "dense_generic": _parity_dense_generic,
+        "shardmap_fused_loop": _parity_shardmap_fused,
     }
+
+    def _alarm(sig, frame):
+        raise TimeoutError("parity family timed out")
+
+    out = {}
+    old = signal.signal(signal.SIGALRM, _alarm)
+    try:
+        for name, fn in fams.items():
+            signal.alarm(420)
+            try:
+                out[name] = fn(model)
+            except TimeoutError:
+                out[name] = {"ok": False, "error": "timeout (420s)"}
+            except Exception as e:  # noqa: BLE001
+                out[name] = {"ok": False, "error": str(e)[:200]}
+            finally:
+                signal.alarm(0)
+    finally:
+        signal.signal(signal.SIGALRM, old)
+    return out
 
 
 def main():
