@@ -769,3 +769,36 @@ def test_lindblad_dissipative_control_optimization():
         theta = optax.apply_updates(theta, up)
     assert hist[0] > 0.9
     assert min(hist) < 0.2, f"dissipative control stalled: {min(hist)}"
+
+
+def test_fused_loop_many_interior_saves_matches_xla_driver():
+    """r3: the PERSISTENT loop kernel now holds up to 32 interior save
+    times in-kernel (the old cap was 8); the recorded ys must match the
+    XLA driver's grid-hitting saves."""
+    from vec_ode_tpu.parallel import ensemble_solve
+
+    _, mod, _ = _driven_setup(d=64, dtype=jnp.float32)
+    B = 16
+    rng = np.random.default_rng(8)
+    psi = rng.standard_normal((B, 64)) + 1j * rng.standard_normal((B, 64))
+    psi /= np.linalg.norm(psi, axis=-1, keepdims=True)
+    y0 = cp.from_complex(psi, jnp.float32)
+    save_at = np.linspace(0.02, 0.28, 20, dtype=np.float32)
+    ctl = vo.StepControl(rtol=1e-4, min_dt=1e-5, max_dt=0.2, max_steps=500)
+
+    def solve(stepper):
+        return ensemble_solve(
+            None, y0, 0.0, 0.3, stepper=stepper, adaptive=True, ctl=ctl,
+            h0=1e-2, save_at=save_at, time_dtype=jnp.float32,
+        )
+
+    sol_k = solve(vexp.MagnusModulated4(mod, interpret=True))
+    assert sol_k.path == "pallas-loop-persistent", sol_k.path
+    sol_x = solve(vexp.MagnusModulated4(mod, use_pallas=False))
+    assert (np.asarray(sol_k.status) == vo.DONE).all()
+    np.testing.assert_array_equal(np.asarray(sol_k.n_accept),
+                                  np.asarray(sol_x.n_accept))
+    np.testing.assert_allclose(np.asarray(sol_k.ys.re),
+                               np.asarray(sol_x.ys.re), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sol_k.ys.im),
+                               np.asarray(sol_x.ys.im), atol=2e-5)

@@ -72,7 +72,7 @@ def test_warn_on_fallback_names_the_rule():
     stepper = vexp.MagnusModulated4(mod, interpret=True)
     y0 = jax.tree_util.tree_map(
         lambda a: a.astype(jnp.float32), _y0(B=16, d=64))
-    save_at = np.linspace(0.01, 0.09, 12)
+    save_at = np.linspace(0.01, 0.09, 40)
 
     vo.config.warn_on_fallback = True
     try:
@@ -84,7 +84,7 @@ def test_warn_on_fallback_names_the_rule():
                 save_at=save_at, time_dtype=jnp.float32,
             )
         msgs = [str(w.message) for w in rec]
-        assert any("save grid has 14 points" in m for m in msgs), msgs
+        assert any("save grid has 42 points" in m for m in msgs), msgs
     finally:
         vo.config.warn_on_fallback = False
     # loop kernel ineligible, but the per-STEP kernel still engages
@@ -103,6 +103,6 @@ def test_no_warning_when_not_opted_in():
         ensemble_solve(
             None, y0, 0.0, 0.1, stepper=stepper, adaptive=True,
             ctl=vo.StepControl(rtol=1e-4, max_dt=0.05), h0=1e-2,
-            save_at=np.linspace(0.01, 0.09, 12), time_dtype=jnp.float32,
+            save_at=np.linspace(0.01, 0.09, 40), time_dtype=jnp.float32,
         )
     assert not [w for w in rec if "vec_ode_tpu" in str(w.message)]

@@ -63,7 +63,7 @@ def test_fused_step_kernel_inside_shard_map():
     ctl = vo.StepControl(rtol=1e-4, min_dt=1e-5, max_dt=0.2, max_steps=200)
     y0 = _y0(B, d, seed=1)
     mesh = ensemble_mesh()
-    save_at = np.linspace(0.005, 0.045, 12)  # >10 interior: loop-ineligible
+    save_at = np.linspace(0.005, 0.045, 40)  # >32 interior: loop-ineligible
 
     def solve(y, mesh_):
         return ensemble_solve(

@@ -296,10 +296,15 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
         return _ineligible(
             "ModulatedOperator.coeff_cols_fn is None (the fused loop "
             "samples coefficients in-kernel)")
-    if t_grid.shape[0] > 10:   # interior saves live in kernel carry bufs
+    # interior saves live in in-kernel registers for the (default)
+    # PERSISTENT single-launch mode -> up to 32 interior times; chunked
+    # mode round-trips them as XLA loop-carry buffers every chunk (~90us
+    # per buffer per iteration on this backend) -> keep the tight cap
+    grid_cap = 34 if (persistent is None or persistent) else 10
+    if t_grid.shape[0] > grid_cap:
         return _ineligible(
-            f"save grid has {t_grid.shape[0]} points > 10 (interior saves "
-            "live in kernel carry buffers)")
+            f"save grid has {t_grid.shape[0]} points > {grid_cap} "
+            "(interior saves live in kernel carry buffers)")
     parts = (y0.re, y0.im) if op.is_cplx else (y0,)
     if parts[0].ndim != 2:
         return _ineligible(

@@ -261,10 +261,13 @@ class FusedModulatedLinearRK:
 
         if not (self.use_pallas and jax.default_backend() == "tpu"):
             return None   # not a fallback: pallas disabled or non-TPU
-        if t_grid.shape[0] > 10:   # interior saves live in kernel carry bufs
+        # persistent mode holds interior saves in-kernel (32 interior
+        # times); chunked mode round-trips them as XLA carry buffers
+        grid_cap = 34 if (persistent is None or persistent) else 10
+        if t_grid.shape[0] > grid_cap:
             return _ineligible(
-                f"save grid has {t_grid.shape[0]} points > 10 (interior "
-                "saves live in kernel carry buffers)")
+                f"save grid has {t_grid.shape[0]} points > {grid_cap} "
+                "(interior saves live in kernel carry buffers)")
         if not adaptive or self.tableau.b_err is None:
             return None   # fixed-step: the per-step kernel path is used
         if y0.re.ndim != 2:
