@@ -116,6 +116,7 @@ def test_fused_kernel_large_norm_squares():
 @pytest.mark.parametrize("make", [
     lambda **kw: vexp.Magnus4(vexp.DenseCplxSplit(), **kw),
     lambda **kw: vexp.CFM4(vexp.DenseCplxSplit(), **kw),
+    lambda **kw: vexp.Magnus6(vexp.DenseCplxSplit(), **kw),
 ])
 def test_batched_stepper_matches_scalar_vmap_f64(make):
     """Natively-batched generic steppers (XLA fallback on CPU) reproduce
@@ -146,6 +147,7 @@ def test_batched_stepper_matches_scalar_vmap_f64(make):
     lambda **kw: vexp.Magnus4(vexp.DenseCplxSplit(), **kw),
     lambda **kw: vexp.CFM4(vexp.DenseCplxSplit(), **kw),
     lambda **kw: vexp.ExpMidpoint(vexp.DenseCplxSplit(), **kw),
+    lambda **kw: vexp.Magnus6(vexp.DenseCplxSplit(), **kw),
 ])
 def test_batched_stepper_kernel_interpret_matches_xla(make):
     """Fused dense kernel (interpret mode) == XLA fallback through a full

@@ -150,6 +150,69 @@ def _magnus4_batched_step(assemble, split, t, x, dt, *, adaptive,
     )
 
 
+def _magnus6_batched_step(assemble, split, t, x, dt, *, adaptive,
+                          use_pallas, interpret, max_squarings=16):
+    """Batched Magnus-6 (Yoshida triple-jump of the symmetric Magnus-4
+    step) on per-trajectory dense operators: 3 sub-interval Magnus-4
+    exponents (+ the embedded full-interval comparison) built from 6 (8)
+    node samples; default executor = one stacked batched expm of all
+    exponents (see exp/dense_fast.py)."""
+    from ..ops.pallas_dense import _mm
+    from ..utils.prec import HIGHEST
+    from . import dense_fast as df
+
+    n_sub = len(_SUB_OFF)
+    # node samples: GL2 pair per sub-interval (+ full-interval pair)
+    spans = [(o, ln) for o, ln in zip(_SUB_OFF, _SUB_LEN)]
+    if adaptive:
+        spans.append((0.0, 1.0))
+    Es = []
+    for o, ln in spans:
+        tm = t + (o + 0.5 * ln) * dt
+        Es.append(df.embed_node(split, assemble(tm - _C_MID * ln * dt)))
+        Es.append(df.embed_node(split, assemble(tm + _C_MID * ln * dt)))
+
+    def kernel_chains(mats, scalars):
+        (dt_s,) = scalars[0]
+
+        def m4_omega(Ma, Mb, dts):
+            w1 = (0.5 * dts) * (Ma + Mb)
+            comm = _mm(Ma, Mb, HIGHEST) - _mm(Mb, Ma, HIGHEST)
+            return w1 + (_B2 * dts * dts) * comm
+
+        main = [
+            m4_omega(mats[2 * i], mats[2 * i + 1],
+                     float(_SUB_LEN[i]) * dt_s)
+            for i in range(n_sub)
+        ]
+        if not adaptive:
+            return [main]
+        return [main, [m4_omega(mats[6], mats[7], dt_s)]]
+
+    def xla_chains():
+        from ..utils.prec import mm
+
+        dt3 = dt[..., None, None].astype(Es[0].dtype)
+
+        def m4_omega(Ma, Mb, dts):
+            w1 = 0.5 * dts * (Ma + Mb)
+            return w1 + (_B2 * dts * dts) * (mm(Ma, Mb) - mm(Mb, Ma))
+
+        main = [
+            m4_omega(Es[2 * i], Es[2 * i + 1], float(_SUB_LEN[i]) * dt3)
+            for i in range(n_sub)
+        ]
+        if not adaptive:
+            return [main]
+        return [main, [m4_omega(Es[6], Es[7], dt3)]]
+
+    return df.run_batched_chains(
+        split, x, dt, Es, kernel_chains, xla_chains,
+        adaptive=adaptive, use_pallas=use_pallas, interpret=interpret,
+        max_squarings=max_squarings,
+    )
+
+
 def magnus4_step(op_fn, split: ExponentialSplit, t, x, dt, *,
                  adaptive: bool = True):
     """4th-order Magnus with 2-node GL quadrature — magnus.rs:28-83.
@@ -301,25 +364,41 @@ class Magnus4(_DenseBatchedStepper):
 
 
 @dataclasses.dataclass(frozen=True)
-class Magnus6:
+class Magnus6(_DenseBatchedStepper):
     """Adaptive Magnus-6: Yoshida triple-jump composition of the symmetric
     Magnus-4 step, embedded against the plain Magnus-4 step over the full
     interval (err = x4 - x6). Order 6 at 3 exponentials/step (4 adaptive);
-    the reference tops out at order 4."""
+    the reference tops out at order 4.
+
+    Over a dense split, ensembles execute natively batched (see
+    _DenseBatchedStepper)."""
 
     split: ExponentialSplit
     op_fn: Callable = None
     adaptive: bool = True
+    batched: Optional[bool] = None   # None = auto (see _DenseBatchedStepper)
+    use_pallas: bool = False  # opt-in; XLA stacked-expm measures faster
+    interpret: bool = False
+    max_squarings: int = 16
 
     @property
     def nfev_per_step(self) -> int:
         # 3 sub-interval GL2 pairs + the full-interval pair when adaptive
         return 8 if self.adaptive else 6
 
-    def make_step_fn(self, op_fn=None):
+    def make_step_fn(self, op_fn=None, params=None):
         fn = op_fn if op_fn is not None else self.op_fn
+        assemble = self._assembler(fn, params)
 
         def step_fn(t, x, dt):
+            if self._batched_mode(t):
+                return _magnus6_batched_step(
+                    assemble, self.split, t, x, dt, adaptive=self.adaptive,
+                    use_pallas=self.use_pallas, interpret=self.interpret,
+                    max_squarings=self.max_squarings,
+                )
+            if params is not None:
+                raise ValueError("params requires the batched driver")
             return magnus6_step(fn, self.split, t, x, dt,
                                 adaptive=self.adaptive)
 
