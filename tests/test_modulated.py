@@ -550,12 +550,13 @@ class TestFusedLoop:
         ctl = vo.StepControl(rtol=1e-4)
         # (PI / scaled_error / strict_end_test are now ELIGIBLE — covered
         # by the dedicated tests above)
-        # LARGE interior save grid -> not eligible (in-kernel save bufs)
+        # LARGE interior save grid -> not eligible (in-kernel save bufs;
+        # r3 raised the persistent cap to 32 interior times)
         from vec_ode_tpu.driver import make_grid
 
         g_big = make_grid(
             jnp.float32(0), jnp.float32(0.5),
-            save_at=jnp.asarray(np.linspace(0.04, 0.46, 12), jnp.float32),
+            save_at=jnp.asarray(np.linspace(0.04, 0.46, 40), jnp.float32),
             dtype=jnp.float32)
         assert self._run_fused(st, y0, g_big, ctl, True) is None
         # scalar (unbatched) state -> not eligible

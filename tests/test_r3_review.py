@@ -1,0 +1,101 @@
+"""Regression tests for the round-3 review findings (auto-batched
+compatibility fallbacks, NaN h0, explicit batched=True validation,
+zero-row CFM tableaus)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vec_ode_tpu as vo
+from vec_ode_tpu import exp as vexp
+from vec_ode_tpu import lc
+from vec_ode_tpu.models import DrivenDense
+from vec_ode_tpu.ops import cplx as cp
+from vec_ode_tpu.parallel import ensemble_solve
+
+
+def _y0(B=8, d=8, seed=0):
+    rng = np.random.default_rng(seed)
+    psi = rng.standard_normal((B, d)) + 1j * rng.standard_normal((B, d))
+    psi /= np.linalg.norm(psi, axis=-1, keepdims=True)
+    return cp.from_complex(psi, jnp.float64)
+
+
+def test_custom_error_norm_still_works_with_auto_batched_stepper():
+    """Pre-r3 calls with a custom error_norm must keep working: the
+    AUTO-batched dense stepper quietly takes the vmapped path."""
+    model = DrivenDense.make(d=8, seed=0)
+
+    def my_norm(e):
+        return 2.0 * lc.norm_l2(e)  # tighter steps than the default
+
+    sol = ensemble_solve(
+        lambda t: model.op_pair(t, jnp.float64), _y0(), 0.0, 0.3,
+        stepper=vexp.Magnus4(vexp.DenseCplxSplit()), adaptive=True,
+        ctl=vo.StepControl(rtol=1e-6, max_dt=0.25), h0=1e-2,
+        error_norm=my_norm, time_dtype=jnp.float64,
+    )
+    assert bool(jnp.all(sol.success))
+    sol_def = ensemble_solve(
+        lambda t: model.op_pair(t, jnp.float64), _y0(), 0.0, 0.3,
+        stepper=vexp.Magnus4(vexp.DenseCplxSplit()), adaptive=True,
+        ctl=vo.StepControl(rtol=1e-6, max_dt=0.25), h0=1e-2,
+        time_dtype=jnp.float64,
+    )
+    # the doubled norm must actually bite (more steps accepted)
+    assert int(np.asarray(sol.n_accept).sum()) > int(
+        np.asarray(sol_def.n_accept).sum())
+
+
+def test_scaled_error_still_works_with_auto_batched_stepper():
+    model = DrivenDense.make(d=8, seed=0)
+    sol = ensemble_solve(
+        lambda t: model.op_pair(t, jnp.float64), _y0(), 0.0, 0.3,
+        stepper=vexp.CFM4(vexp.DenseCplxSplit()), adaptive=True,
+        ctl=vo.StepControl(rtol=1e-6, max_dt=0.25, scaled_error=True),
+        h0=1e-2, time_dtype=jnp.float64,
+    )
+    assert bool(jnp.all(sol.success))
+
+
+def test_nan_h0_rejected():
+    with pytest.raises(ValueError, match="not inside the range"):
+        vo.solve_ivp(lambda t, y: -y, 0.0, 1.0, jnp.ones(3),
+                     h0=float("nan"))
+    with pytest.raises(ValueError, match="not inside the range"):
+        ensemble_solve(lambda t, y: -y, jnp.ones((4, 3)), 0.0, 1.0,
+                       h0=jnp.asarray([1e-3, jnp.nan, 1e-3, 1e-3]))
+
+
+def test_explicit_batched_true_requires_dense_split():
+    st = vexp.Magnus4(vexp.DiagonalCplxSplit(), batched=True)
+    with pytest.raises(ValueError, match="batched=True requires"):
+        ensemble_solve(
+            lambda t: cp.Cplx(jnp.zeros(4), -jnp.ones(4)), _y0(d=4),
+            0.0, 0.1, stepper=st, adaptive=True, h0=1e-2,
+        )
+
+
+def test_cfm_zero_row_batched_matches_scalar():
+    """An all-zero tableau row (identity exponential) must not crash the
+    batched dense path."""
+    model = DrivenDense.make(d=8, seed=0)
+    alpha = ((0.5, 0.5), (0.0, 0.0))  # second exponential is e^0 = I
+    mk = lambda **kw: vexp.CFM(
+        split=vexp.DenseCplxSplit(), alpha=alpha,
+        c=(0.2113248654051871, 0.7886751345948129),
+        alpha_err=((0.5, 0.5),), **kw)
+
+    def solve(st):
+        return ensemble_solve(
+            lambda t: model.op_pair(t, jnp.float64), _y0(seed=3), 0.0, 0.2,
+            stepper=st, adaptive=True,
+            ctl=vo.StepControl(rtol=1e-6, max_dt=0.25), h0=1e-2,
+            time_dtype=jnp.float64,
+        )
+
+    a = solve(mk())
+    b = solve(mk(batched=False))
+    assert bool(jnp.all(a.success))
+    np.testing.assert_allclose(np.asarray(a.y_final.re),
+                               np.asarray(b.y_final.re), atol=1e-11)

@@ -108,7 +108,9 @@ def check_h0(h0, ctl: StepControl, adaptive: bool):
     except Exception:
         return h0  # traced: cannot inspect
     if arr.dtype.kind in "fi" and arr.size and (
-        (arr < ctl.min_dt).any() or (arr > ctl.max_dt).any()
+        # NaN compares False everywhere: reject non-finite h0 explicitly
+        (~np.isfinite(arr.astype(np.float64))).any()
+        or (arr < ctl.min_dt).any() or (arr > ctl.max_dt).any()
     ):
         raise ValueError(
             f"Step {h0} is not inside the range "

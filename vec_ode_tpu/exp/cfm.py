@@ -121,6 +121,8 @@ def _cfm_batched_step(assemble, split, t, x, dt, alpha, c, alpha_err, *,
                     continue
                 term = float(mat[i, j]) * mats[j]
                 acc = term if acc is None else acc + term
+            if acc is None:      # all-zero row: exponent 0 (e^0 = I)
+                acc = jnp.zeros_like(mats[0])
             out.append(scale * acc)
         return out
 

@@ -32,7 +32,7 @@ from typing import Callable, Sequence
 import jax
 import jax.numpy as jnp
 
-from ..ops.pallas_dense import dense_chains_xla, fused_dense_chain_apply
+from ..ops.pallas_dense import fused_dense_chain_apply
 from .protocol import ExponentialSplit
 
 # (PS degree, theta) per dtype: degree 12 costs the same 5 matmuls as
@@ -119,7 +119,19 @@ def run_batched_chains(
     parts = split_parts(split, x)
     dtype = parts[0].dtype
     m, theta = ps_params(dtype)
-    if kernel_ok(parts, use_pallas, interpret):
+
+    def _tile_feasible():
+        # mirror fused_dense_chain_apply's VMEM-budgeted tile pick: fall
+        # back to the XLA executor (instead of raising) when the operand
+        # block cannot fit a >= 8-lane tile
+        B = parts[0].shape[0]
+        D = sum(p.shape[-1] for p in parts)
+        t = min(64, (4 << 20) // (len(node_embedded) * D * D * 4))
+        while t > 0 and B % t != 0:
+            t //= 2
+        return t >= 8
+
+    if kernel_ok(parts, use_pallas, interpret) and _tile_feasible():
         B = parts[0].shape[0]
         D = sum(p.shape[-1] for p in parts)
         n_nodes = len(node_embedded)

@@ -269,8 +269,24 @@ class _DenseBatchedStepper:
     @property
     def is_batched(self) -> bool:
         if self.batched is not None:
+            if self.batched and not getattr(
+                self.split, "supports_batched_dense", False
+            ):
+                raise ValueError(
+                    f"batched=True requires a dense split (DenseSplit / "
+                    f"DenseCplxSplit); {type(self.split).__name__} cannot "
+                    "batch per-trajectory operators"
+                )
             return self.batched
         return bool(getattr(self.split, "supports_batched_dense", False))
+
+    # ensemble_solve may quietly route an AUTO-batched stepper down the
+    # vmapped path when the batched conventions conflict with the call
+    # (custom error_norm, scaled_error without a fused loop); an EXPLICIT
+    # batched=True keeps the hard error instead
+    @property
+    def auto_batched(self) -> bool:
+        return self.batched is None
 
     def _batched_mode(self, t) -> bool:
         return (

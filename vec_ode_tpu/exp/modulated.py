@@ -293,9 +293,11 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
     if not (stepper.use_pallas and on_tpu):
         return None   # not a fallback: pallas disabled or non-TPU backend
     if op.coeff_cols_fn is None:
-        return _ineligible(
-            "ModulatedOperator.coeff_cols_fn is None (the fused loop "
-            "samples coefficients in-kernel)")
+        # structural, not a per-call misconfiguration (e.g. auto_modulated
+        # operators project through the user's op_fn, which cannot run
+        # in-kernel): the per-STEP fused kernel still engages, so no
+        # fallback warning — the path tag records what ran
+        return None
     # interior saves live in in-kernel registers for the (default)
     # PERSISTENT single-launch mode -> up to 32 interior times; chunked
     # mode round-trips them as XLA loop-carry buffers every chunk (~90us
@@ -323,6 +325,13 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
     t_eff = _pick_tile(B)
     if t_eff == 256 and B // 256 >= 64:
         t_eff = _pick_tile(B, cap=128)
+    # >8 interior saves at tile=256 is an untested VMEM regime (each save
+    # is a live (tile, D) register through the whole in-kernel loop):
+    # cap the tile to bound the footprint
+    if t_grid.shape[0] > 10:
+        t_eff = min(t_eff, 128)
+        while t_eff > 0 and B % t_eff != 0:
+            t_eff //= 2
     if t_eff < 8:
         return _ineligible(f"batch {B} gives a kernel tile < 8")
 

@@ -157,12 +157,15 @@ def fused_dense_chain_apply(
     if D % 128 != 0:
         raise ValueError(f"widened dim {D} must be a multiple of 128")
     if tile <= 0:
-        # bound the per-tile operand block to ~4MB of VMEM
-        tile = max(8, min(64, (4 << 20) // (n_nodes * D * D * 4)))
+        # bound the per-tile operand block to ~4MB of VMEM; do NOT clamp
+        # UP — a huge n_nodes*D^2 must shrink the tile, not blow VMEM
+        tile = min(64, (4 << 20) // (n_nodes * D * D * 4))
     while tile > 0 and B % tile != 0:
         tile //= 2
     if tile < 1:
-        raise ValueError(f"batch {B} admits no kernel tile")
+        raise ValueError(
+            f"batch {B} admits no kernel tile for n_nodes={n_nodes}, "
+            f"D={D} within the VMEM budget — use the XLA executor")
     n_in = len(scalar_inputs)
 
     def kernel(*refs):

@@ -261,19 +261,23 @@ class FusedModulatedLinearRK:
 
         if not (self.use_pallas and jax.default_backend() == "tpu"):
             return None   # not a fallback: pallas disabled or non-TPU
+        if not adaptive or self.tableau.b_err is None:
+            return None   # fixed-step: the per-step kernel path is used
+        if y0.re.ndim != 2:
+            return None   # scalar solve: not this stepper's contract
+        B, d = y0.re.shape
+        # would the fallback land on the FAST per-step kernel (only
+        # 15-20% slower than the loop kernel) or on the ~10x-slower XLA
+        # stepper? Only the latter deserves a fallback warning.
+        step_kernel_ok = (B % self.tile == 0) and ((2 * d) % 128 == 0)
+        warn = (lambda r: None) if step_kernel_ok else _ineligible
         # persistent mode holds interior saves in-kernel (32 interior
         # times); chunked mode round-trips them as XLA carry buffers
         grid_cap = 34 if (persistent is None or persistent) else 10
         if t_grid.shape[0] > grid_cap:
-            return _ineligible(
+            return warn(
                 f"save grid has {t_grid.shape[0]} points > {grid_cap} "
                 "(interior saves live in kernel carry buffers)")
-        if not adaptive or self.tableau.b_err is None:
-            return None   # fixed-step: the per-step kernel path is used
-        if y0.re.ndim != 2:
-            return _ineligible(
-                f"state ndim {y0.re.ndim} != 2 (need a (B, d) batch)")
-        B, d = y0.re.shape
         # measured crossover: the loop kernel (tile<=128, chunked) wins below
         # ~2k trajectories where per-iteration dispatch dominates; above,
         # the per-step kernel (tile 256, XLA-pipelined across iterations) is
@@ -288,11 +292,11 @@ class FusedModulatedLinearRK:
         while loop_tile > 0 and B % loop_tile != 0:
             loop_tile //= 2
         if (2 * d) % 128 != 0 or loop_tile < 8:
-            return _ineligible(
+            return warn(
                 f"widened dim {2 * d} not a multiple of 128 lanes, or "
                 f"batch {B} gives a loop tile < 8")
         if t_grid.dtype != y0.re.dtype:
-            return _ineligible(
+            return warn(
                 f"time dtype {t_grid.dtype} != state dtype {y0.re.dtype}")
 
         builder = make_rk_step_builder(

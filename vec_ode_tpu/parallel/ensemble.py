@@ -78,10 +78,36 @@ def ensemble_solve(
         time_dtype = jnp.result_type(jnp.asarray(t0), jnp.asarray(tf), float)
     t_grid = make_grid(t0, tf, save_at, dtype=time_dtype)
     h0 = _check_h0(h0, ctl, adaptive)
+    use_batched = bool(getattr(stepper, "is_batched", False))
+    if use_batched:
+        stepper_norm = getattr(stepper, "error_norm", None)
+        norm_conflict = (
+            stepper_norm is not None and error_norm is not lc.norm_l2
+        )
+        scaled_conflict = (
+            ctl.scaled_error and stepper_norm is not None
+            and getattr(stepper, "fused_loop_solve", None) is None
+        )
+        if (norm_conflict or scaled_conflict) and getattr(
+            stepper, "auto_batched", False
+        ):
+            # AUTO-batched dense steppers quietly keep the vmapped path
+            # for calls its batched conventions cannot express (custom
+            # error_norm; scaled_error needs the error VECTOR): those
+            # calls were valid before batching existed and stay valid
+            use_batched = False
+        elif norm_conflict:
+            raise ValueError(
+                "this stepper computes its own per-trajectory error "
+                "norms; a custom error_norm cannot be applied (dense-"
+                "split exp steppers accept batched=False for the vmapped "
+                "path)"
+            )
+
     if params is None:
         step_fn = stepper.make_step_fn(rhs_or_op)
     else:
-        if getattr(stepper, "is_batched", False):
+        if use_batched:
             if not getattr(stepper, "supports_batched_params", False):
                 raise ValueError(
                     "params is unsupported for natively-batched steppers "
@@ -98,15 +124,9 @@ def ensemble_solve(
 
     h_batched = hasattr(h0, "ndim") and jnp.ndim(h0) == 1
 
-    if getattr(stepper, "is_batched", False):
+    if use_batched:
         # natively-batched stepper (e.g. the Pallas fused RK step): one
         # driver loop over the whole (local) batch, no vmap
-        stepper_norm = getattr(stepper, "error_norm", None)
-        if stepper_norm is not None and error_norm is not lc.norm_l2:
-            raise ValueError(
-                "this stepper computes its own per-trajectory error norms; "
-                "a custom error_norm cannot be applied"
-            )
         enorm = stepper_norm or lc.norm_l2_batched
 
         fused_solve = getattr(stepper, "fused_loop_solve", None)
@@ -133,7 +153,9 @@ def ensemble_solve(
                 raise ValueError(
                     "scaled_error with a norm-returning stepper requires "
                     "the fused loop kernel, which did not engage for this "
-                    "configuration (see fused_loop_solve eligibility)"
+                    "configuration (see fused_loop_solve eligibility; "
+                    "dense-split exp steppers accept batched=False for "
+                    "the vmapped path)"
                 )
             sol = integrate(
                 fn, y0, t_grid, h,
@@ -365,13 +387,18 @@ def ensemble_solve_compact(
     if stepper is None:
         stepper = RungeKutta()
     has_carry = getattr(stepper, "has_carry", False)
-    if getattr(stepper, "is_batched", False):
+    use_batched = bool(getattr(stepper, "is_batched", False))
+    if use_batched:
         stepper_norm = getattr(stepper, "error_norm", None)
         if stepper_norm is not None and error_norm is not lc.norm_l2:
-            raise ValueError(
-                "this stepper computes its own per-trajectory error norms; "
-                "a custom error_norm cannot be applied"
-            )
+            if getattr(stepper, "auto_batched", False):
+                use_batched = False   # vmapped path (see ensemble_solve)
+            else:
+                raise ValueError(
+                    "this stepper computes its own per-trajectory error "
+                    "norms; a custom error_norm cannot be applied"
+                )
+    if use_batched:
         step_fn = stepper.make_step_fn(rhs_or_op)
         enorm = stepper_norm or lc.norm_l2_batched
     else:
