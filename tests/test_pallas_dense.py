@@ -231,3 +231,60 @@ def test_scalar_solve_linear_unchanged():
     assert int(sol.status) == vo.DONE
     nrm = float(jnp.sqrt(jnp.sum(sol.y_final.re**2 + sol.y_final.im**2)))
     assert abs(nrm - 1.0) < 1e-6
+
+
+def _split_pair_ops(d=8, seed=11):
+    """ops_fn(t) -> (La, Lb) Cplx pair for a driven split system."""
+    rng = np.random.default_rng(seed)
+
+    def herm():
+        M = rng.standard_normal((d, d)) + 1j * rng.standard_normal((d, d))
+        return (M + M.conj().T) / (2 * np.sqrt(d))
+
+    HA, HB = herm(), herm()
+    Ar = jnp.asarray(HA.imag, jnp.float64)
+    Ai = jnp.asarray(-HA.real, jnp.float64)
+    Br = jnp.asarray(HB.imag, jnp.float64)
+    Bi = jnp.asarray(-HB.real, jnp.float64)
+
+    def ops_fn(t):
+        c = jnp.cos(1.3 * jnp.asarray(t))
+        return (cp.Cplx(Ar * c, Ai * c), cp.Cplx(Br, Bi))
+
+    return ops_fn
+
+
+@pytest.mark.parametrize("make", [
+    lambda **kw: vexp.SplitMidpoint(
+        vexp.DenseCplxSplit(), vexp.DenseCplxSplit(), **kw),
+    lambda **kw: vexp.SplitMidpoint(
+        vexp.DenseCplxSplit(), vexp.DenseCplxSplit(),
+        strict_reference_compat=True, **kw),
+    lambda **kw: vexp.SplitCFM(
+        vexp.DenseCplxSplit(), vexp.DenseCplxSplit(),
+        rho=((0.5, 0.5),), sigma=((0.5, 0.0), (0.0, 0.5)),
+        c=(0.2113248654051871, 0.7886751345948129), **kw),
+])
+def test_split_solvers_batched_matches_scalar_vmap(make):
+    """r3: SplitMidpoint / SplitCFM over dense pairs execute natively
+    batched (stacked expm of the whole factor palindrome) — must match
+    the vmapped scalar path exactly."""
+    d = 8
+    ops_fn = _split_pair_ops(d=d)
+    rng = np.random.default_rng(1)
+    psi = rng.standard_normal((8, d)) + 1j * rng.standard_normal((8, d))
+    psi /= np.linalg.norm(psi, axis=-1, keepdims=True)
+    y0 = cp.from_complex(psi, jnp.float64)
+
+    def solve(stepper):
+        return ensemble_solve(
+            ops_fn, y0, 0.0, 0.4, stepper=stepper, adaptive=False,
+            h0=0.02, time_dtype=jnp.float64,
+        )
+
+    a = solve(make())
+    assert a.path in ("xla-driver", "xla-driver+pallas-step")
+    b = solve(make(batched=False))
+    assert bool(jnp.all(a.success))
+    for pa, pb in [(a.y_final.re, b.y_final.re), (a.y_final.im, b.y_final.im)]:
+        assert float(jnp.max(jnp.abs(pa - pb))) < 1e-12
