@@ -478,6 +478,98 @@ def make_adjoint_basis_solver(
     return solve
 
 
+def _make_rows_all_multi(multi_cols, rps, n_steps):
+    """rows_all(theta, t0, tf) -> (n_steps * rps, Kp) for schemes whose
+    per-step rows are not parameterized by (t, dt) alone (CFM: rows share
+    the step's quadrature samples but differ by their alpha row).
+    ``multi_cols(theta, t, dt) -> (rps, Kp)``."""
+
+    def rows(theta, t0, tf):
+        tdt = jnp.asarray(t0).dtype
+        dt = (jnp.asarray(tf) - t0) / n_steps
+        ns = jnp.arange(n_steps, dtype=tdt)
+        out = jax.vmap(lambda t_: multi_cols(theta, t_, dt))(t0 + ns * dt)
+        return out.reshape(n_steps * rps, out.shape[-1])
+
+    return rows
+
+
+def make_adjoint_cfm_solver(
+    basis,
+    coeff_fn: Callable,
+    *,
+    n_steps: int,
+    alpha=None,
+    c=None,
+    m: Optional[int] = None,
+    max_squarings: int = 16,
+    use_pallas: bool = True,
+):
+    """Fixed-step COMMUTATOR-FREE Magnus adjoint: the reversible O(1)-memory
+    machinery of :func:`make_adjoint_solver` over CFM rows
+    c_i = dt * sum_j alpha[i, j] g(t + c_j dt) on the UN-extended basis (no
+    commutators — cfm.rs:20-40 semantics). Defaults to the reference
+    ExpCFMSolver order-4 configuration (CFM_R4_J2_GL over GL2 nodes,
+    cfm.rs:131-155); pass ``alpha``/``c`` for other CFM schemes.
+
+    ``solve(theta, y0w, t0, tf) -> y_final_w`` with the same cotangent
+    guarantees (exact discrete theta/t0/tf gradients via one vjp of the
+    row table)."""
+    from . import tableaus as tb
+
+    if alpha is None:
+        alpha = tb.CFM_R4_J2_GL
+    if c is None:
+        c = tb.C_GAUSS_LEGENDRE_4
+    alpha = np.asarray(alpha, np.float64)
+    c_nodes = tuple(float(cj) for cj in np.asarray(c))
+    if alpha.ndim != 2 or alpha.shape[1] != len(c_nodes):
+        raise ValueError(
+            f"alpha must be (s, {len(c_nodes)}); got {alpha.shape}")
+    # order=2 core: W = the un-extended basis, no commutator pairs — the
+    # CFM rows never touch commutator directions
+    core = _adjoint_core(
+        basis, coeff_fn, order=2, m=m, max_squarings=max_squarings,
+        use_pallas=use_pallas,
+    )
+    s_rows = alpha.shape[0]
+
+    def multi_cols(theta, t, dt):
+        gs = [coeff_fn(t + cj * dt, theta) for cj in c_nodes]
+        rows = []
+        for i in range(s_rows):
+            acc = None
+            for j, g in enumerate(gs):
+                if alpha[i, j] == 0.0:
+                    continue
+                term = float(alpha[i, j]) * g
+                acc = term if acc is None else acc + term
+            rows.append(dt * (acc if acc is not None
+                              else jnp.zeros_like(gs[0])))
+        return jnp.stack(rows)
+
+    rows_all = _make_rows_all_multi(multi_cols, s_rows, n_steps)
+
+    @jax.custom_vjp
+    def solve(theta, y0w, t0, tf):
+        return _rows_forward(core, rows_all(theta, t0, tf), y0w)
+
+    def fwd(theta, y0w, t0, tf):
+        yf = solve(theta, y0w, t0, tf)
+        return yf, (theta, yf, t0, tf)
+
+    def bwd(res, ybar):
+        theta, yf, t0, tf = res
+        c_all, c_all_vjp = jax.vjp(rows_all, theta, t0, tf)
+        a0, cb_all = _rows_backward(core, c_all, yf, ybar)
+        th_bar, t0_bar, tf_bar = c_all_vjp(cb_all.astype(c_all.dtype))
+        return (th_bar, a0, t0_bar.astype(jnp.asarray(t0).dtype),
+                tf_bar.astype(jnp.asarray(tf).dtype))
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
 def _make_rows_all(cols, order, n_steps):
     """rows_all(theta, t0, tf) -> (R, Kp): every exponential row of the
     whole fixed-step solve, vectorized. One XLA computation whose vjp
