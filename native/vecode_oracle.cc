@@ -337,6 +337,111 @@ int vecode_solve_linear_magnus4(
   return (tgt > 1) ? 1 : 2;
 }
 
+// Adaptive commutator-free Magnus-4 on the driven linear system
+// y' = (A0 + cos(w t) A1) y — semantics of the reference's cfm_general
+// with the ExpCFMSolver configuration (exp/cfm.rs:43-100, 131-155):
+//   t1,2 = t + c_j dt, c = GL2 nodes on [0, 1]        (dat/mod.rs:4)
+//   rho_i = dt (alpha[i][1] A(t1) + alpha[i][2] A(t2)),
+//     alpha = CFM_R4_J2_GL = [[1/4 + r3/6, 1/4 - r3/6],
+//                             [1/4 - r3/6, 1/4 + r3/6]] (dat/mod.rs:70-74)
+//   x_hi = e^{rho_1} e^{rho_0} x
+//   err  = e^{dt (A(t1)+A(t2))/2} x - x_hi   (CFM_R2_J1_GL error pass,
+//     cfm.rs:83-97; the reference wires this solver's norm correctly)
+int vecode_solve_linear_cfm4(
+    int dim, const double* A0, const double* A1, double w,
+    const double* y0, double t0, double tf,
+    double h0, double rtol, double min_dt, double max_dt, double alpha_c,
+    double order, int adaptive, int strict_end, int max_steps,
+    // outputs
+    double* y_final, double* t_final, double* h_final, int* n_accept,
+    int* n_reject, int* n_events, int8_t* events) {
+  const size_t dd = static_cast<size_t>(dim) * dim;
+  const double r3_6 = std::sqrt(3.0) / 6.0;
+  const double al[2][2] = {{0.25 + r3_6, 0.25 - r3_6},
+                           {0.25 - r3_6, 0.25 + r3_6}};
+  const double c1 = 0.5 - 0.5 / std::sqrt(3.0);
+  const double c2 = 0.5 + 0.5 / std::sqrt(3.0);
+  std::vector<double> x(y0, y0 + dim), x_hi(dim), x_lo(dim), err(dim);
+  std::vector<double> L1(dd), L2(dd), R(dd);
+
+  auto assemble = [&](double t, double* out) {
+    const double c = std::cos(w * t);
+    for (size_t i = 0; i < dd; ++i) out[i] = A0[i] + c * A1[i];
+  };
+
+  double t = t0, h = h0, prev_h = h0;
+  int tgt = 0;
+  const double t_list[2] = {t0, tf};
+  int acc_n = 0, rej_n = 0, ev_n = 0;
+  const double pw = 1.0 / order;
+
+  for (int it = 0; it < max_steps; ++it) {
+    if (tgt > 1) break;
+    const double chk = t_list[tgt];
+    const double rem = chk - t;
+    bool at_grid;
+    if (strict_end) {
+      at_grid = relative_eq_zero(rem);
+    } else {
+      const double end_eps =
+          4.0 * 2.220446049250313e-16 * std::max(1.0, std::fabs(chk));
+      at_grid = std::fabs(rem) <= end_eps;
+    }
+    if (at_grid) {
+      tgt += 1;
+      h = prev_h;
+      if (events) events[ev_n] = (tgt > 1) ? 4 : 2;
+      ev_n++;
+      if (tgt > 1) break;
+      continue;
+    }
+    const double dt = std::min(h, rem);
+
+    assemble(t + c1 * dt, L1.data());
+    assemble(t + c2 * dt, L2.data());
+    x_hi = x;
+    for (int i = 0; i < 2; ++i) {
+      for (size_t k = 0; k < dd; ++k)
+        R[k] = dt * (al[i][0] * L1[k] + al[i][1] * L2[k]);
+      expmv(dim, R.data(), x_hi.data());
+    }
+
+    bool do_accept = true;
+    if (adaptive) {
+      for (size_t k = 0; k < dd; ++k) R[k] = dt * 0.5 * (L1[k] + L2[k]);
+      x_lo = x;
+      expmv(dim, R.data(), x_lo.data());
+      for (int k = 0; k < dim; ++k) err[k] = x_lo[k] - x_hi[k];
+      const double dx_norm = norm2(dim, err.data());
+      const double f = rtol / dx_norm;
+      double fp = alpha_c * std::pow(f, pw);
+      fp = std::min(std::max(fp, 0.3), 2.0);
+      const double new_h = std::min(std::max(fp * h, min_dt), max_dt);
+      prev_h = h;
+      h = new_h;
+      do_accept = f > 1.0;
+    }
+    if (do_accept) {
+      x = x_hi;
+      t += dt;
+      ++acc_n;
+      if (events) events[ev_n] = 1;
+    } else {
+      ++rej_n;
+      if (events) events[ev_n] = 3;
+    }
+    ev_n++;
+  }
+
+  std::memcpy(y_final, x.data(), sizeof(double) * dim);
+  *t_final = t;
+  *h_final = h;
+  *n_accept = acc_n;
+  *n_reject = rej_n;
+  *n_events = ev_n;
+  return (tgt > 1) ? 1 : 2;
+}
+
 // Standalone controller decision for table-driven parity tests
 // (ode.rs:311-334). Returns 1=accept, 0=reject; writes new_h.
 int vecode_controller_update(double h, double dx_norm, double rtol,

@@ -259,3 +259,53 @@ def test_magnus4_trajectory_and_event_parity(lib):
     np.testing.assert_allclose(np.asarray(state.x), want["y_final"],
                                rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(float(state.t), want["t_final"], rtol=1e-15)
+
+
+def test_cfm4_trajectory_and_event_parity(lib):
+    """Cross-language parity for the COMMUTATOR-FREE solver family (r3):
+    adaptive CFM-4 (reference ExpCFMSolver configuration, cfm.rs:131-155)
+    on y' = (A0 + cos(w t) A1) y — the C++ oracle implements cfm_general's
+    two-exponential chain + the CFM_R2_J1_GL error pass with its own
+    scaling+Taylor exponential action; the JAX side must match the
+    per-iteration event sequence, counters, and trajectory in f64."""
+    from vec_ode_tpu import exp as vexp
+
+    rng = np.random.default_rng(11)
+    d, w = 5, 1.7
+    M0 = rng.standard_normal((d, d)) * 0.6
+    A0 = M0 - M0.T
+    M1 = rng.standard_normal((d, d)) * 0.4
+    A1 = M1 - M1.T
+    y0 = rng.standard_normal(d)
+    rtol, h0, tf = 1e-7, 1e-2, 1.5
+
+    want = oracle.solve_linear_cfm4(
+        A0, A1, w, y0, 0.0, tf, h0, rtol=rtol, min_dt=1e-6, max_dt=0.5,
+    )
+    assert want["status"] == 1
+
+    def op_fn(t):
+        return jnp.asarray(A0) + jnp.cos(w * t) * jnp.asarray(A1)
+
+    split = vexp.DenseSplit()
+    step_raw = vexp.CFM4(split).make_step_fn(op_fn)
+    ctl = vo.StepControl(rtol=rtol, min_dt=1e-6, max_dt=0.5)
+    t_grid = vo.make_grid(0.0, tf, dtype=jnp.float64)
+    state = vo.init_state(jnp.asarray(y0, jnp.float64), t_grid, h0)
+    step = jax.jit(functools.partial(
+        vo.step_once, step_fn=step_raw, adaptive=True, ctl=ctl))
+    events = []
+    for _ in range(100000):
+        state = step(state)
+        events.append(int(state.last_event))
+        if int(state.status) != vo.RUNNING:
+            break
+
+    assert int(state.status) == vo.DONE
+    np.testing.assert_array_equal(np.asarray(events, np.int8),
+                                  want["events"])
+    assert int(state.n_accept) == want["n_accept"]
+    assert int(state.n_reject) == want["n_reject"]
+    np.testing.assert_allclose(np.asarray(state.x), want["y_final"],
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(float(state.t), want["t_final"], rtol=1e-15)

@@ -71,6 +71,10 @@ def load() -> ctypes.CDLL:
         ctypes.c_int,                               # max_steps
         dp, dp, dp, ip, ip, ip, i8p,                # outputs
     ]
+    lib.vecode_solve_linear_cfm4.restype = ctypes.c_int
+    lib.vecode_solve_linear_cfm4.argtypes = (
+        lib.vecode_solve_linear_magnus4.argtypes
+    )
     _lib = lib
     return lib
 
@@ -163,6 +167,7 @@ def solve_linear_magnus4(
     adaptive: bool = True,
     strict_end: bool = False,
     max_steps: int = 1_000_000,
+    _entry: str = "vecode_solve_linear_magnus4",
 ):
     """Adaptive Magnus-4 oracle on y' = (A0 + cos(w t) A1) y; same return
     dict as :func:`solve_linear_rkf45`."""
@@ -181,7 +186,7 @@ def solve_linear_magnus4(
     events = np.zeros(max_steps, dtype=np.int8)
 
     dp = ctypes.POINTER(ctypes.c_double)
-    status = lib.vecode_solve_linear_magnus4(
+    status = getattr(lib, _entry)(
         d,
         A0.ctypes.data_as(dp),
         A1.ctypes.data_as(dp),
@@ -206,3 +211,12 @@ def solve_linear_magnus4(
         "events": events[: n_events.value],
         "status": status,
     }
+
+
+def solve_linear_cfm4(A0, A1, w, y0, t0, tf, h0, **kw):
+    """Adaptive CFM-4 oracle (reference ExpCFMSolver configuration) on
+    y' = (A0 + cos(w t) A1) y; same return dict as solve_linear_rkf45."""
+    return solve_linear_magnus4(
+        A0, A1, w, y0, t0, tf, h0,
+        _entry="vecode_solve_linear_cfm4", **kw,
+    )
