@@ -27,8 +27,10 @@ def _setup(seed=0, d=4, B=3):
     theta = jnp.asarray([0.7, -0.4], jnp.float64)
 
     def coeff(t, th):
+        # K on the LAST axis: the modulated steppers call this with
+        # batched (B,) times during the adaptive forward pass
         return jnp.stack([th[0] * jnp.ones_like(t),
-                          th[1] * jnp.cos(2.0 * t)])
+                          th[1] * jnp.cos(2.0 * t)], axis=-1)
 
     psi = rng.standard_normal((B, d)) + 1j * rng.standard_normal((B, d))
     psi /= np.linalg.norm(psi, axis=-1, keepdims=True)
@@ -105,3 +107,69 @@ def test_cfm_adjoint_custom_scheme_validation():
         c=tuple(tb.C_GAUSS_LEGENDRE_4), use_pallas=False)
     yf = solver(theta, y0w, 0.0, 0.5)
     assert np.all(np.isfinite(np.asarray(yf)))
+
+
+def test_cfm_adaptive_adjoint_matches_replay_oracle():
+    """Adaptive CFM-4 adjoint (scheme='cfm4'): frozen-step-sequence
+    gradients must equal jax.grad of the replayed discrete map."""
+    import vec_ode_tpu as vo
+    from vec_ode_tpu.exp.modulated import _real_basis
+
+    basis, theta, coeff, y0w, w = _setup(seed=4)
+    ctl = vo.StepControl(rtol=1e-6, min_dt=1e-6, max_dt=0.3, max_steps=64)
+    solver = diff.make_adaptive_adjoint_solver(
+        basis, coeff, ctl=ctl, scheme="cfm4", use_pallas=False)
+
+    yf, status = solver(theta, y0w, 0.0, 0.8, 1e-2)
+    assert (np.asarray(status) == 1).all()
+
+    def loss(th):
+        y, _ = solver(th, y0w, 0.0, 0.8, 1e-2)
+        return jnp.sum(w * y)
+
+    g = jax.grad(loss)(theta)
+
+    # replay oracle: re-run the solve to harvest (t, dt) rows, then
+    # differentiate the explicit product of CFM exponentials
+    W = _real_basis(basis)
+    alpha = np.asarray(tb.CFM_R4_J2_GL)
+    cn = [float(c) for c in tb.C_GAUSS_LEGENDRE_4]
+
+    # recover the accepted sequence by running the forward again and
+    # diffing recorded times (the solver records ts internally; rebuild
+    # it here from a fresh fixed replay through the public machinery)
+    from vec_ode_tpu.driver import init_state, step_once
+    from vec_ode_tpu.exp.modulated import CFM4Modulated, ModulatedOperator
+
+    stepper = CFM4Modulated(
+        ModulatedOperator(basis, lambda t: coeff(t, theta)),
+        use_pallas=False)
+    t_grid = vo.make_grid(0.0, 0.8, dtype=jnp.float64)
+    st = init_state(
+        cp.Cplx(y0w[..., :4], y0w[..., 4:]), t_grid,
+        jnp.asarray(1e-2, jnp.float64), batch_shape=(y0w.shape[0],))
+    ts = [st.t]
+    for _ in range(ctl.max_steps):
+        st = step_once(st, stepper.make_step_fn(), adaptive=True, ctl=ctl,
+                       error_norm=stepper.error_norm, batched=True)
+        ts.append(st.t)
+    ts = jnp.stack(ts)          # (n_it+1, B)
+
+    def loss_replay(th):
+        x = y0w
+        for r in range(ts.shape[0] - 1):
+            t_r, dt_r = ts[r], ts[r + 1] - ts[r]
+            gs = [jax.vmap(lambda t, d: coeff(t + cj * d, th))(t_r, dt_r)
+                  for cj in cn]
+            for i in range(alpha.shape[0]):
+                row = dt_r[:, None] * sum(
+                    float(alpha[i, j]) * gs[j].T for j in range(len(cn))
+                ).T
+                M = jnp.einsum("bk,kij->bij", row, W)
+                U = expm(M, method="pade13")
+                x = jnp.einsum("bij,bj->bi", U, x)
+        return jnp.sum(w * x)
+
+    g_ref = jax.grad(loss_replay)(theta)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-9)

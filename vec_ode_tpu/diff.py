@@ -780,6 +780,7 @@ def make_adaptive_adjoint_solver(
     *,
     ctl: StepControl,
     order: int = 4,
+    scheme: str = "magnus",
     m: Optional[int] = None,
     max_squarings: int = 16,
     use_pallas: bool = True,
@@ -819,16 +820,45 @@ def make_adaptive_adjoint_solver(
     )
     from .ops.cplx import Cplx
 
-    if order not in (4, 6):
-        raise ValueError(f"adaptive adjoint order must be 4 or 6, got {order}")
-    core = _adjoint_core(
-        basis, coeff_fn, order=order, m=m, max_squarings=max_squarings,
-        use_pallas=use_pallas,
-    )
-    stepper_cls = MagnusModulated6 if order == 6 else MagnusModulated4
-    # order 6 replays the three Yoshida sub-rows per recorded step
-    subs = (tuple(zip(_YOSHIDA_OFF, _YOSHIDA_LEN)) if order == 6
-            else ((0.0, 1.0),))
+    if scheme not in ("magnus", "cfm4"):
+        raise ValueError(f"scheme must be 'magnus' or 'cfm4', got {scheme}")
+    if scheme == "cfm4":
+        # CFM rows live on the UN-extended basis (order=2 core: no
+        # commutator pairs); the forward stepper is CFM4Modulated
+        core = _adjoint_core(
+            basis, coeff_fn, order=2, m=m, max_squarings=max_squarings,
+            use_pallas=use_pallas,
+        )
+        from .tableaus import C_GAUSS_LEGENDRE_4, CFM_R4_J2_GL
+
+        _alpha = np.asarray(CFM_R4_J2_GL)
+        _cn = [float(cj) for cj in np.asarray(C_GAUSS_LEGENDRE_4)]
+        n_sub_rows = _alpha.shape[0]
+
+        def step_rows(th, t_, d_):
+            gs = [coeff_fn(t_ + cj * d_, th) for cj in _cn]
+            return jnp.stack([
+                d_ * sum(float(_alpha[i, j]) * gs[j]
+                         for j in range(len(_cn)))
+                for i in range(n_sub_rows)
+            ])
+    else:
+        if order not in (4, 6):
+            raise ValueError(
+                f"adaptive adjoint order must be 4 or 6, got {order}")
+        core = _adjoint_core(
+            basis, coeff_fn, order=order, m=m, max_squarings=max_squarings,
+            use_pallas=use_pallas,
+        )
+        # order 6 replays the three Yoshida sub-rows per recorded step
+        subs = (tuple(zip(_YOSHIDA_OFF, _YOSHIDA_LEN)) if order == 6
+                else ((0.0, 1.0),))
+        n_sub_rows = len(subs)
+
+        def step_rows(th, t_, d_):
+            return jnp.stack([
+                core.cols(th, t_ + o * d_, ln * d_) for o, ln in subs
+            ])
     cols, W, K0 = core.cols, core.W, core.K0
     is_cplx = isinstance(basis, Cplx)
 
@@ -853,11 +883,21 @@ def make_adaptive_adjoint_solver(
                 f"{y0w.ndim}. For a single trajectory add a length-1 "
                 "batch axis (y0[None])."
             )
-        stepper = stepper_cls(
-            ModulatedOperator(basis, lambda t: coeff_fn(t, theta)),
-            adaptive=True, m=m, max_squarings=max_squarings,
-            use_pallas=use_pallas,
-        )
+        op_mod = ModulatedOperator(basis, lambda t: coeff_fn(t, theta))
+        if scheme == "cfm4":
+            from .exp.modulated import CFM4Modulated
+
+            stepper = CFM4Modulated(
+                op_mod, adaptive=True, m=m, max_squarings=max_squarings,
+                use_pallas=use_pallas,
+            )
+        else:
+            stepper_cls = (MagnusModulated6 if order == 6
+                           else MagnusModulated4)
+            stepper = stepper_cls(
+                op_mod, adaptive=True, m=m, max_squarings=max_squarings,
+                use_pallas=use_pallas,
+            )
         step_fn = stepper.make_step_fn()
         x0 = _unwiden(y0w, is_cplx)
         B = y0w.shape[0]
@@ -895,17 +935,16 @@ def make_adaptive_adjoint_solver(
             dt_r = ts_all[r + 1] - ts_all[r]     # 0 on non-advancing rows
 
             def rows_of(th):
-                # (n_sub, B, Kp): order-4 rows over each sub-interval;
-                # dt_r = 0 rows stay exactly zero for every sub-row
-                return jnp.stack([
-                    jax.vmap(lambda t, d: cols(th, t, d))(
-                        t_r + o * dt_r, ln * dt_r)
-                    for o, ln in subs
-                ])
+                # (n_rows, B, Kp): the scheme's per-step rows; dt_r = 0
+                # rows stay exactly zero for every sub-row
+                return jnp.moveaxis(
+                    jax.vmap(lambda t, d: step_rows(th, t, d))(t_r, dt_r),
+                    1, 0,
+                )
 
             rows, r_vjp = jax.vjp(rows_of, theta)
             cbs = []
-            for j in range(len(subs) - 1, -1, -1):
+            for j in range(n_sub_rows - 1, -1, -1):
                 x_next, a_next, cb = _bwd_row(core, rows[j], x_next,
                                               a_next, reduce=False)
                 cbs.append(cb)
@@ -956,14 +995,16 @@ def adjoint_solve_adaptive(
     *,
     ctl: StepControl,
     order: int = 4,
+    scheme: str = "magnus",
     h0=None,
     m: Optional[int] = None,
     max_squarings: int = 16,
     use_pallas: bool = True,
     return_status: bool = False,
 ):
-    """Terminal state of the ADAPTIVE Magnus solve (order 4 or 6 — the
-    Yoshida-composed stepper) of dx/dt = A(t;theta) x,
+    """Terminal state of the ADAPTIVE solve (Magnus order 4 or 6, or
+    ``scheme="cfm4"`` for the commutator-free stepper) of
+    dx/dt = A(t;theta) x,
     differentiable w.r.t. ``theta`` and ``y0`` with O(max_steps) scalar
     memory (per-iteration times only — no stored trajectory). See
     :func:`make_adaptive_adjoint_solver`.
@@ -979,7 +1020,7 @@ def adjoint_solve_adaptive(
     from .ops.cplx import Cplx
 
     solver = make_adaptive_adjoint_solver(
-        basis, coeff_fn, ctl=ctl, order=order, m=m,
+        basis, coeff_fn, ctl=ctl, order=order, scheme=scheme, m=m,
         max_squarings=max_squarings, use_pallas=use_pallas,
     )
     if h0 is None:
