@@ -244,14 +244,20 @@ def kernel_parity_suite(model):
         raise TimeoutError("parity family timed out")
 
     out = {}
+    budget_s = 600.0   # total parity budget: the headline must still run
+    t_start = time.perf_counter()
     old = signal.signal(signal.SIGALRM, _alarm)
     try:
         for name, fn in fams.items():
-            signal.alarm(420)
+            left = budget_s - (time.perf_counter() - t_start)
+            if left < 30.0:
+                out[name] = {"skipped": "parity budget exhausted"}
+                continue
+            signal.alarm(int(min(300.0, left)))
             try:
                 out[name] = fn(model)
             except TimeoutError:
-                out[name] = {"ok": False, "error": "timeout (420s)"}
+                out[name] = {"ok": False, "error": "timeout"}
             except Exception as e:  # noqa: BLE001
                 out[name] = {"ok": False, "error": str(e)[:200]}
             finally:
