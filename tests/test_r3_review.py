@@ -99,3 +99,31 @@ def test_cfm_zero_row_batched_matches_scalar():
     assert bool(jnp.all(a.success))
     np.testing.assert_allclose(np.asarray(a.y_final.re),
                                np.asarray(b.y_final.re), atol=1e-11)
+
+
+def test_compact_with_batched_dense_stepper():
+    """ensemble_solve_compact drives the natively-batched generic stepper
+    (norm-returning) and matches ensemble_solve lane for lane."""
+    from vec_ode_tpu.parallel import ensemble_solve_compact
+
+    model = DrivenDense.make(d=8, seed=0)
+    y0 = _y0(B=12, d=8, seed=5)
+    ctl = vo.StepControl(rtol=1e-6, max_dt=0.25, max_steps=100000)
+    op = lambda t: model.op_pair(t, jnp.float64)
+    st = vexp.Magnus4(vexp.DenseCplxSplit())
+    assert st.is_batched
+
+    sol_c, stats = ensemble_solve_compact(
+        op, y0, 0.0, 0.4, stepper=st, adaptive=True, ctl=ctl, h0=1e-2,
+        time_dtype=jnp.float64, chunk_iters=8, min_batch=4,
+        bucket_multiple=4,
+    )
+    sol_p = ensemble_solve(
+        op, y0, 0.0, 0.4, stepper=st, adaptive=True, ctl=ctl, h0=1e-2,
+        time_dtype=jnp.float64,
+    )
+    assert stats["efficiency"] > 0
+    np.testing.assert_array_equal(np.asarray(sol_c.n_accept),
+                                  np.asarray(sol_p.n_accept))
+    np.testing.assert_allclose(np.asarray(sol_c.y_final.re),
+                               np.asarray(sol_p.y_final.re), atol=1e-12)
