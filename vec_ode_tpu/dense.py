@@ -478,7 +478,17 @@ def solve_linear_dense(
     if h0 is None:
         h0 = ctl.init_h()
 
-    if hasattr(stepper, "split") and stepper.split is not None:
+    # split-PAIR solvers first: they also expose a `.split` property
+    # (= sp_a, the batched-execution convention), but their op_fn yields an
+    # (La, Lb) tuple that must go through the pair slope
+    if hasattr(stepper, "sp_a"):
+        from .exp.splits import _Pair
+
+        pair = _Pair(stepper.sp_a, stepper.sp_b)
+
+        def slope(t, x):
+            return pair.apply_l(op_fn(t), x)
+    elif hasattr(stepper, "split") and stepper.split is not None:
         split = stepper.split
 
         def slope(t, x):
@@ -495,13 +505,6 @@ def solve_linear_dense(
             from .utils.prec import HIGHEST
 
             return jnp.einsum("...ij,...j->...i", A, x, precision=HIGHEST)
-    elif hasattr(stepper, "sp_a"):
-        from .exp.splits import _Pair
-
-        pair = _Pair(stepper.sp_a, stepper.sp_b)
-
-        def slope(t, x):
-            return pair.apply_l(op_fn(t), x)
     else:
         raise ValueError(
             "stepper must carry its split(s) for dense output slopes"
