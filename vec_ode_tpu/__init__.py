@@ -8,12 +8,14 @@ states), re-designed TPU-first: pytree vector spaces, branchless
 """
 
 from . import config, lc, tableaus
-from . import dense, diff, exp, models, parallel, quad
+from . import dense, diff, events, exp, models, parallel, quad
 from .api import solve_ivp, solve_linear
 from .dense import solve_ivp_dense, solve_linear_dense
 from .controller import StepControl
+from .events import Event, EventConfig
 from .driver import (
     DONE,
+    DONE_EVENT,
     ERR_BAD_GRID,
     ERR_MAX_STEPS,
     ERR_STALLED,
@@ -83,8 +85,12 @@ __all__ = [
     "MIDPOINT_RK2",
     "HEUN_RK2",
     "TABLEAUS",
+    "Event",
+    "EventConfig",
+    "events",
     "RUNNING",
     "DONE",
+    "DONE_EVENT",
     "ERR_BAD_GRID",
     "ERR_MAX_STEPS",
     "ERR_STALLED",

@@ -55,6 +55,7 @@ def solve_ivp(
     error_norm: Callable = lc.norm_l2,
     time_dtype=None,
     method: str = "while",
+    events=None,
 ) -> Solution:
     """Integrate dx/dt = f(t, y) from t0 to tf.
 
@@ -63,16 +64,27 @@ def solve_ivp(
     ``save_at`` holds interior output times; the driver lands on them exactly
     (the reference's t_list/Chkpt mechanism, ode.rs:165-176).
 
+    ``events``: an :class:`~vec_ode_tpu.events.Event` (or bare callable
+    ``g(t, y) -> scalar``), a sequence of them, or an ``EventConfig`` — the
+    driver locates the first sign change of each g (see events.py) and
+    reports it in ``Solution.event_t``/``event_found``/``event_y``;
+    ``Event(terminal=True)`` ends the solve there (status ``DONE_EVENT``).
+
     Backward integration (tf < t0, unsupported by the reference) works via
     time reversal: integrate s in [0, t0-tf] with g(s, y) = -f(t0-s, y); the
     reported ts/t_final are mapped back to user time.
     """
+    from .events import as_event_config
+
     if stepper is None:
         stepper = RungeKutta()
     if time_dtype is None:
         time_dtype = jnp.result_type(jnp.asarray(t0), jnp.asarray(tf), float)
+    event_cfg = as_event_config(events)
     backward = _is_backward(t0, tf)
     if backward:
+        if event_cfg is not None:
+            event_cfg = _reverse_events(event_cfg, float(t0))
         f, t0, tf, save_at, t0_orig = _reverse_setup(
             f, t0, tf, save_at,
             lambda fn, t0o: (lambda s, y: lc.scale(fn(t0o - s, y), -1.0)),
@@ -95,6 +107,7 @@ def solve_ivp(
         method=method,
         pack_carry=getattr(stepper, "prefers_packed_carry", False),
         init_carry_fn=init_carry_fn,
+        event_cfg=event_cfg,
     )
     sol = _attach_nfev(sol, stepper)
     if backward:
@@ -115,17 +128,44 @@ def _reverse_setup(fn, t0, tf, save_at, negate):
 
 def _reverse_result(sol: Solution, t0_orig) -> Solution:
     """Map a time-reversed Solution back to user time (ts/ys flipped,
-    t_final remapped)."""
+    t_final and event times remapped)."""
     import dataclasses as dc
 
     import jax
 
+    ev_kw = {}
+    if sol.event_t is not None:
+        # never-found events hold +inf; map to -inf in user time so the
+        # "not found" sentinel stays on the unreachable side
+        ev_kw["event_t"] = jnp.where(
+            sol.event_found, t0_orig - sol.event_t, -jnp.inf
+        )
     return dc.replace(
         sol,
         ts=(t0_orig - sol.ts)[::-1],
         ys=jax.tree_util.tree_map(lambda a: jnp.flip(a, axis=0), sol.ys),
         t_final=t0_orig - sol.t_final,
+        **ev_kw,
     )
+
+
+def _reverse_events(cfg, t0_orig: float):
+    """Time-mirror event functions for the backward-integration transform:
+    g'(s, y) = g(t0 - s, y)."""
+    import dataclasses as dc
+
+    from .events import Event
+
+    evs = tuple(
+        dc.replace(
+            e,
+            fn=(lambda s, y, _f=e.fn: _f(t0_orig - s, y)),
+            # a rising crossing in user time is falling in reversed time
+            direction=-e.direction,
+        )
+        for e in cfg.events
+    )
+    return dc.replace(cfg, events=evs)
 
 
 def _check_h0(h0, ctl: StepControl, adaptive: bool):
@@ -165,6 +205,7 @@ def solve_linear(
     error_norm: Callable = lc.norm_l2,
     time_dtype=None,
     method: str = "while",
+    events=None,
 ) -> Solution:
     """Integrate the linear system dx/dt = A(t) x with an exponential stepper.
 
@@ -177,10 +218,15 @@ def solve_linear(
     Backward integration (tf < t0) works via time reversal of the operator:
     B(s) = -A(t0 - s).
     """
+    from .events import as_event_config
+
     if time_dtype is None:
         time_dtype = jnp.result_type(jnp.asarray(t0), jnp.asarray(tf), float)
+    event_cfg = as_event_config(events)
     backward = _is_backward(t0, tf)
     if backward:
+        if event_cfg is not None:
+            event_cfg = _reverse_events(event_cfg, float(t0))
         op_fn, t0, tf, save_at, t0_orig = _reverse_setup(
             op_fn, t0, tf, save_at,
             lambda fn, t0o: (lambda s: lc.scale(fn(t0o - s), -1.0)),
@@ -198,6 +244,7 @@ def solve_linear(
         error_norm=error_norm,
         method=method,
         pack_carry=getattr(stepper, "prefers_packed_carry", False),
+        event_cfg=event_cfg,
     )
     sol = _attach_nfev(sol, stepper)
     if backward:

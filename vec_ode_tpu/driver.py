@@ -47,6 +47,8 @@ ERR_STALLED = 3   # reject streak at/below min_dt (the reference livelocks
                   # it when StepControl.max_reject_streak > 0)
 ERR_BAD_GRID = 4  # negative remaining time: backward integration with traced
                   # endpoints or a misordered grid (would otherwise livelock)
+DONE_EVENT = 5    # a terminal Event was located (events.py); t_final is the
+                  # event time (within EventConfig.t_tol)
 
 # Event codes: which ODEStep branch the last iteration took (ode.rs:42-48).
 EVT_NONE = 0
@@ -75,6 +77,7 @@ class IntState(NamedTuple):
     ts_grid: jax.Array    # (n_grid,) save grid, ts_grid[0]=t0, [-1]=tf
     carry: Pytree = ()    # optional stepper carry (e.g. the FSAL last-stage
                           # slope); () for carry-free steppers
+    ev: Pytree = ()       # optional events.EventState; () when no events
 
 
 def make_grid(t0, tf, save_at=None, dtype=None):
@@ -113,6 +116,7 @@ def init_state(
     h0,
     batch_shape: tuple = (),
     stepper_carry: Pytree = (),
+    event_state: Pytree = (),
 ) -> IntState:
     """Initialize the loop carry (the ODEData::new analog, ode.rs:141-150).
 
@@ -150,6 +154,7 @@ def init_state(
         ys=ys,
         ts_grid=t_grid,
         carry=stepper_carry,
+        ev=event_state,
     )
 
 
@@ -162,6 +167,7 @@ def step_once(
     error_norm: Callable = lc.norm_l2,
     batched: bool = False,
     record_ys: bool = True,
+    event_cfg=None,
 ) -> IntState:
     """One driver iteration = one ``ODESolver::step()`` /
     ``step_adaptive()`` (ode.rs:249-253, 337-341), fully branchless.
@@ -264,6 +270,24 @@ def step_once(
         measure = state.err_norm
         new_h, accept = state.h, jnp.asarray(True)
 
+    # --- event detection (events.py: crossings handled as step-size
+    # control — search lanes veto the advance and retry with the regula-
+    # falsi bracket) -----------------------------------------------------
+    has_events = (
+        event_cfg is not None
+        and len(jax.tree_util.tree_leaves(state.ev)) > 0
+    )
+    if has_events:
+        from .events import event_step
+
+        with jax.named_scope("vec_ode.events"):
+            accept = jnp.broadcast_to(jnp.asarray(accept), stepping.shape)
+            eo = event_step(
+                event_cfg, state.ev, state.t, dt, state.x, x_next,
+                stepping, accept,
+            )
+        accept = eo.accept
+
     do_advance = stepping & accept
     do_reject = stepping & ~accept
 
@@ -283,6 +307,14 @@ def step_once(
     # checkpoint_update (ode.rs:192-195): restore pre-truncation h
     h = jnp.where(at_grid & running, prev_h, h)
     tgt_idx = jnp.where(at_grid & running, state.tgt_idx + 1, state.tgt_idx)
+    if has_events:
+        # bracket search overrides the controller's h; a completed search
+        # restores the pre-search step (same discipline as the grid-hit
+        # prev_h restore above)
+        h = jnp.where(eo.search, jnp.asarray(eo.h_override, h.dtype), h)
+        h = jnp.where(eo.restore_h, jnp.asarray(eo.h_entry, h.dtype), h)
+        prev_h = jnp.where(eo.restore_h, jnp.asarray(eo.h_entry, h.dtype),
+                           prev_h)
 
     # record (t, x) on grid-hit iterations (Chkpt/End emission points).
     # One-hot select over the (small) save grid in BOTH modes: a
@@ -309,8 +341,13 @@ def step_once(
     status = jnp.where(
         (status == RUNNING) & (n_iters >= ctl.max_steps), ERR_MAX_STEPS, status
     )
+    # event-search iterations are NOT numerical rejections: they must not
+    # trip the livelock detector or pollute the reject statistics
+    true_reject = do_reject & ~eo.search if has_events else do_reject
+    if has_events:
+        status = jnp.where(eo.terminal_hit, DONE_EVENT, status)
     streak = jnp.where(
-        do_reject, state.reject_streak + 1,
+        true_reject, state.reject_streak + 1,
         jnp.where(do_advance, 0, state.reject_streak),
     ).astype(jnp.int32)
     if ctl.max_reject_streak > 0:
@@ -341,12 +378,13 @@ def step_once(
         err_norm=jnp.where(stepping, jnp.asarray(measure, state.err_norm.dtype),
                            state.err_norm),
         n_accept=state.n_accept + do_advance.astype(jnp.int32),
-        n_reject=state.n_reject + do_reject.astype(jnp.int32),
+        n_reject=state.n_reject + true_reject.astype(jnp.int32),
         n_iters=n_iters,
         reject_streak=streak,
         ys=ys,
         ts_grid=state.ts_grid,
         carry=carry,
+        ev=eo.ev_next if has_events else state.ev,
     )
 
 
@@ -376,11 +414,19 @@ class Solution:
     n_iters: jax.Array
     h_final: jax.Array
     n_rhs_evals: Optional[jax.Array] = None  # iterations x stages (api layer)
+    # event outputs (events.py; None when the solve had no events=...):
+    # first located crossing per Event — time (inf if never found), found
+    # mask, and the event-time state (None if EventConfig.record_y=False)
+    event_t: Optional[jax.Array] = None      # (..., E)
+    event_found: Optional[jax.Array] = None  # (..., E) bool
+    event_y: Optional[Pytree] = None         # (..., E) + state shape
     path: str = "xla-driver"                 # static execution-path tag
 
     @property
     def success(self):
-        return self.status == DONE
+        # DONE_EVENT (terminal Event located) is a successful exit: the
+        # integration stopped exactly where it was asked to
+        return (self.status == DONE) | (self.status == DONE_EVENT)
 
     def __repr__(self):
         # compact: the dataclass default would print whole state arrays
@@ -405,7 +451,8 @@ jax.tree_util.register_pytree_node(
     Solution,
     lambda s: (
         (s.ts, s.ys, s.t_final, s.y_final, s.status, s.n_accept, s.n_reject,
-         s.n_iters, s.h_final, s.n_rhs_evals),
+         s.n_iters, s.h_final, s.n_rhs_evals, s.event_t, s.event_found,
+         s.event_y),
         s.path,
     ),
     lambda aux, ch: Solution(*ch, path=aux),
@@ -481,6 +528,7 @@ def integrate(
     batch_shape: tuple = (),
     pack_carry: bool = False,
     init_carry_fn: Optional[Callable] = None,
+    event_cfg=None,
 ) -> Solution:
     """Run the full integration loop over [t_grid[0], t_grid[-1]].
 
@@ -503,11 +551,19 @@ def integrate(
         ``ctl.max_steps`` — every iteration costs a stepper evaluation.
     """
     carry0 = () if init_carry_fn is None else init_carry_fn(t_grid[0], x0)
+    ev0: Pytree = ()
+    if event_cfg is not None:
+        from .events import init_event_state
+
+        ev0 = init_event_state(event_cfg, jnp.broadcast_to(
+            jnp.asarray(t_grid[0]), batch_shape), x0,
+            batch_shape=batch_shape)
     state = init_state(x0, t_grid, h0, batch_shape=batch_shape,
-                       stepper_carry=carry0)
+                       stepper_carry=carry0, event_state=ev0)
     return resume(
         state, step_fn, adaptive=adaptive, ctl=ctl, error_norm=error_norm,
         method=method, batched=bool(batch_shape), pack_carry=pack_carry,
+        event_cfg=event_cfg,
     )
 
 
@@ -521,6 +577,7 @@ def resume(
     method: str = "while",
     batched: bool = False,
     pack_carry: bool = False,
+    event_cfg=None,
 ) -> Solution:
     """Continue integration from an existing carry — the checkpoint/resume
     path (SURVEY §5): save an IntState mid-run (orbax or any pytree
@@ -543,6 +600,7 @@ def resume(
     body = partial(
         step_once, step_fn=step_fn, adaptive=adaptive, ctl=ctl,
         error_norm=error_norm, batched=batched, record_ys=not elide_ys,
+        event_cfg=event_cfg,
     )
 
     # run the loop over a PACKED carry (one buffer per dtype): the loop
@@ -621,6 +679,15 @@ def resume(
                 lambda a, b: jnp.stack([a, b], axis=bn), ys0, ys1
             )
         )
+    ev_kw = {}
+    if event_cfg is not None and len(
+        jax.tree_util.tree_leaves(final.ev)
+    ) > 0:
+        ev_kw = dict(
+            event_t=final.ev.t_ev,
+            event_found=final.ev.found,
+            event_y=final.ev.y_ev if event_cfg.record_y else None,
+        )
     return Solution(
         ts=final.ts_grid,
         ys=final.ys,
@@ -631,4 +698,5 @@ def resume(
         n_reject=final.n_reject,
         n_iters=final.n_iters,
         h_final=final.h,
+        **ev_kw,
     )

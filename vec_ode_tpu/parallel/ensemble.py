@@ -54,6 +54,7 @@ def ensemble_solve(
     axis_name: str = "traj",
     method: str = "while",
     params: Optional[Pytree] = None,
+    events=None,
 ) -> Solution:
     """Integrate a batch of independent trajectories (leading axis of every
     leaf of ``y0_batch``).
@@ -72,12 +73,15 @@ def ensemble_solve(
     ``h0`` may be a (B,)-shaped array for per-trajectory warm starts (e.g.
     the ``h_final`` of a previous chained solve).
     """
+    from ..events import as_event_config
+
     if stepper is None:
         stepper = RungeKutta()
     if time_dtype is None:
         time_dtype = jnp.result_type(jnp.asarray(t0), jnp.asarray(tf), float)
     t_grid = make_grid(t0, tf, save_at, dtype=time_dtype)
     h0 = _check_h0(h0, ctl, adaptive)
+    event_cfg = as_event_config(events)
     use_batched = bool(getattr(stepper, "is_batched", False))
     if use_batched:
         stepper_norm = getattr(stepper, "error_norm", None)
@@ -140,9 +144,11 @@ def ensemble_solve(
             )
             b = jax.tree_util.tree_leaves(y0)[0].shape[0]
             sol = None
-            if fused_solve is not None and method == "while":
+            if (fused_solve is not None and method == "while"
+                    and event_cfg is None):
                 # whole-loop on-chip path (ops/pallas_loop.py); None when
-                # the config is not kernel-eligible
+                # the config is not kernel-eligible. Event detection runs
+                # in the XLA driver (the loop kernels carry no event state)
                 sol = fused_solve(y0, t_grid, h, ctl=ctl, adaptive=adaptive)
             if sol is not None:
                 return sol
@@ -163,6 +169,7 @@ def ensemble_solve(
                 error_norm=enorm, method=method,
                 batch_shape=(b,),
                 pack_carry=getattr(stepper, "prefers_packed_carry", False),
+                event_cfg=event_cfg,
             )
             step_path = getattr(stepper, "step_path", None)
             if step_path is not None:
@@ -202,6 +209,7 @@ def ensemble_solve(
                 adaptive=adaptive, ctl=ctl,
                 error_norm=error_norm, method=method,
                 pack_carry=getattr(stepper, "prefers_packed_carry", False),
+                event_cfg=event_cfg,
                 init_carry_fn=(
                     stepper.make_init_carry(
                         rhs_or_op if params is None
