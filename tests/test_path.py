@@ -106,3 +106,28 @@ def test_no_warning_when_not_opted_in():
             save_at=np.linspace(0.01, 0.09, 40), time_dtype=jnp.float32,
         )
     assert not [w for w in rec if "vec_ode_tpu" in str(w.message)]
+
+
+def test_warn_on_fallback_events():
+    # events= pushes a fused-eligible batched solve onto the XLA driver
+    # (the loop kernels carry no event state) — must be observable
+    model = DrivenDense.make(d=64, seed=0)
+    mod = model.modulated(jnp.float32)
+    stepper = vexp.MagnusModulated4(mod, interpret=True)
+    y0 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32), _y0(B=16, d=64))
+
+    vo.config.warn_on_fallback = True
+    try:
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            ensemble_solve(
+                None, y0, 0.0, 0.1, stepper=stepper, adaptive=True,
+                ctl=vo.StepControl(rtol=1e-4, max_dt=0.05), h0=1e-2,
+                time_dtype=jnp.float32,
+                events=vo.Event(lambda t, y: jnp.sum(y.re ** 2) - 2.0),
+            )
+        msgs = [str(w.message) for w in rec]
+        assert any("events=" in m for m in msgs), msgs
+    finally:
+        vo.config.warn_on_fallback = False

@@ -150,6 +150,13 @@ def ensemble_solve(
                 # the config is not kernel-eligible. Event detection runs
                 # in the XLA driver (the loop kernels carry no event state)
                 sol = fused_solve(y0, t_grid, h, ctl=ctl, adaptive=adaptive)
+            elif fused_solve is not None and event_cfg is not None:
+                from .. import config as _config
+
+                _config._warn_fallback(
+                    "events= requested: event detection runs in the XLA "
+                    "driver; the fused loop kernels carry no event state"
+                )
             if sol is not None:
                 return sol
             if ctl.scaled_error and stepper_norm is not None:
