@@ -173,6 +173,51 @@ def bench_magnus4_driven(results):
     })
 
 
+
+def bench_magnus4_driven_fast(results):
+    """Generic adaptive Magnus-4 with fast_error: the order-2 comparison
+    propagator is replaced by the w2*xf estimate (exp/magnus.py), halving
+    the per-step batched-expm stack on the black-box dense path."""
+    B = 256
+    model = DrivenDense.make(d=64, seed=0)
+    rng = np.random.default_rng(2)
+    psi0 = rng.standard_normal((B, 64)) + 1j * rng.standard_normal((B, 64))
+    psi0 /= np.linalg.norm(psi0, axis=-1, keepdims=True)
+    y0 = cp.from_complex(psi0, jnp.float32)
+
+    stepper = vexp.Magnus4(vexp.DenseCplxSplit(), fast_error=True)
+    ctl = vo.StepControl(rtol=1e-5, min_dt=1e-5, max_dt=0.25)
+
+    @jax.jit
+    def run(y0):
+        def body(carry, _):
+            y, acc = carry
+            sol = ensemble_solve(
+                lambda t: model.op_pair(t, jnp.float32), y, 0.0, 1.0,
+                stepper=stepper, adaptive=True, ctl=ctl,
+                h0=1e-2, time_dtype=jnp.float32,
+            )
+            n = jnp.sqrt(jnp.sum(sol.y_final.re**2 + sol.y_final.im**2,
+                                 axis=-1, keepdims=True))
+            yn = cp.Cplx(sol.y_final.re / n, sol.y_final.im / n)
+            return (yn, acc + sol.n_accept), None
+
+        zeros = jnp.zeros((y0.re.shape[0],), jnp.int32)
+        (yf, acc), _ = jax.lax.scan(body, (y0, zeros), None, length=16)
+        return acc, yf
+
+    def sync():
+        na, yf = run(y0)
+        return int(np.asarray(na).sum()), float(np.asarray(yf.re[0, 0]))
+
+    wall, (steps, _) = timed(sync)
+    results.append({
+        "metric": f"adaptive Magnus-4 steps/sec, {B}x64-dim complex "
+                  "(fast_error: single-expm adaptive step)",
+        "value": round(steps / wall, 1), "unit": "steps/sec",
+    })
+
+
 def _bench_modulated(results, make_stepper, label, B=256, length=16):
     """Shared harness: adaptive exp integrator on the Bx64-dim driven
     Hamiltonian via the modulated shared-basis fast path (exp/modulated.py).
@@ -439,6 +484,7 @@ ALL = {
     "magnus2_lz": bench_magnus2_lz,
     "cfm4_driven": bench_cfm4_driven,
     "magnus4_driven": bench_magnus4_driven,
+    "magnus4_driven_fast": bench_magnus4_driven_fast,
     "magnus4_auto": bench_magnus4_auto_structured,
     "cfm4_modulated": bench_cfm4_modulated,
     "magnus4_modulated": bench_magnus4_modulated,

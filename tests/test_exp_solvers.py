@@ -487,3 +487,87 @@ def test_composite_exp_many_row_selection():
                                        err_msg=str(type(comp)))
             np.testing.assert_allclose(np.asarray(got.im),
                                        np.asarray(want.im), atol=1e-12)
+
+
+# -------------------------------------------------------------- fast_error --
+def test_magnus4_fast_error_adaptive_accuracy(td_problem):
+    # the w2*xf estimate drives the controller to comparable accuracy and
+    # step counts as the reference pair (same order, different constant)
+    op, y0, tf, exact = td_problem
+    sol = vo.solve_linear(
+        op, 0.0, tf, y0,
+        stepper=vexp.Magnus4(vexp.DenseSplit(), fast_error=True),
+        adaptive=True, ctl=vo.StepControl(rtol=1e-9), h0=1e-2,
+    )
+    assert bool(sol.success)
+    np.testing.assert_allclose(np.asarray(sol.y_final), exact, atol=1e-7)
+    ref = vo.solve_linear(
+        op, 0.0, tf, y0, stepper=vexp.Magnus4(vexp.DenseSplit()),
+        adaptive=True, ctl=vo.StepControl(rtol=1e-9), h0=1e-2,
+    )
+    assert int(sol.n_accept) < 3 * int(ref.n_accept)
+
+
+def test_magnus4_fast_error_batched_matches_scalar():
+    # natively-batched fast_error (halved expm stack) == vmapped scalar path
+    from vec_ode_tpu.parallel import ensemble_solve
+
+    A0 = jnp.asarray([[0.0, 1.0], [-1.0, 0.0]], jnp.float64) * 0.8
+    B = jnp.asarray([[0.3, 0.1], [0.1, -0.3]], jnp.float64)
+
+    def op(t):
+        return A0 + jnp.sin(t) * B
+
+    y0b = jnp.asarray([[1.0, 0.0], [0.0, 1.0], [0.5, -0.5], [2.0, 0.3]],
+                      jnp.float64)
+    ctl = vo.StepControl(rtol=1e-8)
+    sol_b = ensemble_solve(
+        op, y0b, 0.0, 2.0,
+        stepper=vexp.Magnus4(vexp.DenseSplit(), fast_error=True),
+        adaptive=True, ctl=ctl, h0=1e-2,
+    )
+    sol_s = ensemble_solve(
+        op, y0b, 0.0, 2.0,
+        stepper=vexp.Magnus4(vexp.DenseSplit(), fast_error=True,
+                             batched=False),
+        adaptive=True, ctl=ctl, h0=1e-2,
+    )
+    assert np.all(np.asarray(sol_b.status) == vo.DONE)
+    np.testing.assert_allclose(
+        np.asarray(sol_b.y_final), np.asarray(sol_s.y_final),
+        rtol=1e-12, atol=1e-13,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_b.n_accept), np.asarray(sol_s.n_accept)
+    )
+
+
+def test_magnus4_fast_error_kernel_interpret():
+    # the fused-kernel single-chain build agrees with the XLA executor
+    from vec_ode_tpu.parallel import ensemble_solve
+    from vec_ode_tpu.models import DrivenDense
+    from vec_ode_tpu.ops import cplx as cp
+
+    model = DrivenDense.make(d=64, seed=3)
+    rng = np.random.default_rng(5)
+    psi = rng.standard_normal((8, 64)) + 1j * rng.standard_normal((8, 64))
+    psi /= np.linalg.norm(psi, axis=1, keepdims=True)
+    y0 = cp.from_complex(jnp.asarray(psi), dtype=jnp.float32)
+    ctl = vo.StepControl(rtol=1e-4, max_dt=0.05)
+    kw = dict(adaptive=True, ctl=ctl, h0=1e-2, time_dtype=jnp.float32)
+    base = vexp.Magnus4(vexp.DenseCplxSplit(), fast_error=True)
+    op_fn = lambda t: model.op_pair(t)  # noqa: E731
+    sol_x = ensemble_solve(op_fn, y0, 0.0, 0.1, stepper=base, **kw)
+    sol_k = ensemble_solve(
+        op_fn, y0, 0.0, 0.1,
+        stepper=vexp.Magnus4(vexp.DenseCplxSplit(), fast_error=True,
+                             use_pallas=True, interpret=True),
+        **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_k.y_final.re), np.asarray(sol_x.y_final.re),
+        atol=2e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_k.n_accept), np.asarray(sol_x.n_accept)
+    )

@@ -45,7 +45,8 @@ def midpoint_step(op_fn, split: ExponentialSplit, t, x, dt):
 
 
 def _m4_omega(op_fn, split: ExponentialSplit, t, dt):
-    """The Magnus-4 exponent Ω over [t, t+dt] (GL2 nodes) — magnus.rs:46-61."""
+    """The Magnus-4 exponent Ω over [t, t+dt] (GL2 nodes) — magnus.rs:46-61.
+    Returns (Ω, w1, w2) with Ω = w1 + w2 (order-2 part + commutator term)."""
     t_mid = t + 0.5 * dt
     t_nodes = jax.numpy.stack(
         [t_mid - _C_MID * dt, t_mid + _C_MID * dt]
@@ -55,7 +56,7 @@ def _m4_omega(op_fn, split: ExponentialSplit, t, dt):
     l2 = jax.tree_util.tree_map(lambda a: a[1], l_nodes)
     w2 = split.scale_l(split.commutator(l1, l2), _B2 * dt * dt)
     w1 = split.scale_l(split.add_l(l1, l2), 0.5 * dt)
-    return split.add_l(w1, w2), w1
+    return split.add_l(w1, w2), w1, w2
 
 
 def magnus6_step(op_fn, split: ExponentialSplit, t, x, dt, *,
@@ -111,12 +112,14 @@ def _midpoint_batched_step(assemble, split, t, x, dt, *, use_pallas,
 
 
 def _magnus4_batched_step(assemble, split, t, x, dt, *, adaptive,
-                          use_pallas, interpret, max_squarings=16):
+                          use_pallas, interpret, max_squarings=16,
+                          fast_error=False):
     """Batched Magnus-4 on per-trajectory dense operators: the batched
     commutator + ONE stacked batched expm of the order-4/2 exponent pair
     (default executor; the opt-in fused kernel moves the commutator and
     propagators in-kernel — see exp/dense_fast.py for the measured
-    trade)."""
+    trade). ``fast_error`` replaces the comparison propagator with the
+    w2·xf estimate (see magnus4_step) — the expm stack halves."""
     from ..ops.pallas_dense import _mm
     from ..utils.prec import HIGHEST
     from . import dense_fast as df
@@ -126,6 +129,30 @@ def _magnus4_batched_step(assemble, split, t, x, dt, *, adaptive,
     A2 = assemble(t_mid + _C_MID * dt)
     E1 = df.embed_node(split, A1)
     E2 = df.embed_node(split, A2)
+
+    if adaptive and fast_error:
+        from ..utils.prec import mm
+
+        dt3 = dt[..., None, None].astype(E1.dtype)
+        w2 = (_B2 * dt3 * dt3) * (mm(E1, E2) - mm(E2, E1))
+        omega = 0.5 * dt3 * (E1 + E2) + w2
+
+        def kernel_chains_f(mats, scalars):
+            M1, M2 = mats
+            (dt_s,) = scalars[0]
+            comm = _mm(M1, M2, HIGHEST) - _mm(M2, M1, HIGHEST)
+            return [[(0.5 * dt_s) * (M1 + M2)
+                     + (_B2 * dt_s * dt_s) * comm]]
+
+        y, _ = df.run_batched_chains(
+            split, x, dt, [E1, E2], kernel_chains_f, lambda: [[omega]],
+            adaptive=False, use_pallas=use_pallas, interpret=interpret,
+            max_squarings=max_squarings,
+        )
+        yw = df.widen(df.split_parts(split, y))
+        dv = jnp.einsum("...ij,...j->...i", w2.astype(yw.dtype), yw,
+                        precision=HIGHEST)
+        return y, jnp.sqrt(jnp.sum(dv * dv, axis=-1))
 
     def kernel_chains(mats, scalars):
         M1, M2 = mats
@@ -214,7 +241,7 @@ def _magnus6_batched_step(assemble, split, t, x, dt, *, adaptive,
 
 
 def magnus4_step(op_fn, split: ExponentialSplit, t, x, dt, *,
-                 adaptive: bool = True):
+                 adaptive: bool = True, fast_error: bool = False):
     """4th-order Magnus with 2-node GL quadrature — magnus.rs:28-83.
 
     Ω  = (A1 + A2) dt/2 - (sqrt(3)/12) dt^2 [A1, A2]
@@ -225,13 +252,23 @@ def magnus4_step(op_fn, split: ExponentialSplit, t, x, dt, *,
     ``adaptive=False`` (the ``no_adaptive`` economy the reference's Magnus
     lacks — it always computes both, magnus.rs:63-79) the order-2
     propagator is skipped entirely: one expm per step, err=None.
+
+    ``fast_error``: estimate the order-2-vs-4 gap as w2·xf (the leading
+    term of (e^{Ω1} − e^{Ω}) x — w2 is already in hand from the exponent
+    build) instead of propagating the comparison exponential: one expm per
+    adaptive step, ~sqrt-of-expm-cost cheaper. Same order, different
+    constant → accept/reject sequences deviate from the reference pair;
+    opt-in (see Magnus4.fast_error).
     """
     from .protocol import index_u
 
-    omega, w1 = _m4_omega(op_fn, split, t, dt)
+    omega, w1, w2 = _m4_omega(op_fn, split, t, dt)
 
     if not adaptive:
         return split.map_exp(split.exp(omega), x), None
+    if fast_error:
+        xf = split.map_exp(split.exp(omega), x)
+        return xf, split.apply_l(w2, xf)
 
     u_pair = split.exp_many([omega, w1])
     xf = split.map_exp(index_u(u_pair, 0), x)
@@ -357,6 +394,12 @@ class Magnus4(_DenseBatchedStepper):
     use_pallas: bool = False  # opt-in; XLA stacked-expm measures faster
     interpret: bool = False
     max_squarings: int = 16
+    # estimate the error as w2·xf (leading term of the order-2/4 gap; the
+    # commutator term is already in hand) instead of propagating the
+    # comparison exponential: one expm per adaptive step instead of two.
+    # Opt-in: same order, different constant, so accept/reject sequences
+    # deviate from the reference's pair (magnus.rs:63-79).
+    fast_error: bool = False
 
     nfev_per_step: int = 2
 
@@ -370,11 +413,13 @@ class Magnus4(_DenseBatchedStepper):
                     assemble, self.split, t, x, dt, adaptive=self.adaptive,
                     use_pallas=self.use_pallas, interpret=self.interpret,
                     max_squarings=self.max_squarings,
+                    fast_error=self.fast_error,
                 )
             if params is not None:
                 raise ValueError("params requires the batched driver")
             return magnus4_step(fn, self.split, t, x, dt,
-                                adaptive=self.adaptive)
+                                adaptive=self.adaptive,
+                                fast_error=self.fast_error)
 
         return step_fn
 
