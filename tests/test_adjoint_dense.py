@@ -163,3 +163,83 @@ def test_batched_states_broadcast():
 def test_order_validation():
     with pytest.raises(ValueError):
         diff.make_adjoint_dense_solver(op_real, n_steps=4, order=3)
+    with pytest.raises(ValueError):
+        diff.make_adjoint_dense_solver(op_real, n_steps=4, anchor_every=0)
+
+
+def op_dissipative(t, theta):
+    # ANISOTROPIC damping (decay-rate spread 12 over T=2): uniform -g*I is
+    # a scalar factor and reconstructs stably, but a spread makes e^{-Om}
+    # expand the fast direction by e^{12*dt}, amplifying the roundoff
+    # contamination of the decayed component by e^{12*T} ~ 2.6e10 over the
+    # unanchored backward sweep (f64 eps -> ~1e-6 relative drift)
+    S = jnp.asarray([[0.0, 1.0], [-1.0, 0.0]], jnp.float64)
+    N = jnp.asarray([[0.0, 1.0], [0.0, 0.0]], jnp.float64)
+    D = jnp.asarray([[-12.0, 0.0], [0.0, 0.0]], jnp.float64)
+    return theta[0] * S + jnp.sin(theta[1] * t) * N + D
+
+
+@pytest.mark.parametrize("anchor_every", [1, 4, 7])
+def test_anchored_gradient_dissipative(anchor_every):
+    """anchor_every=k bounds the reconstruction drift for dissipative
+    operators (diff.py:make_adjoint_dense_solver step 1): each backward
+    segment re-anchors on a stored forward state, so the amplification is
+    e^{2*gamma*k*dt} per segment instead of e^{2*gamma*T} overall."""
+    n_steps = 24
+    theta = jnp.asarray([0.8, 1.7], jnp.float64)
+    y0 = jnp.asarray([1.0, 0.25], jnp.float64)
+    args = (theta, y0, jnp.asarray(0.0, jnp.float64),
+            jnp.asarray(2.0, jnp.float64))
+
+    def loss(solve):
+        def f(th, y, a, b):
+            return jnp.sum(solve(th, y, a, b) ** 2)
+        return f
+
+    anchored = diff.make_adjoint_dense_solver(
+        op_dissipative, n_steps=n_steps, order=4,
+        anchor_every=anchor_every,
+    )
+    oracle = oracle_solver(op_dissipative, n_steps, 4)
+
+    # forward value is segment-split but op-identical
+    np.testing.assert_allclose(
+        float(loss(anchored)(*args)), float(loss(oracle)(*args)),
+        rtol=1e-12,
+    )
+    g1 = jax.grad(loss(anchored), argnums=(0, 1))(*args)
+    g2 = jax.grad(loss(oracle), argnums=(0, 1))(*args)
+    for a, b, name in zip(g1, g2, ["theta", "y0"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-8,
+            err_msg=f"{name} (anchor_every={anchor_every})",
+        )
+
+
+def test_unanchored_dissipative_drifts_more_than_anchored():
+    """The anchoring exists for a reason: on the same damped system the
+    plain O(1) sweep's theta-gradient error is orders of magnitude larger
+    than the anchored one's."""
+    n_steps = 24
+    theta = jnp.asarray([0.8, 1.7], jnp.float64)
+    y0 = jnp.asarray([1.0, 0.25], jnp.float64)
+    args = (theta, y0, jnp.asarray(0.0, jnp.float64),
+            jnp.asarray(2.0, jnp.float64))
+
+    def loss(solve):
+        def f(th, y, a, b):
+            return jnp.sum(solve(th, y, a, b) ** 2)
+        return f
+
+    def err(solver):
+        g = jax.grad(loss(solver))(*args)
+        g_ref = jax.grad(loss(oracle_solver(op_dissipative, n_steps, 4))
+                         )(*args)
+        return float(jnp.linalg.norm(g - g_ref) / jnp.linalg.norm(g_ref))
+
+    e_plain = err(diff.make_adjoint_dense_solver(
+        op_dissipative, n_steps=n_steps, order=4))
+    e_anch = err(diff.make_adjoint_dense_solver(
+        op_dissipative, n_steps=n_steps, order=4, anchor_every=2))
+    assert e_anch < 1e-9, e_anch
+    assert e_plain > 100 * max(e_anch, 1e-14), (e_plain, e_anch)

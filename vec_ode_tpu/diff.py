@@ -1141,6 +1141,7 @@ def make_adjoint_dense_solver(
     n_steps: int,
     order: int = 4,
     max_squarings: int = 16,
+    anchor_every: Optional[int] = None,
 ):
     """Build ``solve(theta, y0w, t0, tf) -> y_final_w`` for the GENERIC
     dense-operator contract ``op_fn(t, theta) -> A`` (real (D, D) array or
@@ -1162,8 +1163,12 @@ def make_adjoint_dense_solver(
     O(1) in n_steps):
 
       1. x_r  = e^{-Ω_r} x_{r+1}       (reconstruction; exactly stable for
-                anti-Hermitian Ω — for dissipative operators prefer the
-                anchored modulated path or ``method="scan"``)
+                anti-Hermitian Ω — for dissipative operators pass
+                ``anchor_every=k``: the forward stores the state every k
+                STEPS and each backward segment re-anchors on its stored
+                state, bounding the roundoff amplification at
+                ~e^{2·gamma·k·dt} per segment for O(n_steps/k) memory —
+                the same discipline as ``adjoint_solve(anchor_every=k)``)
       2. (Ω̄_r, a_r) = vjp of (Ω, x) ↦ e^{Ω} x at (Ω_r, x_r) applied to
                 a_{r+1} — the Fréchet-adjoint VJP that ops/expm.py's
                 ``expm`` already carries gives the MATRIX cotangent Ω̄
@@ -1190,6 +1195,14 @@ def make_adjoint_dense_solver(
     R = n_steps * rps
     sub_off = jnp.asarray(_YOSHIDA_OFF)
     sub_len = jnp.asarray(_YOSHIDA_LEN)
+    if anchor_every is not None and int(anchor_every) < 1:
+        raise ValueError(f"anchor_every must be >= 1, got {anchor_every}")
+    # segment bounds in ROW space (anchor_every counts STEPS); one segment
+    # == the plain O(1) sweep
+    seg_rows = R if anchor_every is None else int(anchor_every) * rps
+    seg_bounds = [
+        (s0, min(s0 + seg_rows, R)) for s0 in range(0, R, seg_rows)
+    ]
 
     def _assemble_w(t, theta):
         A = op_fn(t, theta)
@@ -1237,11 +1250,23 @@ def make_adjoint_dense_solver(
         return yf
 
     def fwd(theta, y0w, t0, tf):
-        yf = solve(theta, y0w, t0, tf)
-        return yf, (theta, yf, t0, tf)
+        if anchor_every is None:
+            yf = solve(theta, y0w, t0, tf)
+            return yf, (theta, (yf,), t0, tf)
+        # segmented forward: store the state at every anchor (same fp op
+        # sequence as the single scan — segmenting only splits the loop)
+        def body(x, r):
+            return _row_map(theta, t0, tf, r, x), None
+
+        x = y0w
+        anchors = []
+        for s0, s1 in seg_bounds:
+            x, _ = jax.lax.scan(body, x, jnp.arange(s0, s1))
+            anchors.append(x)
+        return anchors[-1], (theta, tuple(anchors), t0, tf)
 
     def bwd(res, ybar):
-        theta, yf, t0, tf = res
+        theta, anchors, t0, tf = res
         zero_th = jax.tree_util.tree_map(
             lambda a: jnp.zeros_like(a), theta
         )
@@ -1263,11 +1288,16 @@ def make_adjoint_dense_solver(
             )
             return carry, None
 
-        init = (yf, ybar, zero_th, jnp.zeros_like(t0a),
-                jnp.zeros_like(tfa))
-        (x0, a0, g_th, g_t0, g_tf), _ = jax.lax.scan(
-            body, init, jnp.arange(R - 1, -1, -1)
-        )
+        carry = (anchors[-1], ybar, zero_th, jnp.zeros_like(t0a),
+                 jnp.zeros_like(tfa))
+        for i in reversed(range(len(seg_bounds))):
+            s0, s1 = seg_bounds[i]
+            # re-anchor the reconstruction on the stored segment-end state
+            carry = (anchors[i],) + carry[1:]
+            carry, _ = jax.lax.scan(
+                body, carry, jnp.arange(s1 - 1, s0 - 1, -1)
+            )
+        (x0, a0, g_th, g_t0, g_tf) = carry
         return (g_th, a0, g_t0.astype(t0a.dtype), g_tf.astype(tfa.dtype))
 
     solve.defvjp(fwd, bwd)
@@ -1284,6 +1314,7 @@ def adjoint_solve_dense(
     *,
     order: int = 4,
     max_squarings: int = 16,
+    anchor_every: Optional[int] = None,
 ):
     """Terminal state of dx/dt = A(t; theta) x for a BLACK-BOX operator
     callback ``op_fn(t, theta)`` (real matrix or ``Cplx``) after
@@ -1292,12 +1323,15 @@ def adjoint_solve_dense(
     counterpart of the reference's generic operator contract
     (magnus.rs:32); no Σ f_k(t) M_k structure required (for structured
     operators :func:`adjoint_solve` is much faster — shared-basis actions
-    instead of per-row expm). See :func:`make_adjoint_dense_solver`."""
+    instead of per-row expm). For DISSIPATIVE operators pass
+    ``anchor_every=k`` (checkpointed re-anchoring, O(n_steps/k) memory).
+    See :func:`make_adjoint_dense_solver`."""
     from .exp.modulated import _unwiden, _widen
     from .ops.cplx import Cplx
 
     solver = make_adjoint_dense_solver(
         op_fn, n_steps=n_steps, order=order, max_squarings=max_squarings,
+        anchor_every=anchor_every,
     )
     is_cplx = isinstance(y0, Cplx)
     yfw = solver(theta, _widen(y0, is_cplx), t0, tf)
