@@ -89,6 +89,47 @@ def bench_magnus2_lz(results):
     })
 
 
+def bench_magnus2_lz_packed(results):
+    """Config 3 on the LANE-PACKED fused loop: the same 2-level sweep as a
+    ModulatedOperator, G = 128/D = 32 trajectories per kernel row over a
+    block-diagonal basis — the whole 2000-iteration solve is ONE persistent
+    kernel launch (exp/modulated.py:_fused_loop_run)."""
+    B = 1024
+    lz = LandauZener(v=2.0, delta=0.4)
+    mod = lz.modulated(jnp.float32)
+    psi0 = np.zeros((B, 2), np.complex64)
+    psi0[:, 0] = 1.0
+    y0 = cp.from_complex(psi0, jnp.float32)
+    n_steps = 2000
+    stepper = vexp.MidpointModulated(mod)
+    path = stepper.fused_loop_solve(
+        y0, jnp.asarray([-20.0, 20.0], jnp.float32), 40.0 / n_steps,
+        ctl=vo.StepControl(rtol=1e-6, max_steps=4 * n_steps),
+        adaptive=False,
+    )
+    assert path is not None and path.path.endswith("-packed"), (
+        "packed fused loop did not engage")
+
+    @jax.jit
+    def run(y0):
+        sol = ensemble_solve(
+            mod, y0, -20.0, 20.0, stepper=stepper,
+            adaptive=False, h0=40.0 / n_steps, time_dtype=jnp.float32,
+        )
+        return sol.n_accept, sol.y_final
+
+    def sync():
+        na, yf = run(y0)
+        return int(np.asarray(na).sum()), float(np.asarray(yf.re[0, 0]))
+
+    wall, (steps, _) = timed(sync)
+    results.append({
+        "metric": f"Magnus-2 Landau-Zener steps/sec, {B} sweeps "
+                  "(lane-packed persistent kernel, G=32)",
+        "value": round(steps / wall, 1), "unit": "steps/sec",
+    })
+
+
 def bench_cfm4_driven(results):
     """Config 4: adaptive CFM-4 with GL-2 quadrature, 64-dim complex."""
     B = 256
@@ -482,6 +523,7 @@ def bench_lz_sweep_efficiency(results):
 ALL = {
     "rk4_vdp": bench_rk4_vdp,
     "magnus2_lz": bench_magnus2_lz,
+    "magnus2_lz_packed": bench_magnus2_lz_packed,
     "cfm4_driven": bench_cfm4_driven,
     "magnus4_driven": bench_magnus4_driven,
     "magnus4_driven_fast": bench_magnus4_driven_fast,

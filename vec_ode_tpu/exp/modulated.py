@@ -312,34 +312,77 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
         return _ineligible(
             f"state ndim {parts[0].ndim} != 2 (need a (B, d) batch)")
     D = sum(p.shape[-1] for p in parts)
-    if D % 128 != 0:
-        return _ineligible(
-            f"widened state dim {D} is not a multiple of 128 lanes")
     if t_grid.dtype != parts[0].dtype:
         return _ineligible(
             f"time dtype {t_grid.dtype} != state dtype {parts[0].dtype}")
     B = parts[0].shape[0]
+    G = 1
+    if D % 128 != 0:
+        # LANE-PACKING: a small widened dim (D | 128) packs G = 128/D
+        # trajectories into each kernel row over a block-diagonal
+        # kron(I_G, M_k) basis — the reference's bread-and-butter regime
+        # (2-level Landau-Zener sweeps, dat config 3) runs D=4, 3% lane
+        # occupancy unpacked. Exact only in LOCKSTEP: every trajectory in
+        # a row shares (t, h, status), which holds for fixed-step solves
+        # on a shared grid with a scalar h0 — adaptive control would fuse
+        # G error estimates into one accept/reject decision, so it stays
+        # on the unpacked path. NOTE: a NaN state poisons its whole
+        # lane-group (0*NaN=NaN through the block-diagonal contraction).
+        if adaptive or C != 1:
+            return _ineligible(
+                f"widened state dim {D} is not a multiple of 128 lanes "
+                "(lane-packing requires a fixed-step solve)")
+        if 128 % D != 0:
+            return _ineligible(
+                f"widened state dim {D} divides neither 128 nor is a "
+                "multiple of it")
+        h0a = jnp.asarray(h0)
+        if h0a.ndim > 0 and h0a.shape[-1] != 1:
+            return _ineligible(
+                "lane-packing requires a shared scalar h0 "
+                f"(got shape {h0a.shape})")
+        G = 128 // D
+        if B % G != 0:
+            return _ineligible(
+                f"batch {B} is not a multiple of the packing group {G} "
+                f"(= 128/{D})")
+    Bp = B // G
     # persistent LOOP kernels crash the TPU runtime at tile=256 with >=64
     # grid cells (CLAUDE.md); tile=256 below that regime measures ~9%
     # faster, so cap to 128 only where 256 would enter it
-    t_eff = _pick_tile(B)
-    if t_eff == 256 and B // 256 >= 64:
-        t_eff = _pick_tile(B, cap=128)
+    t_eff = _pick_tile(Bp)
+    if t_eff == 256 and Bp // 256 >= 64:
+        t_eff = _pick_tile(Bp, cap=128)
     # >8 interior saves at tile=256 is an untested VMEM regime (each save
     # is a live (tile, D) register through the whole in-kernel loop):
     # cap the tile to bound the footprint
     if t_grid.shape[0] > 10:
         t_eff = min(t_eff, 128)
-        while t_eff > 0 and B % t_eff != 0:
+        while t_eff > 0 and Bp % t_eff != 0:
             t_eff //= 2
     if t_eff < 8:
-        return _ineligible(f"batch {B} gives a kernel tile < 8")
+        return _ineligible(
+            f"batch {B}" + (f" (packed rows {Bp})" if G > 1 else "")
+            + " gives a kernel tile < 8")
 
     basis_w = (
         stepper._ext_basis_w
         if hasattr(stepper, "_ext_basis_w")
         else _real_basis(op.basis)
     )
+    if G > 1:
+        # block-diagonal working basis kron(I_G, M_k): exp(kron(I, M)) =
+        # kron(I, exp(M)) and the Taylor action is a plain matmul, so each
+        # packed trajectory evolves EXACTLY as unpacked (zero cross terms)
+        eye_g = jnp.eye(G, dtype=basis_w.dtype)
+        basis_k = jnp.einsum("gh,kij->kgihj", eye_g, basis_w).reshape(
+            basis_w.shape[0], G * D, G * D
+        )
+        xw0 = jnp.concatenate(parts, axis=1)          # (B, D) widened
+        kparts = (xw0.reshape(Bp, G * D),)
+    else:
+        basis_k = basis_w
+        kparts = parts
     m, theta = _taylor_params(parts[0].dtype, stepper.m)
     builder = make_chain_step_builder(
         C, R, basis_w.shape[0], m, float(theta), stepper.max_squarings,
@@ -347,13 +390,28 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
         scaled=(ctl.atol, ctl.rtol) if ctl.scaled_error else None,
     )
     fs, ist, xparts, saves = fused_loop_integrate(
-        t_grid, parts, h0, [basis_w], builder,
+        t_grid, kparts, h0, [basis_k], builder,
         adaptive=adaptive, ctl=ctl, chunk=chunk,
         persistent=(persistent is None or persistent), tile=t_eff,
         interpret=stepper.interpret,
     )
-    x_final = Cplx(*xparts) if op.is_cplx else xparts[0]
     n_grid = t_grid.shape[0]
+    if G > 1:
+        # unpack rows -> trajectories; per-row scalars repeat G times
+        d_half = parts[0].shape[-1]
+
+        def unpack(buf):
+            xw = buf.reshape(B, D)
+            if op.is_cplx:
+                return (xw[:, :d_half], xw[:, d_half:])
+            return (xw,)
+
+        xparts = unpack(xparts[0])
+        saves = tuple(p for g in range(n_grid - 2)
+                      for p in unpack(saves[g]))
+        fs = jnp.repeat(fs, G, axis=0)
+        ist = jnp.repeat(ist, G, axis=0)
+    x_final = Cplx(*xparts) if op.is_cplx else xparts[0]
     n_ps = len(parts)
     interior = [
         Cplx(*saves[g * n_ps:(g + 1) * n_ps]) if op.is_cplx
@@ -384,7 +442,7 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
         h_final=fs[:, 1],
         path=("pallas-loop-persistent"
               if (persistent is None or persistent)
-              else "pallas-loop-chunked"),
+              else "pallas-loop-chunked") + ("-packed" if G > 1 else ""),
     )
 
 
