@@ -219,6 +219,50 @@ def _parity_shardmap_fused(model):
             "max_state_diff": dy, "ok": True}
 
 
+def _parity_lane_packed(model):
+    """Lane-packed loop kernel (small widened dims, G = 128/D trajectories
+    per row) vs the XLA driver on the same 2-level Landau-Zener ensemble —
+    fixed-step AND adaptive (per-trajectory control in packed carry
+    columns)."""
+    from vec_ode_tpu import exp as vexp
+    from vec_ode_tpu.models import LandauZener
+
+    lz = LandauZener(v=2.0, delta=0.4)
+    mod = lz.modulated(jnp.float32)
+    B = 256
+    psi0 = np.zeros((B, 2), np.complex64)
+    psi0[:, 0] = 1.0
+    y0 = cp.from_complex(psi0, jnp.float32)
+    kw = dict(adaptive=False, h0=40.0 / 500, time_dtype=jnp.float32)
+    s_k = ensemble_solve(mod, y0, -20.0, 20.0,
+                         stepper=vexp.MidpointModulated(mod), **kw)
+    s_x = ensemble_solve(mod, y0, -20.0, 20.0,
+                         stepper=vexp.MidpointModulated(mod,
+                                                        use_pallas=False),
+                         **kw)
+    assert s_k.path.endswith("-packed"), s_k.path
+    dy = max(float(jnp.max(jnp.abs(s_k.y_final.re - s_x.y_final.re))),
+             float(jnp.max(jnp.abs(s_k.y_final.im - s_x.y_final.im))))
+    assert dy <= 1e-5, dy
+    ctl = vo.StepControl(rtol=1e-5, max_steps=20000)
+    a_k = ensemble_solve(mod, y0, -20.0, 20.0,
+                         stepper=vexp.MagnusModulated4(mod), ctl=ctl,
+                         h0=0.05, time_dtype=jnp.float32)
+    a_x = ensemble_solve(mod, y0, -20.0, 20.0,
+                         stepper=vexp.MagnusModulated4(mod,
+                                                       use_pallas=False),
+                         ctl=ctl, h0=0.05, time_dtype=jnp.float32)
+    assert a_k.path.endswith("-packed"), a_k.path
+    da = max(float(jnp.max(jnp.abs(a_k.y_final.re - a_x.y_final.re))),
+             float(jnp.max(jnp.abs(a_k.y_final.im - a_x.y_final.im))))
+    dn = int(np.abs(np.asarray(a_k.n_accept)
+                    - np.asarray(a_x.n_accept)).max())
+    # marginal-accept flips (exp/log vs power) shift counters by <= 2
+    assert da <= 1e-3 and dn <= 2, (da, dn)
+    return {"max_state_diff_fixed": dy, "max_state_diff_adaptive": da,
+            "max_counter_diff": dn, "path": a_k.path, "ok": True}
+
+
 def kernel_parity_suite(model):
     """On-device parity for EVERY kernel family, recorded in the headline
     JSON each run (VERDICT r2 weak #3: 'bit-identical' claims should be
@@ -238,6 +282,7 @@ def kernel_parity_suite(model):
         "adjoint_bwd": _parity_adjoint_bwd,
         "dense_generic": _parity_dense_generic,
         "shardmap_fused_loop": _parity_shardmap_fused,
+        "lane_packed_loop": _parity_lane_packed,
     }
 
     def _alarm(sig, frame):
@@ -336,7 +381,8 @@ def main():
 
     # on-device kernel parity for EVERY kernel family, machine-checked and
     # recorded each run (rk step, chain-exp step, persistent-vs-chunked
-    # loop, adjoint bwd, generic dense, shard_map composition)
+    # loop, adjoint bwd, generic dense, shard_map composition, lane-packed
+    # small-dim loop)
     parity = kernel_parity_suite(model)
 
     # warmup/compile with identical shapes (tf is traced, so no recompile)

@@ -130,6 +130,45 @@ def bench_magnus2_lz_packed(results):
     })
 
 
+def bench_magnus4_lz_packed(results):
+    """ADAPTIVE lane-packed fused loop on the 2-level sweep: per-trajectory
+    step control runs in the packed carry columns (ops/pallas_loop.py
+    group mode)."""
+    B = 1024
+    lz = LandauZener(v=2.0, delta=0.4)
+    mod = lz.modulated(jnp.float32)
+    psi0 = np.zeros((B, 2), np.complex64)
+    psi0[:, 0] = 1.0
+    y0 = cp.from_complex(psi0, jnp.float32)
+    ctl = vo.StepControl(rtol=1e-5, max_steps=20000)
+    stepper = vexp.MagnusModulated4(mod)
+    probe = stepper.fused_loop_solve(
+        y0, jnp.asarray([-20.0, 20.0], jnp.float32), 0.05, ctl=ctl,
+        adaptive=True,
+    )
+    assert probe is not None and probe.path.endswith("-packed"), (
+        "packed fused loop did not engage")
+
+    @jax.jit
+    def run(y0):
+        sol = ensemble_solve(
+            mod, y0, -20.0, 20.0, stepper=stepper, ctl=ctl,
+            h0=0.05, time_dtype=jnp.float32,
+        )
+        return sol.n_iters, sol.y_final
+
+    def sync():
+        it, yf = run(y0)
+        return int(np.asarray(it).sum()), float(np.asarray(yf.re[0, 0]))
+
+    wall, (steps, _) = timed(sync)
+    results.append({
+        "metric": f"adaptive Magnus-4 Landau-Zener steps/sec, {B} sweeps "
+                  "(lane-packed, per-trajectory control in-kernel)",
+        "value": round(steps / wall, 1), "unit": "steps/sec",
+    })
+
+
 def bench_cfm4_driven(results):
     """Config 4: adaptive CFM-4 with GL-2 quadrature, 64-dim complex."""
     B = 256
@@ -524,6 +563,7 @@ ALL = {
     "rk4_vdp": bench_rk4_vdp,
     "magnus2_lz": bench_magnus2_lz,
     "magnus2_lz_packed": bench_magnus2_lz_packed,
+    "magnus4_lz_packed": bench_magnus4_lz_packed,
     "cfm4_driven": bench_cfm4_driven,
     "magnus4_driven": bench_magnus4_driven,
     "magnus4_driven_fast": bench_magnus4_driven_fast,

@@ -1,9 +1,11 @@
 """Lane-packed fused-loop integration for small widened dims (exp/
 modulated.py:_fused_loop_run): D | 128 packs G = 128/D trajectories per
-kernel row over a block-diagonal kron(I_G, M_k) basis. Exact only in
-lockstep, so it engages for FIXED-step solves on a shared grid — the
-reference's bread-and-butter 2-level regime (BASELINE config 3,
-magnus.rs:10-26 semantics).
+kernel row over a block-diagonal kron(I_G, M_k) basis — the reference's
+bread-and-butter 2-level regime (BASELINE config 3, magnus.rs:10-26
+semantics). Every per-trajectory scalar (t, h, status, error norm,
+counters) lives in its own group COLUMN of the packed carry blocks
+(ops/pallas_loop.py group mode), so fixed-step, adaptive control and
+per-trajectory h0 all keep exact per-trajectory semantics.
 
 Interpret-mode tests pin the packed kernel to the XLA driver
 (driver.step_once) like every other fused path.
@@ -129,24 +131,192 @@ def test_packing_unitarity_and_no_cross_talk():
                                atol=2e-5)
 
 
-@pytest.mark.parametrize(
-    "mutate",
-    ["adaptive", "per_traj_h0", "bad_batch"],
-)
-def test_packing_eligibility_gates(mutate):
+def test_packing_eligibility_gate_bad_batch():
+    # batch not a multiple of G=32 -> falls back to the XLA driver
     _, mod, y0 = _lz_setup()
     ctl = vo.StepControl(rtol=1e-6, max_steps=2000)
     grid = jnp.asarray([-20.0, 20.0], jnp.float32)
-    h0 = 40.0 / 500
-    if mutate == "adaptive":
-        st = vexp.MagnusModulated4(mod, adaptive=True, interpret=True)
-        sol = st.fused_loop_solve(y0, grid, h0, ctl=ctl, adaptive=True)
-    elif mutate == "per_traj_h0":
-        st = vexp.MidpointModulated(mod, interpret=True)
-        h = jnp.full((y0.re.shape[0],), h0, jnp.float32)
-        sol = st.fused_loop_solve(y0, grid, h, ctl=ctl, adaptive=False)
-    else:  # batch not a multiple of G=32
-        st = vexp.MidpointModulated(mod, interpret=True)
-        y0b = cp.Cplx(y0.re[:200], y0.im[:200])
-        sol = st.fused_loop_solve(y0b, grid, h0, ctl=ctl, adaptive=False)
-    assert sol is None  # falls back to the XLA driver
+    st = vexp.MidpointModulated(mod, interpret=True)
+    y0b = cp.Cplx(y0.re[:200], y0.im[:200])
+    sol = st.fused_loop_solve(y0b, grid, 40.0 / 500, ctl=ctl,
+                              adaptive=False)
+    assert sol is None
+
+
+def test_packed_adaptive_magnus4_matches_driver():
+    """ADAPTIVE lane packing: every trajectory keeps its own (t, h,
+    status, err) column in the packed carry blocks, so per-trajectory
+    step-size control is exact — counters and accept/reject sequences
+    must match the XLA driver trajectory-for-trajectory."""
+    _, mod, y0 = _lz_setup()
+    ctl = vo.StepControl(rtol=1e-5, max_steps=20000)
+    grid = jnp.asarray([-20.0, 20.0], jnp.float32)
+    st = vexp.MagnusModulated4(mod, adaptive=True, interpret=True)
+    sol = st.fused_loop_solve(y0, grid, 0.05, ctl=ctl, adaptive=True)
+    assert sol is not None and sol.path.endswith("-packed")
+    oracle = ensemble_solve(
+        mod, y0, -20.0, 20.0,
+        stepper=vexp.MagnusModulated4(mod, adaptive=True,
+                                      use_pallas=False),
+        ctl=ctl, h0=0.05, time_dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(sol.status),
+                                  np.asarray(oracle.status))
+    np.testing.assert_array_equal(np.asarray(sol.n_accept),
+                                  np.asarray(oracle.n_accept))
+    np.testing.assert_array_equal(np.asarray(sol.n_reject),
+                                  np.asarray(oracle.n_reject))
+    for a, b in [(sol.y_final.re, oracle.y_final.re),
+                 (sol.y_final.im, oracle.y_final.im)]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5)
+
+
+def test_packed_adaptive_divergent_control_per_trajectory():
+    """Heterogeneous difficulty across one packed row: random states make
+    per-trajectory error estimates differ, so h sequences diverge WITHIN
+    a lane group — counters must still match the driver exactly."""
+    _, mod, _ = _lz_setup()
+    B = 256
+    rng = np.random.default_rng(3)
+    psi = rng.standard_normal((B, 2)) + 1j * rng.standard_normal((B, 2))
+    psi /= np.linalg.norm(psi, axis=-1, keepdims=True)
+    y0 = cp.from_complex(psi.astype(np.complex64), jnp.float32)
+    ctl = vo.StepControl(rtol=1e-4, max_steps=20000)
+    grid = jnp.asarray([-8.0, 8.0], jnp.float32)
+    # per-trajectory h0 spread, SHUFFLED so every packed lane group
+    # spans the whole range -> divergent control inside each row
+    h0_np = np.geomspace(0.005, 0.5, B).astype(np.float32)
+    rng.shuffle(h0_np)
+    h0 = jnp.asarray(h0_np)
+    st = vexp.MagnusModulated4(mod, adaptive=True, interpret=True)
+    sol = st.fused_loop_solve(y0, grid, h0, ctl=ctl, adaptive=True)
+    assert sol is not None and sol.path.endswith("-packed")
+    oracle = ensemble_solve(
+        mod, y0, -8.0, 8.0,
+        stepper=vexp.MagnusModulated4(mod, adaptive=True,
+                                      use_pallas=False),
+        ctl=ctl, h0=h0, time_dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(sol.status),
+                                  np.asarray(oracle.status))
+    # in-kernel exp(log(f)/order) vs XLA power(): marginal accepts may
+    # flip on a few trajectories (same convention as test_modulated.py)
+    a_k = np.asarray(sol.n_accept)
+    a_x = np.asarray(oracle.n_accept)
+    assert (a_k == a_x).mean() > 0.9, (a_k, a_x)
+    assert np.abs(a_k - a_x).max() <= 2
+    assert len(set((a_k + np.asarray(sol.n_reject))[:32].tolist())) > 1, \
+        "expected divergent control within a lane group"
+    for a, b in [(sol.y_final.re, oracle.y_final.re),
+                 (sol.y_final.im, oracle.y_final.im)]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5)
+
+
+def test_packed_nan_containment():
+    """A trajectory with a NaN initial state must NOT poison its packed
+    lane-group neighbors (make_chain_step_builder zeroes bad groups for
+    the matmul chains and re-poisons them on exit)."""
+    _, mod, y0 = _lz_setup()
+    bad_re = y0.re.at[5, 0].set(jnp.nan)
+    y0n = cp.Cplx(bad_re, y0.im)
+    ctl = vo.StepControl(rtol=1e-6, max_steps=2000)
+    grid = jnp.asarray([-20.0, 20.0], jnp.float32)
+    st = vexp.MidpointModulated(mod, interpret=True)
+    sol = st.fused_loop_solve(y0n, grid, 40.0 / 500, ctl=ctl,
+                              adaptive=False)
+    re = np.asarray(sol.y_final.re)
+    im = np.asarray(sol.y_final.im)
+    # the NaN trajectory stays NaN (sticky, as unpacked)
+    assert np.isnan(re[5]).all()
+    # every OTHER trajectory in its group (0..31) is clean and correct
+    oracle = ensemble_solve(
+        mod, y0, -20.0, 20.0,
+        stepper=vexp.MidpointModulated(mod, use_pallas=False),
+        adaptive=False, h0=40.0 / 500, time_dtype=jnp.float32,
+    )
+    keep = np.ones(256, bool)
+    keep[5] = False
+    assert np.isfinite(re[keep]).all() and np.isfinite(im[keep]).all()
+    np.testing.assert_allclose(re[keep],
+                               np.asarray(oracle.y_final.re)[keep],
+                               atol=2e-5)
+
+
+def test_packed_adaptive_nan_trajectory_stalls_alone():
+    """Adaptive: the NaN trajectory permanently rejects and stalls
+    (ERR_STALLED), neighbors finish DONE — the unpacked driver's
+    semantics, per trajectory."""
+    _, mod, y0 = _lz_setup()
+    bad_re = y0.re.at[5, 0].set(jnp.nan)
+    y0n = cp.Cplx(bad_re, y0.im)
+    ctl = vo.StepControl(rtol=1e-5, max_steps=4000, max_reject_streak=50)
+    grid = jnp.asarray([-8.0, 8.0], jnp.float32)
+    st = vexp.MagnusModulated4(mod, adaptive=True, interpret=True)
+    sol = st.fused_loop_solve(y0n, grid, 0.05, ctl=ctl, adaptive=True)
+    status = np.asarray(sol.status)
+    assert status[5] == vo.ERR_STALLED, status[5]
+    keep = np.ones(256, bool)
+    keep[5] = False
+    assert (status[keep] == vo.DONE).all()
+
+
+def test_packed_rk_loop_matches_xla_stepper(monkeypatch):
+    """Lane packing on the RK family (ops/pallas_rk.fused_loop_solve):
+    a d=2 modulated-linear system (Dw=4, G=32) runs the whole adaptive
+    RKF45 loop in one packed persistent kernel; oracle = the same
+    stepper's XLA step under the generic driver."""
+    from vec_ode_tpu.driver import integrate, make_grid
+    from vec_ode_tpu.ops import pallas_loop
+    from vec_ode_tpu.ops.pallas_rk import FusedModulatedLinearRK
+
+    # driven qubit: H(t) = 0.5*sz*t-free part + cos(t) * 0.4*sx
+    sz = np.asarray([[0.5, 0.0], [0.0, -0.5]], np.float32)
+    sx = np.asarray([[0.0, 0.5], [0.5, 0.0]], np.float32)
+
+    def embed_np(re, im):
+        return np.block([[re, -im], [im, re]])
+
+    M0 = embed_np(np.zeros_like(sz), -sz)   # -i*sz
+    M1 = embed_np(np.zeros_like(sx), -0.8 * sx)
+    B = 256
+    rng = np.random.default_rng(5)
+    psi = rng.standard_normal((B, 2)) + 1j * rng.standard_normal((B, 2))
+    psi /= np.linalg.norm(psi, axis=-1, keepdims=True)
+    y0 = cp.from_complex(psi.astype(np.complex64), jnp.float32)
+    ctl = vo.StepControl(rtol=1e-4, min_dt=1e-6, max_dt=0.25,
+                         max_steps=2000)
+    t_grid = make_grid(jnp.float32(0), jnp.float32(2.0),
+                       dtype=jnp.float32)
+    st = FusedModulatedLinearRK(M0=M0, M1=M1,
+                                u_fn=lambda t: jnp.cos(t))
+
+    orig_chunk = pallas_loop.fused_loop_chunk
+
+    def chunk_interp(*args, **kw):
+        kw["interpret"] = True
+        return orig_chunk(*args, **kw)
+
+    monkeypatch.setattr(pallas_loop, "fused_loop_chunk", chunk_interp)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    sol_f = st.fused_loop_solve(y0, t_grid, 1e-2, ctl=ctl, adaptive=True)
+    assert sol_f is not None, "packed RK loop did not engage"
+    assert sol_f.path.endswith("-packed"), sol_f.path
+    assert (np.asarray(sol_f.status) == vo.DONE).all()
+
+    st_x = FusedModulatedLinearRK(M0=M0, M1=M1,
+                                  u_fn=lambda t: jnp.cos(t),
+                                  use_pallas=False)
+    sol_x = integrate(
+        st_x.make_step_fn(), y0, t_grid, 1e-2, adaptive=True, ctl=ctl,
+        error_norm=st_x.error_norm, batch_shape=(B,),
+    )
+    a_f, a_x = np.asarray(sol_f.n_accept), np.asarray(sol_x.n_accept)
+    assert (a_f == a_x).mean() > 0.8, (a_f, a_x)
+    np.testing.assert_allclose(np.asarray(sol_f.y_final.re),
+                               np.asarray(sol_x.y_final.re),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sol_f.y_final.im),
+                               np.asarray(sol_x.y_final.im),
+                               rtol=2e-4, atol=2e-4)

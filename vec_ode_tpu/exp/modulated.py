@@ -322,25 +322,18 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
         # trajectories into each kernel row over a block-diagonal
         # kron(I_G, M_k) basis — the reference's bread-and-butter regime
         # (2-level Landau-Zener sweeps, dat config 3) runs D=4, 3% lane
-        # occupancy unpacked. Exact only in LOCKSTEP: every trajectory in
-        # a row shares (t, h, status), which holds for fixed-step solves
-        # on a shared grid with a scalar h0 — adaptive control would fuse
-        # G error estimates into one accept/reject decision, so it stays
-        # on the unpacked path. NOTE: a NaN state poisons its whole
-        # lane-group (0*NaN=NaN through the block-diagonal contraction).
-        if adaptive or C != 1:
-            return _ineligible(
-                f"widened state dim {D} is not a multiple of 128 lanes "
-                "(lane-packing requires a fixed-step solve)")
+        # occupancy unpacked. Every per-trajectory scalar (t, h, status,
+        # error norm, counters) lives in its own group COLUMN of the
+        # carry blocks (ops/pallas_loop.py:_make_loop_kernel group mode),
+        # so adaptive control, per-trajectory h0 and divergent grid
+        # hitting all keep exact per-trajectory semantics. NaN states are
+        # contained group-wise (make_chain_step_builder); only transient
+        # mid-chain overflow can leak — as spurious (conservative)
+        # rejections to the row's other groups.
         if 128 % D != 0:
             return _ineligible(
                 f"widened state dim {D} divides neither 128 nor is a "
                 "multiple of it")
-        h0a = jnp.asarray(h0)
-        if h0a.ndim > 0 and h0a.shape[-1] != 1:
-            return _ineligible(
-                "lane-packing requires a shared scalar h0 "
-                f"(got shape {h0a.shape})")
         G = 128 // D
         if B % G != 0:
             return _ineligible(
@@ -388,16 +381,22 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
         C, R, basis_w.shape[0], m, float(theta), stepper.max_squarings,
         step_cols_fn,
         scaled=(ctl.atol, ctl.rtol) if ctl.scaled_error else None,
+        group=G,
     )
     fs, ist, xparts, saves = fused_loop_integrate(
-        t_grid, kparts, h0, [basis_k], builder,
+        # the chain builder takes the basis stacked row-wise (K*D, D):
+        # one (TILE, D) @ (D, K*D) MXU contraction per Taylor term
+        t_grid, kparts, h0, [basis_k.reshape(-1, basis_k.shape[-1])],
+        builder,
         adaptive=adaptive, ctl=ctl, chunk=chunk,
         persistent=(persistent is None or persistent), tile=t_eff,
-        interpret=stepper.interpret,
+        interpret=stepper.interpret, group=G,
     )
     n_grid = t_grid.shape[0]
     if G > 1:
-        # unpack rows -> trajectories; per-row scalars repeat G times
+        # unpack rows -> trajectories (quantity-major carry blocks:
+        # trajectory b = row b//G, group column b%G)
+        from ..ops.pallas_loop import N_F, N_I
         d_half = parts[0].shape[-1]
 
         def unpack(buf):
@@ -409,8 +408,12 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
         xparts = unpack(xparts[0])
         saves = tuple(p for g in range(n_grid - 2)
                       for p in unpack(saves[g]))
-        fs = jnp.repeat(fs, G, axis=0)
-        ist = jnp.repeat(ist, G, axis=0)
+        fs = jnp.stack(
+            [fs[:, q * G:(q + 1) * G].reshape(B) for q in range(N_F)],
+            axis=1)
+        ist = jnp.stack(
+            [ist[:, q * G:(q + 1) * G].reshape(B) for q in range(N_I)],
+            axis=1)
     x_final = Cplx(*xparts) if op.is_cplx else xparts[0]
     n_ps = len(parts)
     interior = [

@@ -67,12 +67,24 @@ def _make_loop_kernel(
     adaptive: bool,
     ctl,
     n_grid: int = 2,
+    group: int = 1,
 ):
     """chunk: int -> advance every lane by ``chunk`` iterations (the caller
     loops over chunks in XLA); None -> PERSISTENT kernel: an in-kernel
     while_loop runs until every lane in the tile has left RUNNING (bounded
     by ``ctl.max_steps``, which forces ERR_MAX_STEPS) — the whole solve is
-    ONE kernel launch."""
+    ONE kernel launch.
+
+    ``group=G > 1``: LANE-PACKED mode (exp/modulated.py:_fused_loop_run)
+    — each kernel row carries G independent trajectories of widened dim
+    D = row_width/G over a block-diagonal basis, and every per-trajectory
+    scalar (t, h, status, ...) widens from a (TILE, 1) column to a
+    (TILE, G) block (carry buffers are (B, N_F*G) / (B, N_I*G), laid out
+    quantity-major). All controller/grid/status arithmetic is elementwise,
+    so per-COLUMN semantics are identical to the unpacked kernel; only
+    state-width updates need the mask expanded from (TILE, G) to
+    (TILE, G*D) (exact 0/1 one-hot matmul). Requires n_state == 1 (the
+    harness pre-widens re|im into one buffer before packing)."""
     rtol = float(ctl.rtol)
     alpha = float(ctl.alpha)
     inv_order = 1.0 / float(ctl.order)
@@ -89,6 +101,10 @@ def _make_loop_kernel(
     # interior save slots (t_grid[1:-1]) are recorded in-kernel; slot 0
     # (= x0) and the final slot (= x at DONE) are reconstructed by the host
     n_save = max(n_grid - 2, 0)
+    gw = int(group)
+    if gw > 1 and n_state != 1:
+        raise ValueError("lane-packed loop kernel needs a single pre-"
+                         f"widened state buffer, got n_state={n_state}")
 
     def kernel(*refs):
         tg_ref, fs_ref, is_ref = refs[:3]
@@ -124,6 +140,25 @@ def _make_loop_kernel(
         ]
 
         step = step_builder(const_refs)
+
+        if gw > 1:
+            # per-trajectory (TILE, gw) masks widen to the (TILE, gw*Dg)
+            # state via an exact 0/1 one-hot expansion matmul (lane l
+            # belongs to trajectory column l // Dg)
+            Dg = x.shape[1] // gw
+            rr = jax.lax.broadcasted_iota(jnp.int32, (gw, gw * Dg), 0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (gw, gw * Dg), 1)
+            E = (cc // Dg == rr).astype(dtype)
+
+            def wide(mask_b):
+                return jax.lax.dot_general(
+                    mask_b.astype(dtype), E,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=dtype,
+                ) > 0.5
+        else:
+            def wide(mask_b):
+                return mask_b   # (TILE, 1) broadcasts against (TILE, d)
 
         def iteration(carry):
             (t, h, prev_h, err_prev, xv, tgt, status, event, n_acc, n_rej,
@@ -190,12 +225,13 @@ def _make_loop_kernel(
             # record interior save slots at their grid-hit iterations
             # (state.x at the Chkpt emission point, as in driver.step_once)
             saves = [
-                jnp.where(at_grid & running & (tgt == g + 1), xv, saves[g])
+                jnp.where(wide(at_grid & running & (tgt == g + 1)),
+                          xv, saves[g])
                 for g in range(n_save)
             ]
 
             t = jnp.where(adv, t + dt, t)
-            xv = jnp.where(adv, y, xv)
+            xv = jnp.where(wide(adv), y, xv)
             if adaptive:
                 prev_h = jnp.where(stepping, h, prev_h)
                 h = jnp.where(stepping, new_h, h)
@@ -232,10 +268,9 @@ def _make_loop_kernel(
                     n_acc, n_rej, n_it, streak, saves)
 
         carry = (
-            fs_ref[:, 0:1], fs_ref[:, 1:2], fs_ref[:, 2:3], fs_ref[:, 3:4],
+            *[fs_ref[:, i * gw:(i + 1) * gw] for i in range(N_F)],
             x,
-            is_ref[:, 0:1], is_ref[:, 1:2], is_ref[:, 2:3], is_ref[:, 3:4],
-            is_ref[:, 4:5], is_ref[:, 5:6], is_ref[:, 6:7],
+            *[is_ref[:, i * gw:(i + 1) * gw] for i in range(N_I - 1)],
             saves,
         )
         if chunk is None:
@@ -272,25 +307,74 @@ def _make_loop_kernel(
 
 def make_chain_step_builder(C: int, R: int, K: int, m: int, theta: float,
                             max_squarings: int, step_cols_fn: Callable,
-                            scaled=None):
+                            scaled=None, group: int = 1):
     """Step builder for modulated-operator exponential steppers: the chain
     coefficient rows come from ``step_cols_fn(t_col, dt_col)`` (quadrature
     sampling in-kernel) and the propagator action runs as a per-tile-scaled
-    Taylor chain over the shared basis (const input 0: (K, D, D)).
+    Taylor chain over the shared basis (const input 0: the K basis
+    matrices stacked row-wise as one (K*D, D) block).
 
     ``scaled=(atol, rtol)`` switches the error norm to the controller's
     ``scaled_error`` mode (controller.error_measure): per-component
-    err/(atol + rtol*max(|x|, |x_next|)), L2-normed, times rtol."""
+    err/(atol + rtol*max(|x|, |x_next|)), L2-normed, times rtol.
+
+    ``group=G > 1`` (lane-packed rows, see ``_make_loop_kernel``): t/dt and
+    the coefficient columns are (TILE, G); each coefficient expands to the
+    (TILE, G*D) state width through an exact one-hot matmul, the error norm
+    reduces group-wise, and non-finite states are CONTAINED — a group whose
+    entry state has a NaN/Inf lane is zeroed for the matmul chains (so the
+    block-diagonal contraction cannot leak its NaN into neighbor groups via
+    0*NaN) and poisoned back to NaN on exit, reproducing the unpacked
+    kernel's NaN-rejects-then-stalls semantics per trajectory. Non-finites
+    CREATED mid-chain (transient overflow on a trial step) still leak as
+    spurious rejections to the row's other groups — conservative: state is
+    never corrupted, the neighbors just retry at a smaller h."""
 
     def builder(const_refs):
-        (basis_ref,) = const_refs
+        # const input 0 is the K working-basis matrices STACKED row-wise as
+        # ONE (K*D, D) block: each Taylor term then needs a single
+        # (TILE, D) @ (D, K*D) MXU contraction instead of K serial
+        # (TILE, D) @ (D, D) ones — the same shared-matmul shape as the
+        # XLA chain action (exp/modulated.py:modulated_exp_apply), and a
+        # ~2-3x serial-latency cut for the small-tile lane-packed regime
+        (bigm_ref,) = const_refs
+        D = bigm_ref.shape[-1]
+
+        def basis_k_rows(k):
+            return bigm_ref[k * D:(k + 1) * D, :]
+
         norms = [
-            jnp.max(jnp.sum(jnp.abs(basis_ref[k]), axis=0))
+            jnp.max(jnp.sum(jnp.abs(basis_k_rows(k)), axis=0))
             for k in range(K)
         ]
+        if group > 1:
+            Dg = D // group
+            rr = jax.lax.broadcasted_iota(
+                jnp.int32, (group, group * Dg), 0)
+            cc = jax.lax.broadcasted_iota(
+                jnp.int32, (group, group * Dg), 1)
+            E = (cc // Dg == rr).astype(bigm_ref.dtype)
+
+            def expand(a):                  # (TILE, G) -> (TILE, G*D)
+                # HIGHEST: the default f32 matmul runs bf16 MXU passes on
+                # this backend, which would truncate the expanded
+                # coefficients to ~1e-3 (utils/prec.py)
+                return jax.lax.dot_general(
+                    a, E, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=a.dtype,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+            def reduce_g(aw):               # (TILE, G*D) -> (TILE, G) sums
+                return _row_matmul(aw, E)
 
         def step(t, dt, xv):
             dtype = xv.dtype
+            if group > 1:
+                finite = jnp.isfinite(xv)
+                bad = reduce_g(
+                    jnp.logical_not(finite).astype(dtype)) > 0.5
+                xv = jnp.where(finite, xv, 0.0)
             cols = step_cols_fn(t, dt)
             mx = jnp.zeros((), dtype)
             for c in range(C):
@@ -314,14 +398,20 @@ def make_chain_step_builder(C: int, R: int, K: int, m: int, theta: float,
                 v = xv
                 for r in range(R):
                     cs = [cols[c][r][k] * scale for k in range(K)]
+                    if group > 1:
+                        cs = [expand(ck.astype(dtype)) for ck in cs]
 
                     def taylor_pass(_, v, cs=cs):
                         acc = v
                         term = v
                         for kk in range(1, m + 1):
+                            # ONE (TILE, D) @ (D, K*D) contraction; the
+                            # K per-basis actions come back as column
+                            # blocks of mv_all
+                            mv_all = _row_matmul(term, bigm_ref[:])
                             w = None
                             for k in range(K):
-                                mv = _row_matmul(term, basis_ref[k])
+                                mv = mv_all[:, k * D:(k + 1) * D]
                                 w = (
                                     cs[k] * mv
                                     if w is None
@@ -341,12 +431,27 @@ def make_chain_step_builder(C: int, R: int, K: int, m: int, theta: float,
                         jnp.abs(xv), jnp.abs(outs[0])
                     )
                     dv = dv / sc
-                en = jnp.sqrt(jnp.sum(dv * dv, axis=1, keepdims=True))
+                if group > 1:
+                    # sanitize before the one-hot reduction (0*NaN=NaN
+                    # would leak a group's overflow into every other
+                    # group's sum): a non-finite squared error becomes a
+                    # huge finite one — same reject, right group
+                    dv2 = dv * dv
+                    dv2 = jnp.where(jnp.isfinite(dv2), dv2,
+                                    jnp.asarray(1e30, dtype))
+                    en = jnp.sqrt(reduce_g(dv2))
+                else:
+                    en = jnp.sqrt(jnp.sum(dv * dv, axis=1, keepdims=True))
                 if scaled is not None:
                     en = en * scaled[1]
             else:
-                en = jnp.zeros((xv.shape[0], 1), dtype)
-            return outs[0], en
+                en = jnp.zeros((xv.shape[0], group), dtype)
+            y = outs[0]
+            if group > 1:
+                badw = expand(bad.astype(dtype)) > 0.5
+                y = jnp.where(badw, jnp.asarray(jnp.nan, dtype), y)
+                en = jnp.where(bad, jnp.asarray(jnp.nan, dtype), en)
+            return y, en
 
         return step
 
@@ -354,11 +459,15 @@ def make_chain_step_builder(C: int, R: int, K: int, m: int, theta: float,
 
 
 def make_rk_step_builder(tab, u_fn: Callable, advance_lower: bool,
-                         scaled=None):
+                         scaled=None, group: int = 1):
     """Step builder for the modulated-linear RK stepper: dx/dt =
     (M0 + u(t) M1) x with shared embedded matrices (const inputs 0, 1) and
     a kernel-compatible per-trajectory modulation u(t) — the in-loop twin
     of ops/pallas_rk._make_kernel. ``scaled``: see
+    ``make_chain_step_builder``. ``group=G > 1``: lane-packed rows over
+    block-diagonal M0/M1 — per-group u(t)/dt columns expand to the state
+    width through the exact one-hot matmul, the error norm reduces
+    group-wise, and non-finite entry states are contained exactly as in
     ``make_chain_step_builder``."""
     s = tab.stages
     a = tab.a
@@ -368,14 +477,42 @@ def make_rk_step_builder(tab, u_fn: Callable, advance_lower: bool,
 
     def builder(const_refs):
         m0_ref, m1_ref = const_refs
+        if group > 1:
+            Dg = m0_ref.shape[-1] // group
+            rr = jax.lax.broadcasted_iota(
+                jnp.int32, (group, group * Dg), 0)
+            cc = jax.lax.broadcasted_iota(
+                jnp.int32, (group, group * Dg), 1)
+            E = (cc // Dg == rr).astype(m0_ref.dtype)
+
+            def expand(arr):
+                # HIGHEST: default f32 matmuls run bf16 passes here
+                return jax.lax.dot_general(
+                    arr, E, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=arr.dtype,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+            def reduce_g(aw):
+                return _row_matmul(aw, E)
+        else:
+            def expand(arr):
+                return arr          # (TILE, 1) broadcasts
 
         def f(ti, xi):
-            u = u_fn(ti)                        # (TILE, 1)
+            u = expand(u_fn(ti))                # (TILE, 1) or (TILE, G*D)
             return _row_matmul(xi, m0_ref[:]) + u * _row_matmul(
                 xi, m1_ref[:]
             )
 
         def step(t, dt, xw):
+            dtype = xw.dtype
+            if group > 1:
+                finite = jnp.isfinite(xw)
+                bad = reduce_g(
+                    jnp.logical_not(finite).astype(dtype)) > 0.5
+                xw = jnp.where(finite, xw, 0.0)
+            dt_e = expand(dt)
             K = [None] * s
             K[0] = f(t, xw)
             for i in range(1, s):
@@ -386,7 +523,7 @@ def make_rk_step_builder(tab, u_fn: Callable, advance_lower: bool,
                         continue
                     term = float(a[i, j]) * K[j]
                     acc = term if acc is None else acc + term
-                xi = xw if acc is None else xw + dt * acc
+                xi = xw if acc is None else xw + dt_e * acc
                 K[i] = f(ti, xi)
 
             xb_acc = None
@@ -395,17 +532,21 @@ def make_rk_step_builder(tab, u_fn: Callable, advance_lower: bool,
                     continue
                 term = float(b[j]) * K[j]
                 xb_acc = term if xb_acc is None else xb_acc + term
-            x_b = xw + dt * xb_acc
+            x_b = xw + dt_e * xb_acc
 
             if db is None:
-                return x_b, jnp.zeros((xw.shape[0], 1), xw.dtype)
+                if group > 1:
+                    badw = expand(bad.astype(dtype)) > 0.5
+                    x_b = jnp.where(badw, jnp.asarray(jnp.nan, dtype),
+                                    x_b)
+                return x_b, jnp.zeros((xw.shape[0], group), xw.dtype)
             err_acc = None
             for j in range(s):
                 if db[j] == 0.0:
                     continue
                 term = float(db[j]) * K[j]
                 err_acc = term if err_acc is None else err_acc + term
-            err = dt * err_acc
+            err = dt_e * err_acc
             x_next = (x_b - err) if advance_lower else x_b
             if scaled is not None:
                 atol_s, rtol_s = scaled
@@ -413,9 +554,20 @@ def make_rk_step_builder(tab, u_fn: Callable, advance_lower: bool,
                     jnp.abs(xw), jnp.abs(x_next)
                 )
                 err = err / sc
-            en = jnp.sqrt(jnp.sum(err * err, axis=1, keepdims=True))
+            if group > 1:
+                err2 = err * err
+                err2 = jnp.where(jnp.isfinite(err2), err2,
+                                 jnp.asarray(1e30, dtype))
+                en = jnp.sqrt(reduce_g(err2))
+            else:
+                en = jnp.sqrt(jnp.sum(err * err, axis=1, keepdims=True))
             if scaled is not None:
                 en = en * scaled[1]
+            if group > 1:
+                badw = expand(bad.astype(dtype)) > 0.5
+                x_next = jnp.where(badw, jnp.asarray(jnp.nan, dtype),
+                                   x_next)
+                en = jnp.where(bad, jnp.asarray(jnp.nan, dtype), en)
             return x_next, en
 
         return step
@@ -437,10 +589,14 @@ def fused_loop_chunk(
     ctl,
     tile: int = 128,
     interpret: bool = False,
+    group: int = 1,
 ):
     """Advance every trajectory by ``chunk`` driver iterations in ONE kernel
     (``chunk=None``: to COMPLETION — persistent kernel, see
     ``_make_loop_kernel``).
+
+    ``group=G``: lane-packed rows (see ``_make_loop_kernel``); the float /
+    int carry buffers are (B, N_F*G) / (B, N_I*G), quantity-major.
 
     Returns (fs, ist, x_parts, saves) updated."""
     n_state = len(x_parts)
@@ -455,7 +611,7 @@ def fused_loop_chunk(
     n_grid = t_grid2.shape[0]
     kernel = _make_loop_kernel(
         step_builder, n_state, len(const_inputs), chunk, adaptive, ctl,
-        n_grid=n_grid,
+        n_grid=n_grid, group=group,
     )
 
     def vec_spec(w):
@@ -474,19 +630,19 @@ def fused_loop_chunk(
         in_specs=[
             pl.BlockSpec((1, n_grid), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            vec_spec(N_F),
-            vec_spec(N_I),
+            vec_spec(N_F * group),
+            vec_spec(N_I * group),
             *[vec_spec(d)] * (n_state + n_save_bufs),
             *[const_spec(a) for a in const_inputs],
         ],
         out_specs=[
-            vec_spec(N_F),
-            vec_spec(N_I),
+            vec_spec(N_F * group),
+            vec_spec(N_I * group),
             *[vec_spec(d)] * (n_state + n_save_bufs),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, N_F), dtype),
-            jax.ShapeDtypeStruct((B, N_I), jnp.int32),
+            jax.ShapeDtypeStruct((B, N_F * group), dtype),
+            jax.ShapeDtypeStruct((B, N_I * group), jnp.int32),
             *[jax.ShapeDtypeStruct((B, d), dtype)
               for _ in range(n_state + n_save_bufs)],
         ],
@@ -513,6 +669,7 @@ def fused_loop_integrate(
     persistent: bool = False,
     tile: int = 128,
     interpret: bool = False,
+    group: int = 1,
 ):
     """Full integration over [t_grid[0], t_grid[-1]]: an XLA while loop of
     fused chunks, or — with ``persistent=True`` — ONE kernel launch whose
@@ -520,22 +677,29 @@ def fused_loop_integrate(
     the per-solve launch cost drops from n_iters/chunk launches to 1).
     Interior grid times are hit exactly and recorded in-kernel either way.
 
+    ``group=G``: lane-packed rows — ``y0_parts`` is ONE pre-packed
+    (B_rows, G*D) buffer and per-trajectory ``h0`` (of G*B_rows entries,
+    row-major trajectory order) packs into the G-wide carry blocks.
+
     Returns (fs, ist, x_parts, saves) final carries; the caller builds the
     Solution (ys = [x0, *saves, x_final]) — see exp/modulated.py."""
     B = y0_parts[0].shape[0]
     dtype = y0_parts[0].dtype
     n_grid = t_grid.shape[0]
     t0 = jnp.asarray(t_grid[0], dtype)
+
+    def col_block(v):
+        a = jnp.asarray(v, dtype)
+        if a.ndim == 0 or a.size == 1:
+            return jnp.broadcast_to(a.reshape(()), (B, group))
+        return a.reshape(B, group)
+
     fs = jnp.concatenate(
-        [
-            jnp.broadcast_to(t0, (B,))[:, None],
-            jnp.broadcast_to(jnp.asarray(h0, dtype), (B,))[:, None],
-            jnp.broadcast_to(jnp.asarray(h0, dtype), (B,))[:, None],
-            jnp.zeros((B, 1), dtype),
-        ],
+        [col_block(t0), col_block(h0), col_block(h0),
+         jnp.zeros((B, group), dtype)],
         axis=1,
     )
-    ist = jnp.zeros((B, N_I), jnp.int32)
+    ist = jnp.zeros((B, N_I * group), jnp.int32)
     saves0 = tuple(
         jnp.zeros_like(p) for _ in range(n_grid - 2) for p in y0_parts
     )
@@ -544,19 +708,21 @@ def fused_loop_integrate(
         return fused_loop_chunk(
             t_grid, fs, ist, tuple(y0_parts), saves0, const_inputs,
             step_builder, chunk=None, adaptive=adaptive, ctl=ctl,
-            tile=tile, interpret=interpret,
+            tile=tile, interpret=interpret, group=group,
         )
 
     def cond(carry):
         ist = carry[1]
-        return jnp.any(ist[:, 1] == _RUNNING)
+        return jnp.any(
+            ist[:, group:2 * group] == _RUNNING
+        )
 
     def body(carry):
         fs, ist, parts, saves = carry
         return fused_loop_chunk(
             t_grid, fs, ist, parts, saves, const_inputs, step_builder,
             chunk=chunk, adaptive=adaptive, ctl=ctl, tile=tile,
-            interpret=interpret,
+            interpret=interpret, group=group,
         )
 
     fs, ist, parts, saves = jax.lax.while_loop(

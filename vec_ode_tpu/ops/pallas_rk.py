@@ -278,23 +278,33 @@ class FusedModulatedLinearRK:
             return warn(
                 f"save grid has {t_grid.shape[0]} points > {grid_cap} "
                 "(interior saves live in kernel carry buffers)")
-        # measured crossover: the loop kernel (tile<=128, chunked) wins below
-        # ~2k trajectories where per-iteration dispatch dominates; above,
-        # the per-step kernel (tile 256, XLA-pipelined across iterations) is
-        # ~15-20% faster — fall back there (to the FAST per-step kernel,
-        # not the slow XLA stepper: no fallback warning)
-        if B > 2048:
+        Dw = 2 * d
+        G = 1
+        if Dw % 128 != 0:
+            # lane packing (exp/modulated.py:_fused_loop_run discipline):
+            # small widened dims pack G = 128/Dw trajectories per row over
+            # block-diagonal M0/M1; per-trajectory control lives in the
+            # packed carry columns (pallas_loop group mode)
+            if 128 % Dw == 0 and B % (128 // Dw) == 0:
+                G = 128 // Dw
+            else:
+                return warn(
+                    f"widened dim {Dw} not a multiple of 128 lanes and "
+                    f"not packable (needs Dw | 128 and G | batch)")
+        # measured crossover: above ~2k trajectories the per-step kernel
+        # (tile 256, XLA-pipelined) is ~15-20% faster — UNPACKED only (the
+        # packed small-dim case has no per-step-kernel fallback)
+        if G == 1 and B > 2048:
             return None
+        Bp = B // G
         # loop-kernel tile caps at 128: tile=256 at 64+ grid cells crashes
         # the TPU runtime (empirically; the per-step kernel is fine at 256 —
         # the loop kernel holds more live state per cell)
-        loop_tile = min(128, B)
-        while loop_tile > 0 and B % loop_tile != 0:
+        loop_tile = min(128, Bp)
+        while loop_tile > 0 and Bp % loop_tile != 0:
             loop_tile //= 2
-        if (2 * d) % 128 != 0 or loop_tile < 8:
-            return warn(
-                f"widened dim {2 * d} not a multiple of 128 lanes, or "
-                f"batch {B} gives a loop tile < 8")
+        if loop_tile < 8:
+            return warn(f"batch {B} gives a loop tile < 8")
         if t_grid.dtype != y0.re.dtype:
             return warn(
                 f"time dtype {t_grid.dtype} != state dtype {y0.re.dtype}")
@@ -302,16 +312,44 @@ class FusedModulatedLinearRK:
         builder = make_rk_step_builder(
             self.tableau, self.u_fn, self.advance_lower,
             scaled=(ctl.atol, ctl.rtol) if ctl.scaled_error else None,
+            group=G,
         )
-        M0 = jnp.asarray(self.M0, y0.re.dtype)
-        M1 = jnp.asarray(self.M1, y0.re.dtype)
+        if G > 1:
+            eye_g = np.eye(G)
+            M0 = jnp.asarray(np.kron(eye_g, np.asarray(self.M0)),
+                             y0.re.dtype)
+            M1 = jnp.asarray(np.kron(eye_g, np.asarray(self.M1)),
+                             y0.re.dtype)
+            xw0 = jnp.concatenate([y0.re, y0.im], axis=1)
+            kparts = (xw0.reshape(Bp, G * Dw),)
+        else:
+            M0 = jnp.asarray(self.M0, y0.re.dtype)
+            M1 = jnp.asarray(self.M1, y0.re.dtype)
+            kparts = (y0.re, y0.im)
         fs, ist, parts, saves = fused_loop_integrate(
-            t_grid, (y0.re, y0.im), h0, [M0, M1], builder,
+            t_grid, kparts, h0, [M0, M1], builder,
             adaptive=True, ctl=ctl, chunk=chunk,
             persistent=(persistent is None or persistent), tile=loop_tile,
+            group=G,
         )
-        x_final = Cplx(*parts)
         n_grid = t_grid.shape[0]
+        if G > 1:
+            from .pallas_loop import N_F, N_I
+
+            def unpack(buf):
+                xw = buf.reshape(B, Dw)
+                return (xw[:, :d], xw[:, d:])
+
+            parts = unpack(parts[0])
+            saves = tuple(p for g in range(n_grid - 2)
+                          for p in unpack(saves[g]))
+            fs = jnp.stack(
+                [fs[:, q * G:(q + 1) * G].reshape(B) for q in range(N_F)],
+                axis=1)
+            ist = jnp.stack(
+                [ist[:, q * G:(q + 1) * G].reshape(B)
+                 for q in range(N_I)], axis=1)
+        x_final = Cplx(*parts)
         interior = [Cplx(saves[2 * g], saves[2 * g + 1])
                     for g in range(n_grid - 2)]
         reached = ist[:, 0] >= n_grid
@@ -338,7 +376,8 @@ class FusedModulatedLinearRK:
             h_final=fs[:, 1],
             path=("pallas-loop-persistent"
                   if (persistent is None or persistent)
-                  else "pallas-loop-chunked"),
+                  else "pallas-loop-chunked") + ("-packed" if G > 1
+                                                 else ""),
         )
 
     def step_path(self, y0) -> str:
