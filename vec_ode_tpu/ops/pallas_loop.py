@@ -393,35 +393,49 @@ def make_chain_step_builder(C: int, R: int, K: int, m: int, theta: float,
             scale = jnp.asarray(2.0, dtype) ** (-s.astype(dtype))
             n_pass = jnp.left_shift(jnp.ones((), jnp.int32), s)
 
+            def prep_cs(c, r):
+                cs = [cols[c][r][k] * scale for k in range(K)]
+                if group > 1:
+                    cs = [expand(ck.astype(dtype)) for ck in cs]
+                return cs
+
+            def taylor_chain(v, cs):
+                def taylor_pass(_, v):
+                    acc = v
+                    term = v
+                    for kk in range(1, m + 1):
+                        # ONE (rows, D) @ (D, K*D) contraction; the K
+                        # per-basis actions come back as column blocks
+                        mv_all = _row_matmul(term, bigm_ref[:])
+                        w = None
+                        for k in range(K):
+                            mv = mv_all[:, k * D:(k + 1) * D]
+                            w = (
+                                cs[k] * mv
+                                if w is None
+                                else w + cs[k] * mv
+                            )
+                        term = w * (1.0 / kk)
+                        acc = acc + term
+                    return acc
+
+                return jax.lax.fori_loop(
+                    0, n_pass, lambda i, v: taylor_pass(i, v), v)
+
+            # NOTE (measured r3): row-stacking the C=2 chains through one
+            # (2*TILE, D) @ (D, K*D) matmul per Taylor term is bitwise-
+            # identical and NO FASTER on device (both forms measure
+            # 43-45 ms on the 1024-sweep adaptive LZ solve in the same
+            # tunnel session; an apparent 32-vs-43 ms gap across sessions
+            # was tunnel variance) — so the chains run back to back in
+            # the simpler sequential form. Mosaic also cannot row-concat
+            # the unpacked (TILE, 1) coefficient columns at all
+            # ("result/input offset mismatch on non-concat dimension").
             outs = []
             for c in range(C):
                 v = xv
                 for r in range(R):
-                    cs = [cols[c][r][k] * scale for k in range(K)]
-                    if group > 1:
-                        cs = [expand(ck.astype(dtype)) for ck in cs]
-
-                    def taylor_pass(_, v, cs=cs):
-                        acc = v
-                        term = v
-                        for kk in range(1, m + 1):
-                            # ONE (TILE, D) @ (D, K*D) contraction; the
-                            # K per-basis actions come back as column
-                            # blocks of mv_all
-                            mv_all = _row_matmul(term, bigm_ref[:])
-                            w = None
-                            for k in range(K):
-                                mv = mv_all[:, k * D:(k + 1) * D]
-                                w = (
-                                    cs[k] * mv
-                                    if w is None
-                                    else w + cs[k] * mv
-                                )
-                            term = w * (1.0 / kk)
-                            acc = acc + term
-                        return acc
-
-                    v = jax.lax.fori_loop(0, n_pass, taylor_pass, v)
+                    v = taylor_chain(v, prep_cs(c, r))
                 outs.append(v)
             if C >= 2:
                 dv = outs[1] - outs[0]
