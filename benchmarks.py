@@ -169,6 +169,50 @@ def bench_magnus4_lz_packed(results):
     })
 
 
+def bench_lz_blackbox_auto(results):
+    """The reference's OPAQUE operator contract on its bread-and-butter
+    problem: op_fn is a black-box callback (magnus.rs:32); auto_modulated
+    recovers the 2-term structure AND Chebyshev-fits the coefficients
+    into a kernel view (exp/auto.py:_fit_coeff_cols), so the whole solve
+    lane-packs into one persistent kernel launch."""
+    B = 1024
+    lz = LandauZener(v=2.0, delta=0.4)
+    mod = vexp.auto_modulated(
+        lambda t: lz.op_pair(t, jnp.float32), -20.0, 20.0,
+        dtype=jnp.float32)
+    assert mod is not None and mod.coeff_cols_fn is not None
+    psi0 = np.zeros((B, 2), np.complex64)
+    psi0[:, 0] = 1.0
+    y0 = cp.from_complex(psi0, jnp.float32)
+    ctl = vo.StepControl(rtol=1e-5, max_steps=20000)
+    stepper = vexp.MagnusModulated4(mod)
+    probe = stepper.fused_loop_solve(
+        y0, jnp.asarray([-20.0, 20.0], jnp.float32), 0.05, ctl=ctl,
+        adaptive=True)
+    assert probe is not None and probe.path.endswith("-packed"), (
+        "packed fused loop did not engage for the auto-structured op")
+
+    @jax.jit
+    def run(y0):
+        sol = ensemble_solve(
+            mod, y0, -20.0, 20.0, stepper=stepper, ctl=ctl,
+            h0=0.05, time_dtype=jnp.float32,
+        )
+        return sol.n_iters, sol.y_final
+
+    def sync():
+        it, yf = run(y0)
+        return int(np.asarray(it).sum()), float(np.asarray(yf.re[0, 0]))
+
+    wall, (steps, _) = timed(sync)
+    results.append({
+        "metric": f"adaptive Magnus-4 Landau-Zener steps/sec, {B} sweeps, "
+                  "BLACK-BOX op_fn (auto_modulated + Chebyshev cols, "
+                  "lane-packed kernel)",
+        "value": round(steps / wall, 1), "unit": "steps/sec",
+    })
+
+
 def bench_cfm4_driven(results):
     """Config 4: adaptive CFM-4 with GL-2 quadrature, 64-dim complex."""
     B = 256
@@ -564,6 +608,7 @@ ALL = {
     "magnus2_lz": bench_magnus2_lz,
     "magnus2_lz_packed": bench_magnus2_lz_packed,
     "magnus4_lz_packed": bench_magnus4_lz_packed,
+    "lz_blackbox_auto": bench_lz_blackbox_auto,
     "cfm4_driven": bench_cfm4_driven,
     "magnus4_driven": bench_magnus4_driven,
     "magnus4_driven_fast": bench_magnus4_driven_fast,

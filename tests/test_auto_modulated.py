@@ -102,3 +102,68 @@ def test_real_operator_support():
     R = mod.assemble(jnp.asarray(1.234))
     ref = op_fn(1.234)
     assert float(jnp.max(jnp.abs(R - ref))) < 1e-10
+
+
+def test_fit_cols_enables_fused_loop():
+    """fit_cols (default): the recovered coefficients get a validated
+    Chebyshev coeff_cols_fn, so the BLACK-BOX contract reaches the
+    whole-loop fused kernel — here with lane packing (d=2 -> G=32)."""
+    from vec_ode_tpu.models import LandauZener
+    from vec_ode_tpu.ops import cplx as cp
+
+    lz = LandauZener(v=2.0, delta=0.4)
+    mod = vexp.auto_modulated(
+        lambda t: lz.op_pair(t, jnp.float32), -20.0, 20.0,
+        dtype=jnp.float32)
+    assert mod is not None and mod.coeff_cols_fn is not None
+    # cols view matches the projection coeff_fn
+    for tv in (-17.3, 0.0, 4.56):
+        c_proj = np.asarray(mod.coeff_fn(jnp.float32(tv)))
+        cols = mod.coeff_cols_fn(jnp.full((4, 1), tv, jnp.float32))
+        c_cols = np.asarray([float(c[0, 0]) for c in cols])
+        np.testing.assert_allclose(c_cols, c_proj, rtol=1e-5, atol=1e-5)
+
+    B = 256
+    psi0 = np.zeros((B, 2), np.complex64)
+    psi0[:, 0] = 1.0
+    y0 = cp.from_complex(psi0, jnp.float32)
+    ctl = vo.StepControl(rtol=1e-5, max_steps=20000)
+    st = vexp.MagnusModulated4(mod, interpret=True)
+    sol = st.fused_loop_solve(
+        y0, jnp.asarray([-20.0, 20.0], jnp.float32), 0.05, ctl=ctl,
+        adaptive=True)
+    assert sol is not None, "fused loop did not engage for auto op"
+    assert sol.path.endswith("-packed"), sol.path
+    oracle = ensemble_solve(
+        mod, y0, -20.0, 20.0,
+        stepper=vexp.MagnusModulated4(mod, use_pallas=False),
+        ctl=ctl, h0=0.05, time_dtype=jnp.float32,
+    )
+    assert (np.asarray(sol.status) == vo.DONE).all()
+    for a, b in [(sol.y_final.re, oracle.y_final.re),
+                 (sol.y_final.im, oracle.y_final.im)]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4)
+
+
+def test_fit_cols_rejects_unfittable_coefficients():
+    """A coefficient far beyond the Chebyshev budget (chirp with ~1000
+    oscillations) must fail held-out validation: the operator is still
+    recovered, but coeff_cols_fn stays None (per-step path only)."""
+    sz = jnp.asarray([[0.5, 0.0], [0.0, -0.5]], jnp.float64)
+
+    def op_fn(t):
+        t = jnp.asarray(t)
+        return jnp.cos(8.0 * t * t) * sz
+
+    mod = vexp.auto_modulated(op_fn, 0.0, 30.0)
+    assert mod is not None and mod.n_terms == 1
+    assert mod.coeff_cols_fn is None
+
+
+def test_fit_cols_opt_out():
+    sz = jnp.asarray([[0.5, 0.0], [0.0, -0.5]], jnp.float64)
+    mod = vexp.auto_modulated(
+        lambda t: jnp.sin(jnp.asarray(t)) * sz, 0.0, 3.0,
+        fit_cols=False)
+    assert mod is not None and mod.coeff_cols_fn is None
