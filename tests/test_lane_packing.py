@@ -320,3 +320,28 @@ def test_packed_rk_loop_matches_xla_stepper(monkeypatch):
     np.testing.assert_allclose(np.asarray(sol_f.y_final.im),
                                np.asarray(sol_x.y_final.im),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_packed_cfm4_adaptive_matches_driver():
+    """The CFM modulated family packs through the same _fused_loop_run
+    path (exp/modulated.py:CFMModulated.fused_loop_solve)."""
+    _, mod, y0 = _lz_setup()
+    ctl = vo.StepControl(rtol=1e-5, max_steps=20000)
+    grid = jnp.asarray([-8.0, 8.0], jnp.float32)
+    st = vexp.CFM4Modulated(mod, interpret=True)
+    sol = st.fused_loop_solve(y0, grid, 0.05, ctl=ctl, adaptive=True)
+    assert sol is not None and sol.path.endswith("-packed"), (
+        None if sol is None else sol.path)
+    oracle = ensemble_solve(
+        mod, y0, -8.0, 8.0,
+        stepper=vexp.CFM4Modulated(mod, use_pallas=False),
+        ctl=ctl, h0=0.05, time_dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(sol.status),
+                                  np.asarray(oracle.status))
+    a_k, a_x = np.asarray(sol.n_accept), np.asarray(oracle.n_accept)
+    assert (a_k == a_x).mean() > 0.8 and np.abs(a_k - a_x).max() <= 2
+    for a, b in [(sol.y_final.re, oracle.y_final.re),
+                 (sol.y_final.im, oracle.y_final.im)]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5)
