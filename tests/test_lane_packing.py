@@ -345,3 +345,60 @@ def test_packed_cfm4_adaptive_matches_driver():
                  (sol.y_final.im, oracle.y_final.im)]:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5)
+
+
+def test_packed_adjoint_sweeps_match_xla(monkeypatch):
+    """Lane-packed adjoint sweep kernels (diff.py:_adjoint_core): a d=2
+    control problem (D=4, G=32) runs both whole-sweep kernels on packed
+    rows over the kron(I_G, W_k) basis; gradients must match the
+    use_pallas=False XLA scan path."""
+    from vec_ode_tpu import diff
+    from vec_ode_tpu.ops import pallas_expmv
+
+    sx = jnp.asarray([[0.0, 1.0], [1.0, 0.0]], jnp.float32)
+    sz = jnp.asarray([[1.0, 0.0], [0.0, -1.0]], jnp.float32)
+    basis = cp.Cplx(jnp.zeros((2, 2, 2), jnp.float32),
+                    -jnp.stack([sx, sz]))
+
+    def coeff_fn(t, th):
+        t = jnp.asarray(t)
+        return jnp.stack(
+            [jnp.ones_like(t), th[0] * jnp.cos(th[1] * t)], axis=-1)
+
+    B = 256
+    rng = np.random.default_rng(11)
+    psi = rng.standard_normal((B, 2)) + 1j * rng.standard_normal((B, 2))
+    psi /= np.linalg.norm(psi, axis=-1, keepdims=True)
+    y0 = cp.from_complex(psi.astype(np.complex64), jnp.float32)
+    theta = jnp.asarray([0.6, 1.3], jnp.float32)
+
+    fwd_orig = pallas_expmv.adjoint_sweep_fwd_pallas
+    bwd_orig = pallas_expmv.adjoint_sweep_bwd_pallas
+    hits = {"fwd": 0, "bwd": 0}
+
+    def fwd_i(*a, **kw):
+        hits["fwd"] += 1
+        kw["interpret"] = True
+        return fwd_orig(*a, **kw)
+
+    def bwd_i(*a, **kw):
+        hits["bwd"] += 1
+        kw["interpret"] = True
+        return bwd_orig(*a, **kw)
+
+    monkeypatch.setattr(pallas_expmv, "adjoint_sweep_fwd_pallas", fwd_i)
+    monkeypatch.setattr(pallas_expmv, "adjoint_sweep_bwd_pallas", bwd_i)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def loss(th, use_pallas):
+        yf = diff.adjoint_solve(basis, coeff_fn, th, y0, 0.0, 1.5, 24,
+                                order=4, use_pallas=use_pallas)
+        return jnp.sum(yf.re ** 2 + yf.re * yf.im)
+
+    v_k, g_k = jax.value_and_grad(lambda th: loss(th, True))(theta)
+    assert hits["fwd"] > 0 and hits["bwd"] > 0, hits  # packed kernels ran
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    v_x, g_x = jax.value_and_grad(lambda th: loss(th, False))(theta)
+    np.testing.assert_allclose(float(v_k), float(v_x), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x),
+                               rtol=2e-4, atol=2e-6)

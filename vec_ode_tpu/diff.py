@@ -214,43 +214,79 @@ def _adjoint_core(basis, coeff_fn, *, order, m, max_squarings, use_pallas):
         return modulated_exp_apply(basis_w, c, xw, m=m,
                                    max_squarings=max_squarings)
 
-    def _sweep_ok(xw):
-        return (use_pallas and jax.default_backend() == "tpu"
-                and xw.ndim == 2 and D % 128 == 0
-                and _pick_tile(xw.shape[0]) >= 8)
+    # LANE PACKING for small widened dims (the small-qubit quantum-control
+    # regime; same discipline as exp/modulated._fused_loop_run): the
+    # fixed-step sweeps use SHARED per-row coefficients, so packing is a
+    # pure state/basis transform — kron(I_G, W_k) basis, (B/G, G*D) state
+    # rows. Correctness is structural: exp/Fréchet of a block-diagonal
+    # exponent are block-diagonal, so each packed trajectory evolves
+    # exactly as unpacked, and the kernel's per-row cbar inner products
+    # become group sums whose batch TOTAL (all the caller uses) is
+    # unchanged.
+    G_pack = 128 // D if (D % 128 != 0 and 128 % D == 0) else 1
+    if G_pack > 1:
+        eye_g = jnp.eye(G_pack, dtype=W.dtype)
+        W_pack = jnp.einsum("gh,kij->kgihj", eye_g, W).reshape(
+            Kp, G_pack * D, G_pack * D)
+
+    def _sweep_mode(xw):
+        """'direct' | 'packed' | None for the whole-sweep kernels."""
+        if not (use_pallas and jax.default_backend() == "tpu"
+                and xw.ndim == 2):
+            return None
+        if D % 128 == 0:
+            return "direct" if _pick_tile(xw.shape[0]) >= 8 else None
+        if (G_pack > 1 and xw.shape[0] % G_pack == 0
+                and _pick_tile(xw.shape[0] // G_pack) >= 8):
+            return "packed"
+        return None
+
+    def _sweep_args(mode, xw):
+        if mode == "packed":
+            B = xw.shape[0]
+            return xw.reshape(B // G_pack, G_pack * D), W_pack
+        return xw, W
 
     def _sweep_fwd(c_all, xw):
         """Whole fixed-step forward (R sequential exponentials) in ONE
         persistent kernel launch; None if ineligible."""
         from .ops.pallas_expmv import adjoint_sweep_fwd_pallas
 
-        if not _sweep_ok(xw):
+        mode = _sweep_mode(xw)
+        if mode is None:
             return None
+        xk, Wk = _sweep_args(mode, xw)
         dtype = xw.dtype
         mm_, th_ = _taylor_params(dtype, m)
         # persistent (in-kernel loop) kernels cap at tile=128: tile=256
         # at >=64 grid cells crashes the TPU runtime (CLAUDE.md; same cap
         # as pallas_rk's loop kernel)
-        return adjoint_sweep_fwd_pallas(
-            c_all.astype(dtype), xw, W.astype(dtype), m=mm_, theta=th_,
+        y = adjoint_sweep_fwd_pallas(
+            c_all.astype(dtype), xk, Wk.astype(dtype), m=mm_, theta=th_,
             max_squarings=max_squarings,
-            tile=_pick_tile(xw.shape[0], cap=128),
+            tile=_pick_tile(xk.shape[0], cap=128),
         )
+        return y.reshape(xw.shape) if mode == "packed" else y
 
     def _sweep_bwd(c_all, x_final, a_final):
         """Whole backward sweep in ONE launch → (a0, cbar (R, Kp) summed
         over tiles); None if ineligible."""
         from .ops.pallas_expmv import adjoint_sweep_bwd_pallas
 
-        if not _sweep_ok(x_final):
+        mode = _sweep_mode(x_final)
+        if mode is None:
             return None
+        xk, Wk = _sweep_args(mode, x_final)
+        ak, _ = _sweep_args(mode, a_final)
         dtype = x_final.dtype
         mm_, th_ = _taylor_params(dtype, m)
         a0, cb = adjoint_sweep_bwd_pallas(
-            c_all.astype(dtype), x_final, a_final, W.astype(dtype),
+            c_all.astype(dtype), xk, ak, Wk.astype(dtype),
             m=mm_, theta=th_, max_squarings=max_squarings,
-            tile=_pick_tile(x_final.shape[0], cap=128),  # see _sweep_fwd
+            tile=_pick_tile(xk.shape[0], cap=128),  # see _sweep_fwd
         )
+        if mode == "packed":
+            a0 = a0.reshape(x_final.shape)
         return a0, jnp.sum(cb, axis=0)
 
     def _bwd_fused(c, x_next, a_next):
