@@ -151,11 +151,22 @@ def bench_magnus4_lz_packed(results):
 
     @jax.jit
     def run(y0):
-        sol = ensemble_solve(
-            mod, y0, -20.0, 20.0, stepper=stepper, ctl=ctl,
-            h0=0.05, time_dtype=jnp.float32,
-        )
-        return sol.n_iters, sol.y_final
+        # chain 8 solves per dispatch: amortizes the ~100 ms tunnel
+        # dispatch latency (same methodology as the modulated rows)
+        def body(carry, _):
+            y, acc = carry
+            sol = ensemble_solve(
+                mod, y, -20.0, 20.0, stepper=stepper, ctl=ctl,
+                h0=0.05, time_dtype=jnp.float32,
+            )
+            n = jnp.sqrt(jnp.sum(sol.y_final.re**2 + sol.y_final.im**2,
+                                 axis=-1, keepdims=True))
+            yn = cp.Cplx(sol.y_final.re / n, sol.y_final.im / n)
+            return (yn, acc + sol.n_iters), None
+
+        zeros = jnp.zeros((y0.re.shape[0],), jnp.int32)
+        (yf, acc), _ = jax.lax.scan(body, (y0, zeros), None, length=8)
+        return acc, yf
 
     def sync():
         it, yf = run(y0)
@@ -194,11 +205,22 @@ def bench_lz_blackbox_auto(results):
 
     @jax.jit
     def run(y0):
-        sol = ensemble_solve(
-            mod, y0, -20.0, 20.0, stepper=stepper, ctl=ctl,
-            h0=0.05, time_dtype=jnp.float32,
-        )
-        return sol.n_iters, sol.y_final
+        # chain 8 solves per dispatch: amortizes the ~100 ms tunnel
+        # dispatch latency (same methodology as the modulated rows)
+        def body(carry, _):
+            y, acc = carry
+            sol = ensemble_solve(
+                mod, y, -20.0, 20.0, stepper=stepper, ctl=ctl,
+                h0=0.05, time_dtype=jnp.float32,
+            )
+            n = jnp.sqrt(jnp.sum(sol.y_final.re**2 + sol.y_final.im**2,
+                                 axis=-1, keepdims=True))
+            yn = cp.Cplx(sol.y_final.re / n, sol.y_final.im / n)
+            return (yn, acc + sol.n_iters), None
+
+        zeros = jnp.zeros((y0.re.shape[0],), jnp.int32)
+        (yf, acc), _ = jax.lax.scan(body, (y0, zeros), None, length=8)
+        return acc, yf
 
     def sync():
         it, yf = run(y0)
@@ -209,6 +231,51 @@ def bench_lz_blackbox_auto(results):
         "metric": f"adaptive Magnus-4 Landau-Zener steps/sec, {B} sweeps, "
                   "BLACK-BOX op_fn (auto_modulated + Chebyshev cols, "
                   "lane-packed kernel)",
+        "value": round(steps / wall, 1), "unit": "steps/sec",
+    })
+
+
+def bench_adjoint_smalld(results):
+    """Reversible adjoint on a d=2 pulse-control problem: both whole
+    sweeps run as single LANE-PACKED kernel launches
+    (diff.py:_adjoint_core sweep packing, G=32). Cold compile of this
+    program is erratically slow through the tunnel (the 106s-then-0.4s
+    gotcha) — give it a few minutes on a fresh cache."""
+    from vec_ode_tpu import diff
+
+    sx = jnp.asarray([[0.0, 1.0], [1.0, 0.0]], jnp.float32)
+    sz = jnp.asarray([[1.0, 0.0], [0.0, -1.0]], jnp.float32)
+    basis = cp.Cplx(jnp.zeros((2, 2, 2), jnp.float32),
+                    -jnp.stack([sx, sz]))
+
+    def coeff_fn(t, th):
+        t = jnp.asarray(t)
+        return jnp.stack(
+            [jnp.ones_like(t), th[0] * jnp.cos(th[1] * t)], axis=-1)
+
+    B, n = 1024, 256
+    rng = np.random.default_rng(11)
+    psi = rng.standard_normal((B, 2)) + 1j * rng.standard_normal((B, 2))
+    psi /= np.linalg.norm(psi, axis=-1, keepdims=True)
+    y0 = cp.from_complex(psi.astype(np.complex64), jnp.float32)
+    theta = jnp.asarray([0.6, 1.3], jnp.float32)
+
+    @jax.jit
+    def vg(th):
+        def loss(th):
+            yf = diff.adjoint_solve(basis, coeff_fn, th, y0, 0.0, 1.5, n,
+                                    order=4)
+            return jnp.sum(yf.re ** 2 + yf.re * yf.im)
+        return jax.value_and_grad(loss)(th)
+
+    def sync():
+        v, g = vg(theta)
+        return B * n, float(np.asarray(g)[0])
+
+    wall, (steps, _) = timed(sync)
+    results.append({
+        "metric": f"reversible-adjoint value_and_grad steps/sec, {B}x2c "
+                  f"pulse control, n={n} (lane-packed sweep kernels)",
         "value": round(steps / wall, 1), "unit": "steps/sec",
     })
 
@@ -609,6 +676,7 @@ ALL = {
     "magnus2_lz_packed": bench_magnus2_lz_packed,
     "magnus4_lz_packed": bench_magnus4_lz_packed,
     "lz_blackbox_auto": bench_lz_blackbox_auto,
+    "adjoint_smalld": bench_adjoint_smalld,
     "cfm4_driven": bench_cfm4_driven,
     "magnus4_driven": bench_magnus4_driven,
     "magnus4_driven_fast": bench_magnus4_driven_fast,
