@@ -402,3 +402,52 @@ def test_packed_adjoint_sweeps_match_xla(monkeypatch):
     np.testing.assert_allclose(float(v_k), float(v_x), rtol=2e-5)
     np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x),
                                rtol=2e-4, atol=2e-6)
+
+
+def test_packed_adaptive_interior_saves():
+    """Interior save_at grid hits recorded in-kernel on the packed path
+    under ADAPTIVE control (per-group tgt columns)."""
+    _, mod, y0 = _lz_setup()
+    ctl = vo.StepControl(rtol=1e-5, max_steps=20000)
+    grid = jnp.asarray([-8.0, -2.0, 3.0, 8.0], jnp.float32)
+    st = vexp.MagnusModulated4(mod, interpret=True)
+    sol = st.fused_loop_solve(y0, grid, 0.05, ctl=ctl, adaptive=True)
+    assert sol is not None and sol.path.endswith("-packed")
+    oracle = ensemble_solve(
+        mod, y0, -8.0, 8.0,
+        stepper=vexp.MagnusModulated4(mod, use_pallas=False),
+        ctl=ctl, h0=0.05, time_dtype=jnp.float32,
+        save_at=grid[1:-1],
+    )
+    assert sol.ys.re.shape == oracle.ys.re.shape
+    np.testing.assert_allclose(np.asarray(sol.ys.re),
+                               np.asarray(oracle.ys.re), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sol.ys.im),
+                               np.asarray(oracle.ys.im), atol=1e-4)
+
+
+def test_packed_magnus6_adaptive():
+    """Magnus-6 packs too: the R=3 Yoshida sub-row structure runs
+    per-group in the packed kernel (C=2 chains, 3 rows each)."""
+    _, mod, y0 = _lz_setup()
+    ctl = vo.StepControl(rtol=1e-6, max_steps=20000, order=7)
+    grid = jnp.asarray([-8.0, 8.0], jnp.float32)
+    st = vexp.MagnusModulated6(mod, interpret=True)
+    sol = st.fused_loop_solve(y0, grid, 0.05, ctl=ctl, adaptive=True)
+    assert sol is not None and sol.path.endswith("-packed")
+    oracle = ensemble_solve(
+        mod, y0, -8.0, 8.0,
+        stepper=vexp.MagnusModulated6(mod, use_pallas=False),
+        ctl=ctl, h0=0.05, time_dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(sol.status),
+                                  np.asarray(oracle.status))
+    a_k, a_x = np.asarray(sol.n_accept), np.asarray(oracle.n_accept)
+    # identical trajectories flip marginal accepts all-or-nothing here
+    # (the packed error norm reduces in a different summation order):
+    # bound the magnitude, not the agreement fraction
+    assert np.abs(a_k - a_x).max() <= 2, (a_k[:4], a_x[:4])
+    for a, b in [(sol.y_final.re, oracle.y_final.re),
+                 (sol.y_final.im, oracle.y_final.im)]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5)
