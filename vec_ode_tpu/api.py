@@ -56,8 +56,14 @@ def solve_ivp(
     time_dtype=None,
     method: str = "while",
     events=None,
+    remat_levels: int = 0,
+    grad_safe: bool = False,
 ) -> Solution:
     """Integrate dx/dt = f(t, y) from t0 to tf.
+
+    ``remat_levels`` / ``grad_safe`` (``method="scan"`` gradients): nested-
+    remat checkpointing and overflow-safe reject handling — see
+    :func:`~vec_ode_tpu.driver.resume` and :mod:`vec_ode_tpu.diff`.
 
     ``f(t, y) -> dy/dt`` over an arbitrary pytree state. ``stepper`` defaults
     to Fehlberg RKF45 (the reference's ``RK45Solver``, rk.rs:158-320).
@@ -108,6 +114,8 @@ def solve_ivp(
         pack_carry=getattr(stepper, "prefers_packed_carry", False),
         init_carry_fn=init_carry_fn,
         event_cfg=event_cfg,
+        remat_levels=remat_levels,
+        grad_safe=grad_safe,
     )
     sol = _attach_nfev(sol, stepper)
     if backward:

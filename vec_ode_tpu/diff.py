@@ -68,6 +68,8 @@ def solve_for_grad(
     adaptive: bool = False,
     ctl: StepControl = StepControl(max_steps=4096),
     remat: bool = False,
+    remat_levels: int = 0,
+    grad_safe: Optional[bool] = None,
     **kw,
 ) -> Solution:
     """Differentiable solve: ``step_fn_factory(params) -> step_fn``; the
@@ -78,15 +80,34 @@ def solve_for_grad(
     it tight, every iteration costs a stepper evaluation. ``remat=True``
     wraps the loop body in ``jax.checkpoint`` (recompute instead of storing
     per-step residuals — the TPU-native answer to deep integration graphs).
+
+    ``remat_levels=k`` runs the scan as k+1 nested rematerialized scans
+    (binomial/treeverse checkpointing): reverse-mode memory O((k+1) *
+    max_steps^(1/(k+1))) instead of O(max_steps) — 1e5-step nonlinear
+    gradients fit comfortably at k=2 (driver.resume). Composes with
+    ``remat`` (per-step) if wanted.
+
+    ``grad_safe`` (default: on for adaptive runs) makes rejected trials
+    overflow-proof in reverse mode: the accept decision runs on a
+    stop-gradient pass and the differentiated stepper evaluation sees
+    dt=0 on rejected lanes, closing the documented NaN caveat for
+    nonlinear adaptive gradients (PARITY.md). The smooth step-size
+    sensitivity on accepted steps is kept (the re-evaluation reproduces
+    the decision pass exactly there); only the reject branch's h-shrink
+    gradient is dropped. Costs a second stepper evaluation per iteration;
+    pass ``grad_safe=False`` for the bare scan.
     """
     step_fn = step_fn_factory(params)
     if remat:
         step_fn = jax.checkpoint(step_fn)
+    if grad_safe is None:
+        grad_safe = bool(adaptive)
     t_grid = make_grid(t0, tf, dtype=jnp.result_type(
         jnp.asarray(t0), jnp.asarray(tf), float))
     return integrate(
         step_fn, y0, t_grid, h0,
-        adaptive=adaptive, ctl=ctl, method="scan", **kw,
+        adaptive=adaptive, ctl=ctl, method="scan",
+        remat_levels=remat_levels, grad_safe=grad_safe, **kw,
     )
 
 

@@ -190,9 +190,16 @@ def step_once(
     batched: bool = False,
     record_ys: bool = True,
     event_cfg=None,
+    grad_safe: bool = False,
 ) -> IntState:
     """One driver iteration = one ``ODESolver::step()`` /
     ``step_adaptive()`` (ode.rs:249-253, 337-341), fully branchless.
+
+    ``grad_safe=True`` (adaptive only): decide accept/reject on a
+    stop-gradient evaluation and re-run the stepper with dt zeroed on
+    rejected lanes, so overflowed trial residuals can never NaN the
+    reverse pass (see the inline comment; used by ``method="scan"``
+    gradients through nonlinear RHS).
 
     ``record_ys=False`` skips the save-grid recording (the loop carries a
     zero-size ys buffer); ``resume`` uses it for the n_grid == 2 fast path
@@ -230,14 +237,13 @@ def step_once(
 
     # --- try_step: run the stepper kernel ------------------------------------
     has_carry = len(jax.tree_util.tree_leaves(state.carry)) > 0
-    args = (state.t, state.x, dt) + (
-        (state.carry,) if has_carry else ()
-    )
-    with jax.named_scope("vec_ode.try_step"):
-        if batched:
-            # per-trajectory masking: evaluate for all lanes (dt=0 no-ops)
-            out = step_fn(*args)
-        else:
+
+    def call_step(args):
+        with jax.named_scope("vec_ode.try_step"):
+            if batched:
+                # per-trajectory masking: evaluate for all lanes (dt=0
+                # no-ops)
+                return step_fn(*args)
             # scalar driver: skip the (possibly expensive) stepper entirely
             # on grid-hit iterations — the reference's Chkpt branch does no
             # stepper work either (ode.rs:192-195)
@@ -248,22 +254,19 @@ def step_once(
                     lambda a: jnp.zeros(a.shape, a.dtype), sds
                 )
 
-            out = jax.lax.cond(
+            return jax.lax.cond(
                 stepping,
                 lambda: step_fn(*args),
                 lambda: _zeros_like_sds(out_sds),
             )
-    if has_carry:
-        x_next, err, carry_next = out
-    else:
-        x_next, err = out
-        carry_next = ()
 
-    # --- handle_step_adaptive (ode.rs:311-334) -------------------------------
-    # (named scopes label the HLO for jax.profiler / xprof traces)
-    if adaptive:
-        if err is None:
+    def controller_block(x_next_c, err_c, x_ref, prev_err, valid=None):
+        # handle_step_adaptive (ode.rs:311-334); named scope labels the
+        # HLO for jax.profiler / xprof traces
+        if err_c is None:
             raise ValueError("adaptive integration requires an error estimate")
+        if valid is None:
+            valid = stepping
         with jax.named_scope("vec_ode.controller"):
             # masked (dt=0) lanes produce err=0, whose norm has a NaN
             # reverse-mode (d||err||/derr = err/||err|| = 0/0) and whose
@@ -271,9 +274,9 @@ def step_once(
             # neutralize the norm INPUT and the measure; the masked lanes'
             # h/accept are discarded anyway.
             err_safe = lc.tree_where(
-                stepping, err, jax.tree_util.tree_map(jnp.ones_like, err)
+                valid, err_c, jax.tree_util.tree_map(jnp.ones_like, err_c)
             )
-            measure = error_measure(error_norm, state.x, x_next, err_safe,
+            measure = error_measure(error_norm, x_ref, x_next_c, err_safe,
                                     ctl)
             if jnp.ndim(measure) != jnp.ndim(stepping):
                 # an unbatched norm over a batched state couples every
@@ -286,11 +289,70 @@ def step_once(
                     f"{jnp.shape(stepping)}; use a PER-TRAJECTORY norm "
                     "(jax.vmap(error_norm) / lc.norm_l2_batched)"
                 )
-            measure = jnp.where(stepping, measure, jnp.ones_like(measure))
+            measure = jnp.where(valid, measure, jnp.ones_like(measure))
             new_h, accept = controller_update(
-                state.h, measure, ctl, prev_err_norm=state.err_norm,
+                state.h, measure, ctl, prev_err_norm=prev_err,
                 prev_rejected=state.reject_streak > 0,
             )
+        return measure, new_h, accept
+
+    args = (state.t, state.x, dt) + (
+        (state.carry,) if has_carry else ()
+    )
+    if adaptive and grad_safe:
+        # GRAD-SAFE adaptive stepping (VERDICT r3 #5 NaN caveat): a
+        # rejected trial evaluated at an overlarge dt can overflow inside
+        # the stepper; the primal discards it, but reverse-mode still
+        # linearizes that evaluation, and 0-cotangent x inf-residual = NaN
+        # poisons the whole VJP. Cure (double-where on the INPUT): make the
+        # accept decision on a throwaway stop-gradient pass, then
+        # re-evaluate the stepper with dt zeroed on rejected lanes — the
+        # differentiated evaluation never sees the overflowing trial.
+        # On ACCEPTED lanes the re-evaluation reproduces the decision pass
+        # exactly (same inputs, deterministic), so measure/new_h are
+        # recomputed differentiably there and the smooth h-evolution
+        # sensitivity is KEPT (measured: detaching it biases a Van-der-Pol
+        # mu-gradient by ~4%); only the reject branch's h-shrink gradient
+        # is dropped — exactly zero anyway when the trial overflowed
+        # (new_h pins at min_factor*h there). Costs a second stepper
+        # evaluation per iteration.
+        sg = jax.lax.stop_gradient
+        # stop-grad the decision pass's OUTPUTS as well as its inputs: the
+        # stepper typically closes over parameters, and any non-sg consumer
+        # of these values would pull a cotangent back through the
+        # (possibly overflowed) evaluation. With every output sg'd the
+        # cotangents are symbolic zeros and JAX never transposes the pass.
+        out_dec = jax.tree_util.tree_map(
+            sg, call_step(jax.tree_util.tree_map(sg, args)))
+        x_dec, err_dec = out_dec[0], out_dec[1]
+        measure_dec, new_h_dec, accept = controller_block(
+            x_dec, err_dec, sg(state.x), sg(state.err_norm))
+        accept = sg(accept)
+        acc_b = jnp.broadcast_to(jnp.asarray(accept), stepping.shape)
+        dt_eff = jnp.where(acc_b & stepping, dt, 0.0)
+        out = call_step(
+            (state.t, state.x, dt_eff)
+            + ((state.carry,) if has_carry else ())
+        )
+        dt = dt_eff  # the advance must add the dt actually integrated
+    else:
+        out = call_step(args)
+    if has_carry:
+        x_next, err, carry_next = out
+    else:
+        x_next, err = out
+        carry_next = ()
+
+    if adaptive and grad_safe:
+        # differentiable controller recomputation, valid on accepted lanes
+        # only (rejected lanes keep the stop-gradient decision values)
+        measure2, new_h2, _ = controller_block(
+            x_next, err, state.x, state.err_norm, valid=acc_b & stepping)
+        measure = jnp.where(acc_b, measure2, measure_dec)
+        new_h = jnp.where(acc_b, new_h2, new_h_dec)
+    elif adaptive:
+        measure, new_h, accept = controller_block(
+            x_next, err, state.x, state.err_norm)
     else:
         measure = state.err_norm
         new_h, accept = state.h, jnp.asarray(True)
@@ -561,6 +623,8 @@ def integrate(
     pack_carry: bool = False,
     init_carry_fn: Optional[Callable] = None,
     event_cfg=None,
+    remat_levels: int = 0,
+    grad_safe: bool = False,
 ) -> Solution:
     """Run the full integration loop over [t_grid[0], t_grid[-1]].
 
@@ -581,6 +645,21 @@ def integrate(
         the reference's empty ``diff`` module only declared, lib.rs:12) and
         rematerialization-friendly via ``jax.checkpoint``. Pick a tight
         ``ctl.max_steps`` — every iteration costs a stepper evaluation.
+
+    ``remat_levels=k > 0`` (scan mode only) runs the scan as k+1 NESTED
+    scans of ~max_steps^(1/(k+1)) iterations each, every inner level
+    wrapped in ``jax.checkpoint`` — binomial/treeverse-style checkpointing:
+    reverse-mode memory drops from O(T) residuals to O((k+1)·T^(1/(k+1)))
+    stored carries at the cost of re-running the forward pass k more
+    times. ``k=2`` puts a 1e5-step Van-der-Pol gradient within laptop
+    memory (tests/test_treeverse.py pins the compiled temp-buffer curve).
+    With remat_levels > 0 the 65536-step scan guard is lifted (memory no
+    longer scales with T).
+
+    ``grad_safe=True`` (adaptive scan gradients): see :func:`step_once` —
+    rejected-trial overflow can no longer NaN the VJP; costs a second
+    stepper evaluation per iteration (accepted-step controller
+    sensitivity is kept; only reject-branch h-shrink gradients drop).
     """
     carry0 = () if init_carry_fn is None else init_carry_fn(t_grid[0], x0)
     ev0: Pytree = ()
@@ -595,7 +674,7 @@ def integrate(
     return resume(
         state, step_fn, adaptive=adaptive, ctl=ctl, error_norm=error_norm,
         method=method, batched=bool(batch_shape), pack_carry=pack_carry,
-        event_cfg=event_cfg,
+        event_cfg=event_cfg, remat_levels=remat_levels, grad_safe=grad_safe,
     )
 
 
@@ -610,6 +689,8 @@ def resume(
     batched: bool = False,
     pack_carry: bool = False,
     event_cfg=None,
+    remat_levels: int = 0,
+    grad_safe: bool = False,
 ) -> Solution:
     """Continue integration from an existing carry — the checkpoint/resume
     path (SURVEY §5): save an IntState mid-run (orbax or any pytree
@@ -632,7 +713,7 @@ def resume(
     body = partial(
         step_once, step_fn=step_fn, adaptive=adaptive, ctl=ctl,
         error_norm=error_norm, batched=batched, record_ys=not elide_ys,
-        event_cfg=event_cfg,
+        event_cfg=event_cfg, grad_safe=grad_safe,
     )
 
     # run the loop over a PACKED carry (one buffer per dtype): the loop
@@ -671,17 +752,51 @@ def resume(
             lambda b: jnp.any(status_of(b) == RUNNING), body_packed, carry0
         )
     elif method == "scan":
-        if ctl.max_steps > 65536:
+        if ctl.max_steps > 65536 and remat_levels == 0:
             raise ValueError(
                 f"method='scan' runs EXACTLY ctl.max_steps={ctl.max_steps} "
                 "iterations (every one pays a stepper evaluation). Set a "
                 "tight StepControl.max_steps (the default 1,000,000 is a "
-                "while-loop safety cap, not a scan length)."
+                "while-loop safety cap, not a scan length), or pass "
+                "remat_levels >= 1 for checkpointed O(T^(1/(k+1))) memory."
             )
-        final_bufs, _ = jax.lax.scan(
-            lambda b, _: (body_packed(b), None), carry0, None,
-            length=ctl.max_steps,
-        )
+        if remat_levels > 0:
+            # nested-remat (binomial/treeverse) scan: k+1 levels of
+            # ~T^(1/(k+1)) iterations, each inner level rematerialized —
+            # reverse-mode stores only the carries at level boundaries
+            import math
+
+            L = int(remat_levels) + 1
+            n = max(2, math.ceil(ctl.max_steps ** (1.0 / L)))
+            lengths = [n] * L
+            # trim overshoot level-by-level (total must stay >= max_steps;
+            # extra iterations are self-masking no-ops but still pay a
+            # stepper evaluation each)
+            for i in range(L):
+                while (lengths[i] > 1
+                       and (math.prod(lengths) // lengths[i])
+                       * (lengths[i] - 1) >= ctl.max_steps):
+                    lengths[i] -= 1
+
+            def run_nested(carry, lens):
+                if len(lens) == 1:
+                    return jax.lax.scan(
+                        lambda b, _: (body_packed(b), None), carry, None,
+                        length=lens[0],
+                    )[0]
+                inner = jax.checkpoint(
+                    lambda b: run_nested(b, lens[1:]))
+                return jax.lax.scan(
+                    lambda b, _: (inner(b), None), carry, None,
+                    length=lens[0],
+                )[0]
+
+            final_bufs = run_nested(carry0, lengths)
+        else:
+            final_bufs, _ = jax.lax.scan(
+                lambda b, _: (body_packed(b), None), carry0, None,
+                length=ctl.max_steps,
+            )
     else:
         raise ValueError(f"unknown integrate method: {method!r}")
     final = of_carry(final_bufs)
