@@ -167,3 +167,110 @@ def tree_where(mask, a: Pytree, b: Pytree) -> Pytree:
         return jnp.where(m, x, y)
 
     return jax.tree_util.tree_map(sel, a, b)
+
+
+import dataclasses as _dc
+import math as _math
+
+
+@_dc.dataclass(frozen=True)
+class WeightedNorm:
+    """A DECLARED error-norm family the fast tiers can execute natively.
+
+    The reference's ``ExpCFMSolver`` takes an arbitrary user ``NormFn``
+    (``/root/reference/src/exp/cfm.rs:131-155``). An opaque callable works
+    here too (``error_norm=``, vmapped tier), but natively-batched steppers
+    compute their norms in-kernel, where a Python callable cannot run. This
+    class declares the practically-universal family — weighted l2 / rms /
+    max over the REAL components of the state — in a form every tier
+    (vmapped driver, batched XLA driver, per-step Pallas kernel, fused loop
+    kernel incl. lane packing) executes with identical semantics
+    (VERDICT r3 #8).
+
+    ``weights``: None (all ones), one array broadcast against each leaf's
+    trailing axes (a Cplx state's re/im blocks share it), or a pytree
+    matching the error's structure. For complex-pair states the norm is
+    taken over the real representation: l2 then equals
+    sqrt(sum_i w_i^2 |e_i|^2) exactly; max is max over real/imag parts
+    (within sqrt(2) of the complex-magnitude max).
+
+    kind: "l2"  -> sqrt(sum (w e)^2)
+          "rms" -> l2 / sqrt(n_real_components)
+          "max" -> max |w e|
+
+    Callable per trajectory, so it drops into any ``error_norm=`` slot;
+    ``.batched`` reduces per-trajectory over a leading batch axis.
+    """
+
+    kind: str = "l2"
+    weights: Any = None
+
+    def __post_init__(self):
+        if self.kind not in ("l2", "rms", "max"):
+            raise ValueError(
+                f"WeightedNorm kind must be l2|rms|max, got {self.kind!r}"
+            )
+
+    def _weighted_leaves(self, err):
+        leaves = jax.tree_util.tree_leaves(err)
+        if self.weights is None:
+            return leaves, leaves
+        try:
+            wl = jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(
+                    lambda e, w: e * jnp.asarray(w, e.dtype), err,
+                    self.weights,
+                )
+            )
+            return wl, leaves
+        except ValueError:
+            pass  # not a matching pytree: broadcast one array to every leaf
+        w = jnp.asarray(self.weights)
+        return [l * w.astype(l.dtype) for l in leaves], leaves
+
+    def _reduce(self, err, batch_ndim: int):
+        wl, leaves = self._weighted_leaves(err)
+        axes = lambda l: tuple(range(batch_ndim, l.ndim))
+        if self.kind == "max":
+            vals = [jnp.max(jnp.abs(l), axis=axes(l)) for l in wl]
+            out = vals[0]
+            for v in vals[1:]:
+                out = jnp.maximum(out, v)
+            return out
+        ss = None
+        for l in wl:
+            s = jnp.sum(l * l, axis=axes(l))
+            ss = s if ss is None else ss + s
+        if self.kind == "rms":
+            n = sum(_math.prod(l.shape[batch_ndim:]) for l in leaves)
+            ss = ss / n
+        return jnp.sqrt(ss)
+
+    def __call__(self, err):
+        return self._reduce(err, 0)
+
+    def batched(self, err):
+        return self._reduce(err, 1)
+
+    def kernel_parts(self, d_part: int, n_parts: int, group: int = 1):
+        """(w_row, post, kind) for the kernels' widened-real layout: a
+        numpy (1, n_parts*d_part) row (tiled ``group`` times for lane
+        packing) or None, a constant post-factor, and the reduction kind.
+        Returns None when the declaration cannot be laid out (weights that
+        are a pytree rather than one per-component array)."""
+        import numpy as np
+
+        D = n_parts * d_part
+        if self.weights is None:
+            row = None
+        else:
+            try:
+                w = np.asarray(self.weights, np.float64)
+            except Exception:
+                return None
+            if w.ndim != 1 or w.shape[0] != d_part:
+                return None
+            row = np.tile(np.concatenate([w] * n_parts), group)[None, :]
+        post = 1.0 / _math.sqrt(D) if self.kind == "rms" else 1.0
+        kind = "max" if self.kind == "max" else "l2"
+        return row, post, kind

@@ -57,14 +57,24 @@ def _row_matmul(x, M):
 
 def _make_kernel(C: int, R: int, K: int, m: int, theta: float,
                  max_squarings: int, n_state: int, n_inputs: int,
-                 cols_builder: Callable, compute_err: bool):
+                 cols_builder: Callable, compute_err: bool,
+                 wnorm=None):
+    """``wnorm=(w_row, post, kind)`` (lc.WeightedNorm.kernel_parts): the
+    embedded error norm becomes post * ||w_row * dv|| with kind "l2" or
+    "max". post/kind are Python literals; a non-None w_row arrives as an
+    extra (1, D) kernel INPUT after the basis (Pallas rejects captured
+    non-scalar constants)."""
+    has_wrow = wnorm is not None and wnorm[0] is not None
+
     def kernel(*refs):
         in_refs = refs[:n_inputs]
         x_refs = refs[n_inputs:n_inputs + n_state]
         basis_ref = refs[n_inputs + n_state]
-        y_refs = refs[n_inputs + n_state + 1:
-                      n_inputs + n_state + 1 + n_state]
-        e_ref = refs[n_inputs + 2 * n_state + 1]
+        off = n_inputs + n_state + 1
+        w_ref = refs[off] if has_wrow else None
+        off += int(has_wrow)
+        y_refs = refs[off:off + n_state]
+        e_ref = refs[off + n_state]
 
         x = (
             x_refs[0][:]
@@ -128,7 +138,17 @@ def _make_kernel(C: int, R: int, K: int, m: int, theta: float,
             yr[:] = outs[0][:, i * d:(i + 1) * d]
         if compute_err:
             dv = outs[1] - outs[0]
-            e_ref[:] = jnp.sqrt(jnp.sum(dv * dv, axis=1, keepdims=True))
+            if wnorm is None:
+                e_ref[:] = jnp.sqrt(jnp.sum(dv * dv, axis=1, keepdims=True))
+            else:
+                _, post, kind = wnorm
+                if has_wrow:
+                    dv = dv * w_ref[:]
+                if kind == "max":
+                    en = jnp.max(jnp.abs(dv), axis=1, keepdims=True)
+                else:
+                    en = jnp.sqrt(jnp.sum(dv * dv, axis=1, keepdims=True))
+                e_ref[:] = en if post == 1.0 else en * post
         else:
             e_ref[:] = jnp.zeros_like(e_ref)
 
@@ -148,11 +168,12 @@ def fused_chain_apply(
     max_squarings: int = 16,
     tile: int = 256,
     interpret: bool = False,
+    wnorm=None,
 ):
     """One fused stepper-exponential application.
 
     Returns (y_parts tuple matching x_parts, err_norm (B,) — zeros when
-    C == 1)."""
+    C == 1). ``wnorm``: declared error norm, see ``_make_kernel``."""
     n_state = len(x_parts)
     B, d = x_parts[0].shape
     D = n_state * d
@@ -164,7 +185,8 @@ def fused_chain_apply(
     dtype = x_parts[0].dtype
     kernel = _make_kernel(C, R, K, m, float(theta), max_squarings,
                           n_state, len(inputs), cols_builder,
-                          compute_err=C >= 2)
+                          compute_err=C >= 2, wnorm=wnorm)
+    has_wrow = wnorm is not None and wnorm[0] is not None
 
     def vec_spec(w):
         return pl.BlockSpec((tile, w), lambda i: (i, 0),
@@ -178,6 +200,8 @@ def fused_chain_apply(
             *[vec_spec(d)] * n_state,
             pl.BlockSpec((K, D, D), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
+            *([pl.BlockSpec((1, D), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)] if has_wrow else []),
         ],
         out_specs=[
             *[vec_spec(d)] * n_state,
@@ -192,6 +216,7 @@ def fused_chain_apply(
         *[a.astype(dtype) for a in inputs],
         *x_parts,
         basis.astype(dtype),
+        *([jnp.asarray(wnorm[0], dtype)] if has_wrow else []),
     )
     return tuple(outs[:n_state]), outs[n_state].reshape(B)
 
@@ -232,10 +257,11 @@ def chain_expmv_pallas(
     )
 
 
-def chain_expmv_xla(cs, n_pass, xw, basis, *, m: int = 12):
+def chain_expmv_xla(cs, n_pass, xw, basis, *, m: int = 12, wnorm=None):
     """Pure-XLA reference of the fused kernel (CPU / odd shapes / scalar
     states). cs: (..., C, R, K) PRE-scaled rows; xw: (..., D); n_pass: the
-    uniform pass count; returns (y0, err_norm or None)."""
+    uniform pass count; returns (y0, err_norm or None). ``wnorm``: declared
+    error norm (see ``_make_kernel``) — identical semantics here."""
     C, R, K = cs.shape[-3:]
     batch = jnp.broadcast_shapes(cs.shape[:-3], xw.shape[:-1])
     vs = jnp.broadcast_to(xw[..., None, :], batch + (C, xw.shape[-1]))
@@ -270,7 +296,16 @@ def chain_expmv_xla(cs, n_pass, xw, basis, *, m: int = 12):
     if C < 2:
         return y0, None
     d = vs[..., 1, :] - y0
-    return y0, jnp.sqrt(jnp.sum(d * d, axis=-1))
+    if wnorm is None:
+        return y0, jnp.sqrt(jnp.sum(d * d, axis=-1))
+    w_row, post, kind = wnorm
+    if w_row is not None:
+        d = d * jnp.asarray(w_row, d.dtype).reshape(-1)
+    if kind == "max":
+        en = jnp.max(jnp.abs(d), axis=-1)
+    else:
+        en = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    return y0, (en if post == 1.0 else en * post)
 
 
 def _tmatmul(x, M):
