@@ -12,7 +12,8 @@ from . import dense, diff, events, exp, models, parallel, quad
 from .api import solve_ivp, solve_linear
 from .dense import solve_ivp_dense, solve_linear_dense
 from .controller import StepControl
-from .events import Event, EventConfig
+from .lc import WeightedNorm
+from .events import Event, EventConfig, LinearObservable, QuadraticObservable
 from .driver import (
     DONE,
     DONE_EVENT,
@@ -87,6 +88,9 @@ __all__ = [
     "TABLEAUS",
     "Event",
     "EventConfig",
+    "LinearObservable",
+    "QuadraticObservable",
+    "WeightedNorm",
     "events",
     "RUNNING",
     "DONE",

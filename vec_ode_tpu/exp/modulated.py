@@ -245,8 +245,27 @@ def _fused_result(op, y_parts, e, adaptive):
     return y, (e if adaptive else None)
 
 
+def _stepper_wnorm(stepper, parts, group: int = 1):
+    """(w_row, post, kind) of the stepper's declared ``norm``
+    (lc.WeightedNorm) over the kernels' widened-real layout, or None.
+    Raises for weights the batched tiers cannot lay out (the vmapped tier
+    with a plain ``error_norm=`` callable handles those)."""
+    wn = getattr(stepper, "norm", None)
+    if wn is None:
+        return None
+    kp = wn.kernel_parts(parts[0].shape[-1], len(parts), group=group)
+    if kp is None:
+        raise ValueError(
+            "WeightedNorm.weights must be a single per-(complex-)component "
+            f"array of length {parts[0].shape[-1]} for the batched/fused "
+            "tiers; pass the norm as error_norm= on a non-batched stepper "
+            "for arbitrary pytree weights"
+        )
+    return kp
+
+
 def _apply_chains(op: ModulatedOperator, basis_w, norms, chains, x, *,
-                  m, max_squarings):
+                  m, max_squarings, wnorm=None):
     """Run the chain-exponential action (ops/pallas_expmv.py's XLA
     reference path) on state x — the FALLBACK the steppers use when the
     fused kernel (fused_chain_apply, taken upstream in each step_fn) is
@@ -263,7 +282,8 @@ def _apply_chains(op: ModulatedOperator, basis_w, norms, chains, x, *,
     xw = _widen(x, op.is_cplx)
     cs, n_pass = _scale_chains(chains.astype(dtype), norms, dtype,
                                max_squarings, theta)
-    y, e = chain_expmv_xla(cs, n_pass, xw, basis_w.astype(dtype), m=m)
+    y, e = chain_expmv_xla(cs, n_pass, xw, basis_w.astype(dtype), m=m,
+                           wnorm=wnorm)
     return _unwiden(y, op.is_cplx), e
 
 
@@ -277,7 +297,7 @@ def _ineligible(reason: str):
 
 
 def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
-                    adaptive, chunk=8, persistent=None):
+                    adaptive, chunk=8, persistent=None, event_cfg=None):
     """Shared fused-integrator-loop harness (ops/pallas_loop.py): runs the
     ENTIRE adaptive loop on-chip — by default as ONE persistent kernel
     launch per solve (in-kernel while loop; ``persistent=False`` falls back
@@ -376,27 +396,59 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
     else:
         basis_k = basis_w
         kparts = parts
+    wnorm = None
+    if getattr(stepper, "norm", None) is not None:
+        if ctl.scaled_error:
+            raise ValueError(
+                "scaled_error and a declared WeightedNorm are mutually "
+                "exclusive (both redefine the controller's error measure)"
+            )
+        wnorm = _stepper_wnorm(stepper, parts, group=G)
+        if wnorm[2] == "max" and G > 1:
+            return _ineligible(
+                "max-kind WeightedNorm with lane packing (a segment max "
+                "cannot ride the one-hot reduction matmul); the XLA "
+                "driver applies it instead")
+    ev_spec = None
+    if event_cfg is not None:
+        ev_spec = event_cfg.kernel_spec(parts[0].shape[-1], len(parts))
+        if ev_spec is None:
+            return _ineligible(
+                "events= with opaque callables cannot run in-kernel; "
+                "declare events.LinearObservable / QuadraticObservable "
+                "for the fused loop (the XLA driver handles callables)")
+        if ev_spec.n > 8:
+            return _ineligible(
+                f"{ev_spec.n} events > 8 (found-bits budget of the "
+                "in-kernel event state)")
     m, theta = _taylor_params(parts[0].dtype, stepper.m)
     builder = make_chain_step_builder(
         C, R, basis_w.shape[0], m, float(theta), stepper.max_squarings,
         step_cols_fn,
         scaled=(ctl.atol, ctl.rtol) if ctl.scaled_error else None,
-        group=G,
+        group=G, wnorm=wnorm,
     )
-    fs, ist, xparts, saves = fused_loop_integrate(
+    consts = [basis_k.reshape(-1, basis_k.shape[-1])]
+    if wnorm is not None and wnorm[0] is not None:
+        # declared per-component weights ride as a (1, G*D) const input
+        # (Pallas rejects captured non-scalar constants)
+        consts.append(jnp.asarray(wnorm[0], parts[0].dtype))
+    fs, ist, xparts, saves, ev_y = fused_loop_integrate(
         # the chain builder takes the basis stacked row-wise (K*D, D):
         # one (TILE, D) @ (D, K*D) MXU contraction per Taylor term
-        t_grid, kparts, h0, [basis_k.reshape(-1, basis_k.shape[-1])],
+        t_grid, kparts, h0, consts,
         builder,
         adaptive=adaptive, ctl=ctl, chunk=chunk,
         persistent=(persistent is None or persistent), tile=t_eff,
-        interpret=stepper.interpret, group=G,
+        interpret=stepper.interpret, group=G, events=ev_spec,
     )
     n_grid = t_grid.shape[0]
+    from ..ops.pallas_loop import N_F, N_I
+    n_ev = 0 if ev_spec is None else ev_spec.n
+    n_f_eff = N_F + (2 * n_ev + 1 if n_ev else 0)
     if G > 1:
         # unpack rows -> trajectories (quantity-major carry blocks:
         # trajectory b = row b//G, group column b%G)
-        from ..ops.pallas_loop import N_F, N_I
         d_half = parts[0].shape[-1]
 
         def unpack(buf):
@@ -408,8 +460,10 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
         xparts = unpack(xparts[0])
         saves = tuple(p for g in range(n_grid - 2)
                       for p in unpack(saves[g]))
+        ev_y = tuple(p for e in range(len(ev_y))
+                     for p in unpack(ev_y[e]))
         fs = jnp.stack(
-            [fs[:, q * G:(q + 1) * G].reshape(B) for q in range(N_F)],
+            [fs[:, q * G:(q + 1) * G].reshape(B) for q in range(n_f_eff)],
             axis=1)
         ist = jnp.stack(
             [ist[:, q * G:(q + 1) * G].reshape(B) for q in range(N_I)],
@@ -433,6 +487,22 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
         ),
         y0, *interior, x_final,
     )
+    event_t = event_found = event_y = None
+    if n_ev:
+        # extra float-carry columns: g_prev (N_F..), t_ev, h_entry; found
+        # bits in int column 7 (pallas_loop._make_loop_kernel layout)
+        event_t = jnp.stack(
+            [fs[:, N_F + n_ev + e] for e in range(n_ev)], axis=1)
+        bits = ist[:, 7]
+        event_found = jnp.stack(
+            [((bits >> e) & 1) == 1 for e in range(n_ev)], axis=1)
+        if ev_spec.record_y:
+            n_ps = len(parts)
+            event_y = jax.tree_util.tree_map(
+                lambda *evs: jnp.stack(evs, axis=1),
+                *[Cplx(*ev_y[e * n_ps:(e + 1) * n_ps]) if op.is_cplx
+                  else ev_y[e] for e in range(n_ev)],
+            )
     return Solution(
         ts=jnp.broadcast_to(t_grid, (B,) + t_grid.shape),
         ys=ys,
@@ -443,6 +513,9 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
         n_reject=ist[:, 4],
         n_iters=ist[:, 5],
         h_final=fs[:, 1],
+        event_t=event_t,
+        event_found=event_found,
+        event_y=event_y,
         path=("pallas-loop-persistent"
               if (persistent is None or persistent)
               else "pallas-loop-chunked") + ("-packed" if G > 1 else ""),
@@ -535,7 +608,7 @@ class MidpointModulated:
         return step_cols
 
     def fused_loop_solve(self, y0, t_grid, h0, *, ctl, adaptive,
-                         chunk: int = 8, persistent=None):
+                         chunk: int = 8, persistent=None, events=None):
         """Whole-loop on-chip integration (ops/pallas_loop.py); None if the
         config is not kernel-eligible. Midpoint has no error estimate, so
         adaptive requests fall back (the driver raises the proper error)."""
@@ -544,6 +617,7 @@ class MidpointModulated:
         return _fused_loop_run(
             self, self._step_cols_fn(), 1, 1, y0, t_grid, h0, ctl,
             adaptive=False, chunk=chunk, persistent=persistent,
+            event_cfg=events,
         )
 
 
@@ -562,6 +636,9 @@ class MagnusModulated4:
     max_squarings: int = 16
     use_pallas: bool = True
     interpret: bool = False
+    # declared error norm (lc.WeightedNorm) — executed natively on every
+    # tier incl. the fused loop kernel (reference NormFn, cfm.rs:131-155)
+    norm: Optional[Any] = None
 
     nfev_per_step: int = 2
     is_batched = True     # see MidpointModulated
@@ -625,6 +702,7 @@ class MagnusModulated4:
                         m=taylor_m, theta=theta,
                         max_squarings=self.max_squarings,
                         tile=t_eff, interpret=self.interpret,
+                        wnorm=_stepper_wnorm(self, parts),
                     )
                     return _fused_result(self.op, y_parts, e, adaptive)
 
@@ -646,6 +724,8 @@ class MagnusModulated4:
             return _apply_chains(
                 self.op, basis_w, norms, chains, x,
                 m=self.m, max_squarings=self.max_squarings,
+                wnorm=_stepper_wnorm(
+                    self, (x.re, x.im) if self.op.is_cplx else (x,)),
             )
 
         return step_fn
@@ -674,15 +754,16 @@ class MagnusModulated4:
         return step_cols
 
     def fused_loop_solve(self, y0, t_grid, h0, *, ctl, adaptive,
-                         chunk: int = 8, persistent=None):
+                         chunk: int = 8, persistent=None, events=None):
         """Whole-loop on-chip integration (ops/pallas_loop.py); None if the
-        config is not kernel-eligible."""
+        config is not kernel-eligible. ``events``: an EventConfig of
+        declared observables runs IN-KERNEL (events.py)."""
         if adaptive != self.adaptive:
             return None
         return _fused_loop_run(
             self, self._step_cols_fn(), 2 if self.adaptive else 1, 1,
             y0, t_grid, h0, ctl, adaptive=adaptive, chunk=chunk,
-            persistent=persistent,
+            persistent=persistent, event_cfg=events,
         )
 
 
@@ -703,6 +784,7 @@ class MagnusModulated6:
     max_squarings: int = 16
     use_pallas: bool = True
     interpret: bool = False
+    norm: Optional[Any] = None   # declared WeightedNorm, see MagnusModulated4
 
     is_batched = True     # see MidpointModulated
     error_norm = staticmethod(lambda e: e)
@@ -787,6 +869,7 @@ class MagnusModulated6:
                         m=taylor_m, theta=theta,
                         max_squarings=self.max_squarings,
                         tile=t_eff, interpret=self.interpret,
+                        wnorm=_stepper_wnorm(self, parts),
                     )
                     return _fused_result(self.op, y_parts, e, adaptive)
 
@@ -817,6 +900,8 @@ class MagnusModulated6:
             return _apply_chains(
                 self.op, basis_w, norms, chains, x,
                 m=self.m, max_squarings=self.max_squarings,
+                wnorm=_stepper_wnorm(
+                    self, (x.re, x.im) if self.op.is_cplx else (x,)),
             )
 
         return step_fn
@@ -852,15 +937,15 @@ class MagnusModulated6:
         return step_cols
 
     def fused_loop_solve(self, y0, t_grid, h0, *, ctl, adaptive,
-                         chunk: int = 8, persistent=None):
+                         chunk: int = 8, persistent=None, events=None):
         """Whole-loop on-chip integration (ops/pallas_loop.py); None if the
-        config is not kernel-eligible."""
+        config is not kernel-eligible. ``events``: see MagnusModulated4."""
         if adaptive != self.adaptive:
             return None
         return _fused_loop_run(
             self, self._step_cols_fn(), 2 if self.adaptive else 1, 3,
             y0, t_grid, h0, ctl, adaptive=adaptive, chunk=chunk,
-            persistent=persistent,
+            persistent=persistent, event_cfg=events,
         )
 
 
@@ -883,6 +968,7 @@ class CFMModulated:
     max_squarings: int = 16
     use_pallas: bool = True
     interpret: bool = False
+    norm: Optional[Any] = None   # declared WeightedNorm, see MagnusModulated4
 
     is_batched = True     # see MidpointModulated
     error_norm = staticmethod(lambda e: e)
@@ -963,6 +1049,7 @@ class CFMModulated:
                         m=taylor_m, theta=theta,
                         max_squarings=self.max_squarings,
                         tile=t_eff, interpret=self.interpret,
+                        wnorm=_stepper_wnorm(self, parts),
                     )
                     return _fused_result(self.op, y_parts, e, adaptive)
 
@@ -992,6 +1079,8 @@ class CFMModulated:
             return _apply_chains(
                 self.op, basis_w, norms, chains, x,
                 m=self.m, max_squarings=self.max_squarings,
+                wnorm=_stepper_wnorm(
+                    self, (x.re, x.im) if self.op.is_cplx else (x,)),
             )
 
         return step_fn
@@ -1038,9 +1127,9 @@ class CFMModulated:
         return step_cols
 
     def fused_loop_solve(self, y0, t_grid, h0, *, ctl, adaptive,
-                         chunk: int = 8, persistent=None):
+                         chunk: int = 8, persistent=None, events=None):
         """Whole-loop on-chip integration (ops/pallas_loop.py); None if the
-        config is not kernel-eligible."""
+        config is not kernel-eligible. ``events``: see MagnusModulated4."""
         has_err = self.alpha_err is not None
         if adaptive != has_err:
             return None
@@ -1048,16 +1137,19 @@ class CFMModulated:
             self, self._step_cols_fn(), 2 if has_err else 1,
             np.asarray(self.alpha).shape[0],
             y0, t_grid, h0, ctl, adaptive=adaptive, chunk=chunk,
-            persistent=persistent,
+            persistent=persistent, event_cfg=events,
         )
 
 
 def CFM4Modulated(op: ModulatedOperator, *, adaptive: bool = True,
                   m: Optional[int] = None, max_squarings: int = 16,
                   use_pallas: bool = True,
-                  interpret: bool = False) -> CFMModulated:
+                  interpret: bool = False,
+                  norm: Optional[Any] = None) -> CFMModulated:
     """The reference ExpCFMSolver configuration (cfm.rs:131-162) on the
-    modulated fast path: order 4/2 pair on 2-node Gauss-Legendre."""
+    modulated fast path: order 4/2 pair on 2-node Gauss-Legendre.
+    ``norm``: a declared lc.WeightedNorm — the reference's user NormFn
+    (cfm.rs:131-155), executed natively on every tier."""
     from .. import tableaus as tb
 
     return CFMModulated(
@@ -1069,4 +1161,5 @@ def CFM4Modulated(op: ModulatedOperator, *, adaptive: bool = True,
         max_squarings=max_squarings,
         use_pallas=use_pallas,
         interpret=interpret,
+        norm=norm,
     )

@@ -54,6 +54,7 @@ from .pallas_expmv import _row_matmul
 
 # driver status / event codes (must mirror vec_ode_tpu.driver)
 _RUNNING, _DONE, _ERR_MAX_STEPS, _ERR_STALLED, _ERR_BAD_GRID = 0, 1, 2, 3, 4
+_DONE_EVENT = 5
 _EVT_NONE, _EVT_STEP, _EVT_CHKPT, _EVT_REJECT, _EVT_END = 0, 1, 2, 3, 4
 
 N_F = 5   # float carry columns: t, h, prev_h, err_norm, t_lo (the residual
@@ -70,6 +71,7 @@ def _make_loop_kernel(
     ctl,
     n_grid: int = 2,
     group: int = 1,
+    events=None,
 ):
     """chunk: int -> advance every lane by ``chunk`` iterations (the caller
     loops over chunks in XLA); None -> PERSISTENT kernel: an in-kernel
@@ -86,7 +88,18 @@ def _make_loop_kernel(
     so per-COLUMN semantics are identical to the unpacked kernel; only
     state-width updates need the mask expanded from (TILE, G) to
     (TILE, G*D) (exact 0/1 one-hot matmul). Requires n_state == 1 (the
-    harness pre-widens re|im into one buffer before packing)."""
+    harness pre-widens re|im into one buffer before packing).
+
+    ``events``: an events.KernelEvents — IN-KERNEL event detection
+    (VERDICT r3 #2). Declared linear/quadratic observables evaluate as one
+    weighted row-reduction per step; crossings run the exact
+    regula-falsi-as-step-control discipline of events.event_step (veto +
+    bracket shrink + locate at dt <= t_tol), reusing the kernel's
+    controller columns. Per-event scalars (g_prev, t_ev) and the shared
+    h_entry ride EXTRA float-carry columns after t_lo (so N_F widens to
+    N_F + 2E + 1); found/searching bits pack into int column 7 (spare).
+    Located states (record_y) live in per-event state registers like the
+    interior saves."""
     rtol = float(ctl.rtol)
     alpha = float(ctl.alpha)
     inv_order = 1.0 / float(ctl.order)
@@ -108,17 +121,30 @@ def _make_loop_kernel(
     if gw > 1 and n_state != 1:
         raise ValueError("lane-packed loop kernel needs a single pre-"
                          f"widened state buffer, got n_state={n_state}")
+    n_ev = 0 if events is None else int(events.n)
+    has_evy = n_ev > 0 and events.record_y
+    n_evy = n_ev * n_state if has_evy else 0
+    # float carry widens by per-event g_prev + t_ev columns and the shared
+    # pre-search h_entry column
+    n_f_eff = N_F + (2 * n_ev + 1 if n_ev else 0)
 
     def kernel(*refs):
         tg_ref, fs_ref, is_ref = refs[:3]
         x_refs = refs[3:3 + n_state]
         ysin_refs = refs[3 + n_state:3 + n_state + n_save * n_state]
         base = 3 + n_state + n_save * n_state
+        evyin_refs = refs[base:base + n_evy]
+        base += n_evy
         const_refs = refs[base:base + n_const]
-        ofs_ref = refs[base + n_const]
-        ois_ref = refs[base + n_const + 1]
-        oy_refs = refs[base + n_const + 2:base + n_const + 2 + n_state]
-        oys_refs = refs[base + n_const + 2 + n_state:]
+        base += n_const
+        evrows_ref = refs[base] if n_ev else None
+        base += int(n_ev > 0)
+        ofs_ref = refs[base]
+        ois_ref = refs[base + 1]
+        oy_refs = refs[base + 2:base + 2 + n_state]
+        oys_refs = refs[base + 2 + n_state:
+                        base + 2 + n_state + n_save * n_state]
+        oevy_refs = refs[base + 2 + n_state + n_save * n_state:]
 
         dtype = fs_ref.dtype
         eps = float(jnp.finfo(dtype).eps)
@@ -159,13 +185,46 @@ def _make_loop_kernel(
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=dtype,
                 ) > 0.5
+
+            def reduce_vals(v):
+                # (TILE, gw*Dg) -> (TILE, gw) per-group sums. Sanitize
+                # first: the one-hot contraction would leak a NaN group
+                # into every other group's sum (0*NaN=NaN); a NaN
+                # trajectory's own g is then finite garbage, but its
+                # accept is already vetoed by the NaN error norm, so no
+                # crossing can fire from it. HIGHEST: value-carrying
+                # one-hot matmuls truncate at the bf16 default.
+                v = jnp.where(jnp.isfinite(v), v, jnp.zeros_like(v))
+                return jax.lax.dot_general(
+                    v, E, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=dtype,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+            def expandv(v):
+                # continuous (TILE, gw) -> (TILE, gw*Dg) column expansion
+                return jax.lax.dot_general(
+                    v, E, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=dtype,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
         else:
             def wide(mask_b):
                 return mask_b   # (TILE, 1) broadcasts against (TILE, d)
 
+            def reduce_vals(v):
+                return jnp.sum(v, axis=1, keepdims=True)
+
+            def expandv(v):
+                return v        # (TILE, 1) broadcasts
+
         def iteration(carry):
             (t, h, prev_h, err_prev, t_lo, xv, tgt, status, event, n_acc,
-             n_rej, n_it, streak, saves) = carry
+             n_rej, n_it, streak, saves, evc) = carry
+            if n_ev:
+                (g_prev, t_ev, found, searching, h_entry, y_ev) = evc
+                g_prev, t_ev = list(g_prev), list(t_ev)
+                found, y_ev = list(found), list(y_ev)
             running = status == _RUNNING
             # chk_t = t_grid[min(tgt, n_grid-1)], static select over the
             # (small) grid — Mosaic has no per-lane SMEM gather
@@ -224,8 +283,74 @@ def _make_loop_kernel(
                 measure = err_prev
                 new_h, accept = h, jnp.ones_like(stepping)
 
+            # ---- in-kernel event detection (events.event_step, inlined
+            # with declared-observable g evaluation) ----------------------
+            if n_ev:
+                g_next, thetas, active = [], [], []
+                theta_min = None
+                for e in range(n_ev):
+                    row = evrows_ref[e:e + 1, :]
+                    src = y if events.kinds[e] == "lin" else y * y
+                    gn = reduce_vals(src * row) - events.offsets[e]
+                    gp = g_prev[e]
+                    rising = (gp < 0) & (gn >= 0)
+                    falling = (gp > 0) & (gn <= 0)
+                    de = events.dirs[e]
+                    crossed = (rising if de > 0 else
+                               (falling if de < 0 else rising | falling))
+                    act = crossed & stepping & accept & ~found[e]
+                    denom = gp - gn
+                    th = gp / jnp.where(denom == 0.0,
+                                        jnp.ones_like(denom), denom)
+                    th = jnp.clip(th, 0.0, 1.0)
+                    tha = jnp.where(act, th, 1.0)
+                    theta_min = (tha if theta_min is None
+                                 else jnp.minimum(theta_min, tha))
+                    g_next.append(gn)
+                    thetas.append(th)
+                    active.append(act)
+                any_active = active[0]
+                for a in active[1:]:
+                    any_active = any_active | a
+                if events.t_tol is not None:
+                    tol_ev = jnp.full_like(t, float(events.t_tol))
+                else:
+                    tol_ev = 64.0 * eps * jnp.maximum(1.0, jnp.abs(t))
+                tight = dt <= tol_ev
+                locate = any_active & tight
+                search = any_active & ~tight
+                # search lanes veto the advance and retry with the shrunk
+                # regula-falsi bracket (>= 10% geometric shrink)
+                accept = accept & ~search
+                h_override = jnp.maximum(
+                    jnp.clip(theta_min, 0.1, 0.9) * dt, 0.25 * tol_ev
+                )
+                entering = search & ~searching
+                h_entry = jnp.where(entering, dt, h_entry)
+                restore_h = locate & searching
+                searching = (searching | search) & ~locate
+                terminal_hit = None
+                for e in range(n_ev):
+                    rec = active[e] & locate
+                    t_ev[e] = jnp.where(rec, t + thetas[e] * dt, t_ev[e])
+                    found[e] = found[e] | rec
+                    if events.terminal[e]:
+                        terminal_hit = (rec if terminal_hit is None
+                                        else terminal_hit | rec)
+                    if has_evy:
+                        y_ev[e] = jnp.where(
+                            wide(rec),
+                            xv + expandv(thetas[e]) * (y - xv),
+                            y_ev[e],
+                        )
+                adv_ev = stepping & accept
+                for e in range(n_ev):
+                    g_prev[e] = jnp.where(adv_ev, g_next[e], g_prev[e])
+
             adv = stepping & accept
             rej = stepping & ~accept
+            # event-search iterations are NOT numerical rejections
+            true_rej = rej & ~search if n_ev else rej
 
             # record interior save slots at their grid-hit iterations
             # (state.x at the Chkpt emission point, as in driver.step_once)
@@ -254,6 +379,13 @@ def _make_loop_kernel(
                 prev_h = jnp.where(stepping, h, prev_h)
                 h = jnp.where(stepping, new_h, h)
             h = jnp.where(at_grid & running, prev_h, h)
+            if n_ev:
+                # bracket search overrides the controller's h; a completed
+                # search restores the pre-search step (driver.step_once's
+                # eo.search / eo.restore_h splice)
+                h = jnp.where(search, h_override, h)
+                h = jnp.where(restore_h, h_entry, h)
+                prev_h = jnp.where(restore_h, h_entry, prev_h)
             tgt = tgt + (at_grid & running).astype(jnp.int32)
 
             status = jnp.where(is_end, _DONE, status)
@@ -263,8 +395,10 @@ def _make_loop_kernel(
                 (status == _RUNNING) & (n_it >= max_steps),
                 _ERR_MAX_STEPS, status,
             )
+            if n_ev and terminal_hit is not None:
+                status = jnp.where(terminal_hit, _DONE_EVENT, status)
             streak = jnp.where(
-                rej, streak + 1, jnp.where(adv, 0, streak)
+                true_rej, streak + 1, jnp.where(adv, 0, streak)
             ).astype(jnp.int32)
             if max_streak > 0:
                 status = jnp.where(
@@ -281,15 +415,41 @@ def _make_loop_kernel(
             ).astype(jnp.int32)
             err_prev = jnp.where(stepping, measure, err_prev)
             n_acc = n_acc + adv.astype(jnp.int32)
-            n_rej = n_rej + rej.astype(jnp.int32)
+            n_rej = n_rej + true_rej.astype(jnp.int32)
+            evc_out = (
+                (tuple(g_prev), tuple(t_ev), tuple(found), searching,
+                 h_entry, tuple(y_ev)) if n_ev else ()
+            )
             return (t, h, prev_h, err_prev, t_lo, xv, tgt, status, event,
-                    n_acc, n_rej, n_it, streak, saves)
+                    n_acc, n_rej, n_it, streak, saves, evc_out)
 
+        if n_ev:
+            def fcol(i):
+                return fs_ref[:, i * gw:(i + 1) * gw]
+
+            bits = is_ref[:, (N_I - 1) * gw:N_I * gw]
+            evc0 = (
+                tuple(fcol(N_F + e) for e in range(n_ev)),
+                tuple(fcol(N_F + n_ev + e) for e in range(n_ev)),
+                tuple(((bits >> e) & 1) == 1 for e in range(n_ev)),
+                ((bits >> 15) & 1) == 1,
+                fcol(N_F + 2 * n_ev),
+                tuple(
+                    (evyin_refs[e][:] if n_state == 1
+                     else jnp.concatenate(
+                         [evyin_refs[e * n_state + i][:]
+                          for i in range(n_state)], axis=1))
+                    for e in range(n_ev)
+                ) if has_evy else (),
+            )
+        else:
+            evc0 = ()
         carry = (
             *[fs_ref[:, i * gw:(i + 1) * gw] for i in range(N_F)],
             x,
             *[is_ref[:, i * gw:(i + 1) * gw] for i in range(N_I - 1)],
             saves,
+            evc0,
         )
         if chunk is None:
             # persistent: loop in-kernel until the tile's last lane leaves
@@ -307,25 +467,39 @@ def _make_loop_kernel(
                 0, chunk, lambda _, c: iteration(c), carry
             )
         (t, h, prev_h, err_prev, t_lo, xv, tgt, status, event, n_acc,
-         n_rej, n_it, streak, saves) = carry
+         n_rej, n_it, streak, saves, evc) = carry
 
-        ofs_ref[:] = jnp.concatenate([t, h, prev_h, err_prev, t_lo], axis=1)
+        fcols = [t, h, prev_h, err_prev, t_lo]
+        bits_out = jnp.zeros_like(tgt)
+        if n_ev:
+            (g_prev, t_ev, found, searching, h_entry, y_ev) = evc
+            fcols += [*g_prev, *t_ev, h_entry]
+            for e in range(n_ev):
+                bits_out = bits_out | (found[e].astype(jnp.int32) << e)
+            bits_out = bits_out | (searching.astype(jnp.int32) << 15)
+        ofs_ref[:] = jnp.concatenate(fcols, axis=1)
         ois_ref[:] = jnp.concatenate(
-            [tgt, status, event, n_acc, n_rej, n_it, streak,
-             jnp.zeros_like(tgt)], axis=1,
+            [tgt, status, event, n_acc, n_rej, n_it, streak, bits_out],
+            axis=1,
         )
         for i, yr in enumerate(oy_refs):
             yr[:] = xv[:, i * d:(i + 1) * d]
         for g in range(n_save):
             for i in range(n_state):
                 oys_refs[g * n_state + i][:] = saves[g][:, i * d:(i + 1) * d]
+        if has_evy:
+            for e in range(n_ev):
+                for i in range(n_state):
+                    oevy_refs[e * n_state + i][:] = (
+                        y_ev[e][:, i * d:(i + 1) * d]
+                    )
 
     return kernel
 
 
 def make_chain_step_builder(C: int, R: int, K: int, m: int, theta: float,
                             max_squarings: int, step_cols_fn: Callable,
-                            scaled=None, group: int = 1):
+                            scaled=None, group: int = 1, wnorm=None):
     """Step builder for modulated-operator exponential steppers: the chain
     coefficient rows come from ``step_cols_fn(t_col, dt_col)`` (quadrature
     sampling in-kernel) and the propagator action runs as a per-tile-scaled
@@ -346,7 +520,16 @@ def make_chain_step_builder(C: int, R: int, K: int, m: int, theta: float,
     kernel's NaN-rejects-then-stalls semantics per trajectory. Non-finites
     CREATED mid-chain (transient overflow on a trial step) still leak as
     spurious rejections to the row's other groups — conservative: state is
-    never corrupted, the neighbors just retry at a smaller h."""
+    never corrupted, the neighbors just retry at a smaller h.
+
+    ``wnorm=(w_row, post, kind)`` (lc.WeightedNorm.kernel_parts, w_row
+    already group-tiled): declared error norm — dv scales by the w_row,
+    reduces by "l2" (group-wise supported) or "max" (group=1 only;
+    the caller gates packed configs), then multiplies by post. Mutually
+    exclusive with ``scaled``. A non-None w_row arrives as const input 1
+    (a (1, G*D) row — Pallas rejects captured non-scalar constants); the
+    caller appends it to the const_inputs list."""
+    has_wrow = wnorm is not None and wnorm[0] is not None
 
     def builder(const_refs):
         # const input 0 is the K working-basis matrices STACKED row-wise as
@@ -355,7 +538,10 @@ def make_chain_step_builder(C: int, R: int, K: int, m: int, theta: float,
         # (TILE, D) @ (D, D) ones — the same shared-matmul shape as the
         # XLA chain action (exp/modulated.py:modulated_exp_apply), and a
         # ~2-3x serial-latency cut for the small-tile lane-packed regime
-        (bigm_ref,) = const_refs
+        if has_wrow:
+            bigm_ref, wrow_ref = const_refs
+        else:
+            (bigm_ref,) = const_refs
         D = bigm_ref.shape[-1]
 
         def basis_k_rows(k):
@@ -463,7 +649,13 @@ def make_chain_step_builder(C: int, R: int, K: int, m: int, theta: float,
                         jnp.abs(xv), jnp.abs(outs[0])
                     )
                     dv = dv / sc
-                if group > 1:
+                if has_wrow:
+                    dv = dv * wrow_ref[:]
+                if wnorm is not None and wnorm[2] == "max":
+                    # group=1 only (gated upstream: a segment max cannot
+                    # ride the one-hot reduction matmul)
+                    en = jnp.max(jnp.abs(dv), axis=1, keepdims=True)
+                elif group > 1:
                     # sanitize before the one-hot reduction (0*NaN=NaN
                     # would leak a group's overflow into every other
                     # group's sum): a non-finite squared error becomes a
@@ -476,6 +668,8 @@ def make_chain_step_builder(C: int, R: int, K: int, m: int, theta: float,
                     en = jnp.sqrt(jnp.sum(dv * dv, axis=1, keepdims=True))
                 if scaled is not None:
                     en = en * scaled[1]
+                if wnorm is not None and wnorm[1] != 1.0:
+                    en = en * wnorm[1]
             else:
                 en = jnp.zeros((xv.shape[0], group), dtype)
             y = outs[0]
@@ -491,7 +685,7 @@ def make_chain_step_builder(C: int, R: int, K: int, m: int, theta: float,
 
 
 def make_rk_step_builder(tab, u_fn: Callable, advance_lower: bool,
-                         scaled=None, group: int = 1):
+                         scaled=None, group: int = 1, wnorm=None):
     """Step builder for the modulated-linear RK stepper: dx/dt =
     (M0 + u(t) M1) x with shared embedded matrices (const inputs 0, 1) and
     a kernel-compatible per-trajectory modulation u(t) — the in-loop twin
@@ -500,15 +694,21 @@ def make_rk_step_builder(tab, u_fn: Callable, advance_lower: bool,
     block-diagonal M0/M1 — per-group u(t)/dt columns expand to the state
     width through the exact one-hot matmul, the error norm reduces
     group-wise, and non-finite entry states are contained exactly as in
-    ``make_chain_step_builder``."""
+    ``make_chain_step_builder``. ``wnorm``: see
+    ``make_chain_step_builder`` — a non-None w_row arrives as const
+    input 2."""
     s = tab.stages
     a = tab.a
     b = tab.b
     db = None if tab.b_err is None else (tab.b - tab.b_err)
     c = tab.c
+    has_wrow = wnorm is not None and wnorm[0] is not None
 
     def builder(const_refs):
-        m0_ref, m1_ref = const_refs
+        if has_wrow:
+            m0_ref, m1_ref, wrow_ref = const_refs
+        else:
+            m0_ref, m1_ref = const_refs
         if group > 1:
             Dg = m0_ref.shape[-1] // group
             rr = jax.lax.broadcasted_iota(
@@ -586,7 +786,11 @@ def make_rk_step_builder(tab, u_fn: Callable, advance_lower: bool,
                     jnp.abs(xw), jnp.abs(x_next)
                 )
                 err = err / sc
-            if group > 1:
+            if has_wrow:
+                err = err * wrow_ref[:]
+            if wnorm is not None and wnorm[2] == "max":
+                en = jnp.max(jnp.abs(err), axis=1, keepdims=True)
+            elif group > 1:
                 err2 = err * err
                 err2 = jnp.where(jnp.isfinite(err2), err2,
                                  jnp.asarray(1e30, dtype))
@@ -595,6 +799,8 @@ def make_rk_step_builder(tab, u_fn: Callable, advance_lower: bool,
                 en = jnp.sqrt(jnp.sum(err * err, axis=1, keepdims=True))
             if scaled is not None:
                 en = en * scaled[1]
+            if wnorm is not None and wnorm[1] != 1.0:
+                en = en * wnorm[1]
             if group > 1:
                 badw = expand(bad.astype(dtype)) > 0.5
                 x_next = jnp.where(badw, jnp.asarray(jnp.nan, dtype),
@@ -609,7 +815,7 @@ def make_rk_step_builder(tab, u_fn: Callable, advance_lower: bool,
 
 def fused_loop_chunk(
     t_grid2: jax.Array,            # (n_grid,) save grid, [t0, ..., tf]
-    fs: jax.Array,                 # (B, N_F) float carry
+    fs: jax.Array,                 # (B, N_F_eff) float carry
     ist: jax.Array,                # (B, N_I) int32 carry
     x_parts: Sequence[jax.Array],  # 1 or 2 (B, d) state buffers
     saves: Sequence[jax.Array],    # (n_grid-2)*n_state interior save bufs
@@ -622,15 +828,21 @@ def fused_loop_chunk(
     tile: int = 128,
     interpret: bool = False,
     group: int = 1,
+    events=None,
+    ev_y: Sequence[jax.Array] = (),
 ):
     """Advance every trajectory by ``chunk`` driver iterations in ONE kernel
     (``chunk=None``: to COMPLETION — persistent kernel, see
     ``_make_loop_kernel``).
 
     ``group=G``: lane-packed rows (see ``_make_loop_kernel``); the float /
-    int carry buffers are (B, N_F*G) / (B, N_I*G), quantity-major.
+    int carry buffers are (B, N_F_eff*G) / (B, N_I*G), quantity-major.
 
-    Returns (fs, ist, x_parts, saves) updated."""
+    ``events``: events.KernelEvents for IN-KERNEL event detection; the
+    float carry then carries N_F_eff = N_F + 2E + 1 quantities, and
+    ``ev_y`` holds E*n_state located-state buffers (record_y).
+
+    Returns (fs, ist, x_parts, saves, ev_y) updated."""
     n_state = len(x_parts)
     B, d = x_parts[0].shape
     if tile <= 0 or B % tile != 0:
@@ -641,9 +853,11 @@ def fused_loop_chunk(
         )
     dtype = x_parts[0].dtype
     n_grid = t_grid2.shape[0]
+    n_ev = 0 if events is None else int(events.n)
+    n_f_eff = N_F + (2 * n_ev + 1 if n_ev else 0)
     kernel = _make_loop_kernel(
         step_builder, n_state, len(const_inputs), chunk, adaptive, ctl,
-        n_grid=n_grid, group=group,
+        n_grid=n_grid, group=group, events=events,
     )
 
     def vec_spec(w):
@@ -656,36 +870,45 @@ def fused_loop_chunk(
                             memory_space=pltpu.VMEM)
 
     n_save_bufs = len(saves)
+    n_evy = len(ev_y)
+    ev_inputs = []
+    if n_ev:
+        ev_inputs.append(
+            jnp.asarray(events.tiled_rows(group), dtype)  # (E, G*D)
+        )
     outs = pl.pallas_call(
         kernel,
         grid=(B // tile,),
         in_specs=[
             pl.BlockSpec((1, n_grid), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            vec_spec(N_F * group),
+            vec_spec(n_f_eff * group),
             vec_spec(N_I * group),
-            *[vec_spec(d)] * (n_state + n_save_bufs),
+            *[vec_spec(d)] * (n_state + n_save_bufs + n_evy),
             *[const_spec(a) for a in const_inputs],
+            *[const_spec(a) for a in ev_inputs],
         ],
         out_specs=[
-            vec_spec(N_F * group),
+            vec_spec(n_f_eff * group),
             vec_spec(N_I * group),
-            *[vec_spec(d)] * (n_state + n_save_bufs),
+            *[vec_spec(d)] * (n_state + n_save_bufs + n_evy),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, N_F * group), dtype),
+            jax.ShapeDtypeStruct((B, n_f_eff * group), dtype),
             jax.ShapeDtypeStruct((B, N_I * group), jnp.int32),
             *[jax.ShapeDtypeStruct((B, d), dtype)
-              for _ in range(n_state + n_save_bufs)],
+              for _ in range(n_state + n_save_bufs + n_evy)],
         ],
         interpret=interpret,
     )(
         t_grid2.reshape(1, n_grid).astype(dtype),
-        fs, ist, *x_parts, *saves,
+        fs, ist, *x_parts, *saves, *ev_y,
         *[a.astype(dtype) for a in const_inputs],
+        *ev_inputs,
     )
     return (outs[0], outs[1], tuple(outs[2:2 + n_state]),
-            tuple(outs[2 + n_state:]))
+            tuple(outs[2 + n_state:2 + n_state + n_save_bufs]),
+            tuple(outs[2 + n_state + n_save_bufs:]))
 
 
 def fused_loop_integrate(
@@ -702,6 +925,7 @@ def fused_loop_integrate(
     tile: int = 128,
     interpret: bool = False,
     group: int = 1,
+    events=None,
 ):
     """Full integration over [t_grid[0], t_grid[-1]]: an XLA while loop of
     fused chunks, or — with ``persistent=True`` — ONE kernel launch whose
@@ -713,8 +937,13 @@ def fused_loop_integrate(
     (B_rows, G*D) buffer and per-trajectory ``h0`` (of G*B_rows entries,
     row-major trajectory order) packs into the G-wide carry blocks.
 
-    Returns (fs, ist, x_parts, saves) final carries; the caller builds the
-    Solution (ys = [x0, *saves, x_final]) — see exp/modulated.py."""
+    ``events``: events.KernelEvents — in-kernel event detection; g(t0,x0)
+    initializes host-side (one cheap XLA reduction), located times/states
+    come back in the extra float-carry columns / ``ev_y`` buffers.
+
+    Returns (fs, ist, x_parts, saves, ev_y) final carries; the caller
+    builds the Solution (ys = [x0, *saves, x_final]) — see
+    exp/modulated.py."""
     B = y0_parts[0].shape[0]
     dtype = y0_parts[0].dtype
     n_grid = t_grid.shape[0]
@@ -726,10 +955,33 @@ def fused_loop_integrate(
             return jnp.broadcast_to(a.reshape(()), (B, group))
         return a.reshape(B, group)
 
+    n_ev = 0 if events is None else int(events.n)
+    evcols = []
+    ev_y0 = ()
+    if n_ev:
+        import numpy as np
+
+        xw = (y0_parts[0] if len(y0_parts) == 1
+              else jnp.concatenate(y0_parts, axis=1))
+        Dw = xw.shape[1] // group
+        x3 = xw.reshape(B, group, Dw)
+        rows = np.asarray(events.rows)
+        for e in range(n_ev):
+            row = jnp.asarray(rows[e], dtype)
+            src = x3 if events.kinds[e] == "lin" else x3 * x3
+            evcols.append((src * row).sum(-1) - events.offsets[e])
+        evcols += [jnp.full((B, group), jnp.inf, dtype)] * n_ev  # t_ev
+        evcols.append(jnp.zeros((B, group), dtype))              # h_entry
+        if events.record_y:
+            ev_y0 = tuple(
+                jnp.zeros_like(p) for _ in range(n_ev) for p in y0_parts
+            )
+
     fs = jnp.concatenate(
         [col_block(t0), col_block(h0), col_block(h0),
          jnp.zeros((B, group), dtype),          # err_norm
-         jnp.zeros((B, group), dtype)],         # t_lo (compensated time)
+         jnp.zeros((B, group), dtype),          # t_lo (compensated time)
+         *evcols],
         axis=1,
     )
     ist = jnp.zeros((B, N_I * group), jnp.int32)
@@ -742,6 +994,7 @@ def fused_loop_integrate(
             t_grid, fs, ist, tuple(y0_parts), saves0, const_inputs,
             step_builder, chunk=None, adaptive=adaptive, ctl=ctl,
             tile=tile, interpret=interpret, group=group,
+            events=events, ev_y=ev_y0,
         )
 
     def cond(carry):
@@ -751,14 +1004,14 @@ def fused_loop_integrate(
         )
 
     def body(carry):
-        fs, ist, parts, saves = carry
+        fs, ist, parts, saves, ev_y = carry
         return fused_loop_chunk(
             t_grid, fs, ist, parts, saves, const_inputs, step_builder,
             chunk=chunk, adaptive=adaptive, ctl=ctl, tile=tile,
-            interpret=interpret, group=group,
+            interpret=interpret, group=group, events=events, ev_y=ev_y,
         )
 
-    fs, ist, parts, saves = jax.lax.while_loop(
-        cond, body, (fs, ist, tuple(y0_parts), saves0)
+    fs, ist, parts, saves, ev_y = jax.lax.while_loop(
+        cond, body, (fs, ist, tuple(y0_parts), saves0, ev_y0)
     )
-    return fs, ist, parts, saves
+    return fs, ist, parts, saves, ev_y

@@ -326,7 +326,7 @@ class FusedModulatedLinearRK:
             M0 = jnp.asarray(self.M0, y0.re.dtype)
             M1 = jnp.asarray(self.M1, y0.re.dtype)
             kparts = (y0.re, y0.im)
-        fs, ist, parts, saves = fused_loop_integrate(
+        fs, ist, parts, saves, _ = fused_loop_integrate(
             t_grid, kparts, h0, [M0, M1], builder,
             adaptive=True, ctl=ctl, chunk=chunk,
             persistent=(persistent is None or persistent), tile=loop_tile,

@@ -84,10 +84,38 @@ def ensemble_solve(
     event_cfg = as_event_config(events)
     use_batched = bool(getattr(stepper, "is_batched", False))
     if use_batched:
+        import dataclasses as _dc
+
         stepper_norm = getattr(stepper, "error_norm", None)
-        norm_conflict = (
-            stepper_norm is not None and error_norm is not lc.norm_l2
-        )
+        custom_norm = error_norm is not lc.norm_l2
+        if custom_norm and isinstance(error_norm, lc.WeightedNorm):
+            if ctl.scaled_error:
+                raise ValueError(
+                    "scaled_error and a WeightedNorm are mutually "
+                    "exclusive (both redefine the error measure)"
+                )
+            declares_norm = _dc.is_dataclass(stepper) and any(
+                f.name == "norm" for f in _dc.fields(stepper)
+            )
+            if stepper_norm is not None and declares_norm:
+                # norm-returning stepper with native WeightedNorm support:
+                # install the declaration — its step kernels AND the fused
+                # loop kernel execute it (reference NormFn, cfm.rs:131-155)
+                existing = getattr(stepper, "norm", None)
+                if existing is None:
+                    stepper = _dc.replace(stepper, norm=error_norm)
+                elif existing != error_norm:
+                    raise ValueError(
+                        "stepper already declares a different norm= than "
+                        "the error_norm= passed to ensemble_solve"
+                    )
+                custom_norm = False  # handled natively
+            elif stepper_norm is None:
+                # vector-returning batched stepper: reduce per trajectory
+                # with the declared norm's batched form (below)
+                custom_norm = False
+                error_norm = error_norm.batched
+        norm_conflict = stepper_norm is not None and custom_norm
         scaled_conflict = (
             ctl.scaled_error and stepper_norm is not None
             and getattr(stepper, "fused_loop_solve", None) is None
@@ -96,16 +124,16 @@ def ensemble_solve(
             stepper, "auto_batched", False
         ):
             # AUTO-batched dense steppers quietly keep the vmapped path
-            # for calls its batched conventions cannot express (custom
-            # error_norm; scaled_error needs the error VECTOR): those
-            # calls were valid before batching existed and stay valid
+            # for calls its batched conventions cannot express (opaque
+            # error_norm callables; scaled_error needs the error VECTOR):
+            # those calls were valid before batching existed and stay valid
             use_batched = False
         elif norm_conflict:
             raise ValueError(
                 "this stepper computes its own per-trajectory error "
-                "norms; a custom error_norm cannot be applied (dense-"
-                "split exp steppers accept batched=False for the vmapped "
-                "path)"
+                "norms; an OPAQUE error_norm callable cannot be applied "
+                "(declare an lc.WeightedNorm for native execution, or use "
+                "batched=False dense-split steppers for the vmapped path)"
             )
 
     if params is None:
@@ -130,8 +158,14 @@ def ensemble_solve(
 
     if use_batched:
         # natively-batched stepper (e.g. the Pallas fused RK step): one
-        # driver loop over the whole (local) batch, no vmap
-        enorm = stepper_norm or lc.norm_l2_batched
+        # driver loop over the whole (local) batch, no vmap. error_norm at
+        # this point is already per-trajectory-reducing (a WeightedNorm's
+        # .batched form) when a declared norm reached a vector-returning
+        # stepper above.
+        enorm = stepper_norm or (
+            error_norm if error_norm is not lc.norm_l2
+            else lc.norm_l2_batched
+        )
 
         fused_solve = getattr(stepper, "fused_loop_solve", None)
 
@@ -144,19 +178,30 @@ def ensemble_solve(
             )
             b = jax.tree_util.tree_leaves(y0)[0].shape[0]
             sol = None
-            if (fused_solve is not None and method == "while"
-                    and event_cfg is None):
+            if fused_solve is not None and method == "while":
                 # whole-loop on-chip path (ops/pallas_loop.py); None when
-                # the config is not kernel-eligible. Event detection runs
-                # in the XLA driver (the loop kernels carry no event state)
-                sol = fused_solve(y0, t_grid, h, ctl=ctl, adaptive=adaptive)
-            elif fused_solve is not None and event_cfg is not None:
-                from .. import config as _config
+                # the config is not kernel-eligible. Declared-observable
+                # events run IN-KERNEL (events.py observables); opaque
+                # event callables make the config ineligible and fall
+                # back to the XLA driver below.
+                import inspect
 
-                _config._warn_fallback(
-                    "events= requested: event detection runs in the XLA "
-                    "driver; the fused loop kernels carry no event state"
-                )
+                kw = {}
+                if event_cfg is not None:
+                    if ("events" not in
+                            inspect.signature(fused_solve).parameters):
+                        from .. import config as _config
+
+                        _config._warn_fallback(
+                            "events= requested: this stepper's fused loop "
+                            "carries no event state; the XLA driver "
+                            "handles events"
+                        )
+                    else:
+                        kw["events"] = event_cfg
+                if event_cfg is None or "events" in kw:
+                    sol = fused_solve(y0, t_grid, h, ctl=ctl,
+                                      adaptive=adaptive, **kw)
             if sol is not None:
                 return sol
             if ctl.scaled_error and stepper_norm is not None:
