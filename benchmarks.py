@@ -32,6 +32,31 @@ def timed(run_sync, reps=3):
     return (time.perf_counter() - t0) / reps, out
 
 
+def steady_rate(run1, reps=8):
+    """ONE solve per dispatch with a device->host sync between calls — the
+    optimizer-loop pattern an actual user sees (VERDICT r3 #9; the chained
+    rows amortize the ~100 ms tunnel dispatch latency over 8-16 solves).
+    ``run1()`` must dispatch exactly one solve, force a host transfer, and
+    return its step count. Median of per-call rates: tunnel noise is
+    one-sided (stalls only ever slow a call down)."""
+    run1()  # warmup/compile
+    rates = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        steps = run1()
+        rates.append(steps / (time.perf_counter() - t0))
+    return float(np.median(rates))
+
+
+def paired_steady(results, metric, run1):
+    """Append the steady-state row PAIRED with a chained row (same config,
+    same jitted solve, unchained dispatch)."""
+    results.append({
+        "metric": metric + " [STEADY-STATE: one solve/dispatch, host sync]",
+        "value": round(steady_rate(run1), 1), "unit": "steps/sec",
+    })
+
+
 def bench_rk4_vdp(results):
     """Config 2: fixed-step RK4, Van der Pol batch."""
     B, n_steps = 4096, 1000
@@ -173,11 +198,27 @@ def bench_magnus4_lz_packed(results):
         return int(np.asarray(it).sum()), float(np.asarray(yf.re[0, 0]))
 
     wall, (steps, _) = timed(sync)
+    metric = (f"adaptive Magnus-4 Landau-Zener steps/sec, {B} sweeps "
+              "(lane-packed, per-trajectory control in-kernel)")
     results.append({
-        "metric": f"adaptive Magnus-4 Landau-Zener steps/sec, {B} sweeps "
-                  "(lane-packed, per-trajectory control in-kernel)",
+        "metric": metric + " [chained: 8 solves/dispatch]",
         "value": round(steps / wall, 1), "unit": "steps/sec",
     })
+
+    @jax.jit
+    def run_one(y0):
+        sol = ensemble_solve(
+            mod, y0, -20.0, 20.0, stepper=stepper, ctl=ctl,
+            h0=0.05, time_dtype=jnp.float32,
+        )
+        return sol.n_iters, sol.y_final
+
+    def run1():
+        it, yf = run_one(y0)
+        np.asarray(yf.re)  # host transfer = the only reliable barrier
+        return int(np.asarray(it).sum())
+
+    paired_steady(results, metric, run1)
 
 
 def bench_lz_blackbox_auto(results):
@@ -227,12 +268,28 @@ def bench_lz_blackbox_auto(results):
         return int(np.asarray(it).sum()), float(np.asarray(yf.re[0, 0]))
 
     wall, (steps, _) = timed(sync)
+    metric = (f"adaptive Magnus-4 Landau-Zener steps/sec, {B} sweeps, "
+              "BLACK-BOX op_fn (auto_modulated + Chebyshev cols, "
+              "lane-packed kernel)")
     results.append({
-        "metric": f"adaptive Magnus-4 Landau-Zener steps/sec, {B} sweeps, "
-                  "BLACK-BOX op_fn (auto_modulated + Chebyshev cols, "
-                  "lane-packed kernel)",
+        "metric": metric + " [chained: 8 solves/dispatch]",
         "value": round(steps / wall, 1), "unit": "steps/sec",
     })
+
+    @jax.jit
+    def run_one(y0):
+        sol = ensemble_solve(
+            mod, y0, -20.0, 20.0, stepper=stepper, ctl=ctl,
+            h0=0.05, time_dtype=jnp.float32,
+        )
+        return sol.n_iters, sol.y_final
+
+    def run1():
+        it, yf = run_one(y0)
+        np.asarray(yf.re)
+        return int(np.asarray(it).sum())
+
+    paired_steady(results, metric, run1)
 
 
 def bench_adjoint_smalld(results):
@@ -357,11 +414,28 @@ def bench_magnus4_driven(results):
         return int(np.asarray(na).sum()), float(np.asarray(yf.re[0, 0]))
 
     wall, (steps, _) = timed(sync)
+    metric = (f"adaptive Magnus-4 steps/sec, {B}x64-dim complex "
+              "(batched commutator + stacked expm pair)")
     results.append({
-        "metric": f"adaptive Magnus-4 steps/sec, {B}x64-dim complex "
-                  "(batched commutator + stacked expm pair)",
+        "metric": metric + " [chained: 16 solves/dispatch]",
         "value": round(steps / wall, 1), "unit": "steps/sec",
     })
+
+    @jax.jit
+    def run_one(y):
+        sol = ensemble_solve(
+            lambda t: model.op_pair(t, jnp.float32), y, 0.0, 1.0,
+            stepper=stepper, adaptive=True, ctl=ctl,
+            h0=1e-2, time_dtype=jnp.float32,
+        )
+        return sol.n_accept, sol.y_final
+
+    def run1():
+        na, yf = run_one(y0)
+        np.asarray(yf.re)
+        return int(np.asarray(na).sum())
+
+    paired_steady(results, metric, run1)
 
 
 
@@ -449,11 +523,27 @@ def _bench_modulated(results, make_stepper, label, B=256, length=16):
         return int(np.asarray(na).sum()), float(np.asarray(yf.re[0, 0]))
 
     wall, (steps, _) = timed(sync)
+    metric = (f"{label}, {B}x64-dim complex (modulated shared-basis "
+              "Taylor action, no per-trajectory expm)")
     results.append({
-        "metric": f"{label}, {B}x64-dim complex (modulated shared-basis "
-                  "Taylor action, no per-trajectory expm)",
+        "metric": metric + f" [chained: {length} solves/dispatch]",
         "value": round(steps / wall, 1), "unit": "steps/sec",
     })
+
+    @jax.jit
+    def run_one(y):
+        sol = ensemble_solve(
+            None, y, 0.0, 1.0, stepper=stepper, adaptive=True, ctl=ctl,
+            h0=1e-2, time_dtype=jnp.float32,
+        )
+        return sol.n_accept, sol.y_final
+
+    def run1():
+        na, yf = run_one(y0)
+        np.asarray(yf.re)
+        return int(np.asarray(na).sum())
+
+    paired_steady(results, metric, run1)
 
 
 def bench_magnus4_auto_structured(results, B=256, length=16):
@@ -670,11 +760,79 @@ def bench_lz_sweep_efficiency(results):
     })
 
 
+def bench_magnus4_lz_events(results):
+    """IN-KERNEL event detection (VERDICT r3 #2): the adaptive lane-packed
+    LZ sweep with a TERMINAL population-threshold event (declared
+    QuadraticObservable) stays on the persistent kernel; the same event as
+    an opaque callable forces the XLA-driver fallback — both measured."""
+    from vec_ode_tpu.events import Event, EventConfig, QuadraticObservable
+
+    B = 1024
+    lz = LandauZener(v=2.0, delta=0.4)
+    mod = lz.modulated(jnp.float32)
+    psi0 = np.zeros((B, 2), np.complex64)
+    psi0[:, 0] = 1.0
+    y0 = cp.from_complex(psi0, jnp.float32)
+    ctl = vo.StepControl(rtol=1e-5, max_steps=20000)
+    obs = QuadraticObservable(q=[0.0, 1.0], c=0.05)
+    ev_k = EventConfig(events=(Event(obs, direction=1, terminal=True),),
+                       t_tol=1e-4)
+    fn = lambda t, x: x.re[1] ** 2 + x.im[1] ** 2 - 0.05
+    ev_x = EventConfig(events=(Event(fn, direction=1, terminal=True),),
+                       t_tol=1e-4)
+    stepper = vexp.MagnusModulated4(mod)
+    probe = stepper.fused_loop_solve(
+        y0, jnp.asarray([-20.0, 20.0], jnp.float32), 0.05, ctl=ctl,
+        adaptive=True, events=ev_k)
+    assert probe is not None and probe.path.endswith("-packed"), (
+        "packed fused loop did not engage with in-kernel events")
+
+    def make(ev):
+        @jax.jit
+        def run(y0):
+            def body(carry, _):
+                y, acc = carry
+                sol = ensemble_solve(
+                    mod, y, -20.0, 20.0, stepper=stepper, ctl=ctl,
+                    h0=0.05, time_dtype=jnp.float32, events=ev,
+                )
+                return (y, acc + sol.n_iters), sol.event_t
+
+            zeros = jnp.zeros((y0.re.shape[0],), jnp.int32)
+            (_, acc), tev = jax.lax.scan(body, (y0, zeros), None, length=8)
+            return acc, tev
+
+        def sync():
+            it, tev = run(y0)
+            return int(np.asarray(it).sum()), float(np.asarray(tev)[0, 0, 0])
+
+        return sync
+
+    import warnings
+
+    wall_k, (steps_k, t_k) = timed(make(ev_k))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        wall_x, (steps_x, t_x) = timed(make(ev_x))
+    assert abs(t_k - t_x) < 1e-3, (t_k, t_x)
+    results.append({
+        "metric": f"adaptive Magnus-4 LZ steps/sec, {B} sweeps, TERMINAL "
+                  "population event IN-KERNEL (declared observable, "
+                  "lane-packed persistent kernel) [chained: 8/dispatch]",
+        "value": round(steps_k / wall_k, 1), "unit": "steps/sec",
+        "detail": {
+            "xla_fallback_opaque_callable": round(steps_x / wall_x, 1),
+            "speedup": round((steps_k / wall_k) / (steps_x / wall_x), 2),
+        },
+    })
+
+
 ALL = {
     "rk4_vdp": bench_rk4_vdp,
     "magnus2_lz": bench_magnus2_lz,
     "magnus2_lz_packed": bench_magnus2_lz_packed,
     "magnus4_lz_packed": bench_magnus4_lz_packed,
+    "magnus4_lz_events": bench_magnus4_lz_events,
     "lz_blackbox_auto": bench_lz_blackbox_auto,
     "adjoint_smalld": bench_adjoint_smalld,
     "cfm4_driven": bench_cfm4_driven,

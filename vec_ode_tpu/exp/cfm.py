@@ -109,8 +109,12 @@ def _cfm_batched_step(assemble, split, t, x, dt, alpha, c, alpha_err, *,
     from . import dense_fast as df
 
     J = len(c)
-    samples = [assemble(t + float(cj) * dt) for cj in c]
-    Es = [df.embed_node(split, s) for s in samples]
+    # ONE stacked assemble + embed for all quadrature nodes (halves/thirds
+    # the sampling launches; callback stays scalar-time, cfm.rs:54)
+    B = jnp.shape(t)[0] if jnp.ndim(t) else None
+    ts = jnp.concatenate([t + float(cj) * dt for cj in c])
+    E_all = df.embed_node(split, assemble(ts))
+    Es = [E_all[j * B:(j + 1) * B] for j in range(J)]
 
     def _rows(mats, mat, scale):
         out = []

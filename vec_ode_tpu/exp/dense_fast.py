@@ -161,12 +161,27 @@ def run_batched_chains(
 
     chains = xla_chains()
     flat = [W.astype(dtype) for chain in chains for W in chain]
-    U = expm(jnp.stack(flat), max_squarings=max_squarings)
+    U = expm(jnp.concatenate(flat), max_squarings=max_squarings)
     xw = widen(parts)
+    B = xw.shape[0]
+
+    if all(len(c) == 1 for c in chains):
+        # every chain is a single propagator: apply ALL of them in one
+        # batched matvec over the stacked U (2 launches -> 1; the y/err
+        # pair is the common adaptive case, magnus.rs:63-79)
+        xs = jnp.concatenate([xw] * len(chains))
+        ys = jnp.einsum("...ij,...j->...i", U, xs, precision=HIGHEST)
+        y = ys[:B]
+        if len(chains) < 2:
+            return unwiden(split, y), None
+        dv = ys[B:2 * B] - y
+        e = jnp.sqrt(jnp.sum(dv * dv, axis=-1))
+        return unwiden(split, y), (e if adaptive else None)
 
     def apply_chain(idx0, chain_len, v):
         for i in range(chain_len):
-            v = jnp.einsum("...ij,...j->...i", U[idx0 + i], v,
+            v = jnp.einsum("...ij,...j->...i",
+                           U[(idx0 + i) * B:(idx0 + i + 1) * B], v,
                            precision=HIGHEST)
         return v
 
