@@ -849,8 +849,10 @@ class MagnusModulated6:
             ]
             if not adaptive:
                 return [main]
-            zero_row = [jnp.zeros_like(dt) for _ in range(K0 + len(pairs))]
-            err = [m4_row(g_refs[6], g_refs[7], dt), zero_row, zero_row]
+            # error chain = [full-interval M4 row, I, I]: the identity
+            # rows are DECLARED as None so the kernel skips their Taylor
+            # passes entirely (2 of 6 row-actions saved per step)
+            err = [m4_row(g_refs[6], g_refs[7], dt), None, None]
             return [main, err]
 
         def step_fn(t, x, dt):
@@ -931,8 +933,8 @@ class MagnusModulated6:
                 return [subs]
             tm = t + 0.5 * dt
             full = m4_row(cc(tm - _C_MID * dt), cc(tm + _C_MID * dt), dt)
-            zero_row = [jnp.zeros_like(dt) for _ in range(K0 + len(pairs))]
-            return [subs, [full, zero_row, zero_row]]
+            # None rows = declared identities, skipped in-kernel
+            return [subs, [full, None, None]]
 
         return step_cols
 

@@ -87,36 +87,37 @@ def _make_kernel(C: int, R: int, K: int, m: int, theta: float,
         # cols[c][r][k] is a (TILE, 1) column
         cols = cols_builder(in_refs)
 
-        # per-tile scaling: bound = max over tile rows/chains of
-        # sum_k |c_k| ||M_k||_1 -> squaring count s, pass count 2^s.
+        # per-ROW scaling: each chain row gets its own squaring count from
+        # its own tile-max bound sum_k |c_k| ||M_k||_1 (a long row no
+        # longer inflates every other row's pass count — VERDICT r3 #7).
         # (2-D ops only: Mosaic rejects >2-D reshapes/reductions here.)
         norms = [
             jnp.max(jnp.sum(jnp.abs(basis_ref[k]), axis=0))  # scalar
             for k in range(K)
         ]
-        mx = jnp.zeros((), x.dtype)
-        for c in range(C):
-            for r in range(R):
-                b = None
-                for k in range(K):
-                    col = jnp.abs(cols[c][r][k]) * norms[k]
-                    b = col if b is None else b + col
-                # diverged (NaN) lanes: keep s finite; NaNs still reach
-                # the output so the controller rejects those lanes
-                mx = jnp.maximum(
-                    mx, jnp.max(jnp.where(jnp.isnan(b), 0.0, b))
-                )
-        s = jnp.clip(
-            jnp.ceil(jnp.log2(jnp.maximum(mx / theta, 1.0))),
-            0, max_squarings,
-        ).astype(jnp.int32)
-        scale = jnp.asarray(2.0, x.dtype) ** (-s.astype(x.dtype))
-        n_pass = jnp.left_shift(jnp.ones((), jnp.int32), s)
+
+        def row_scale(c, r):
+            b = None
+            for k in range(K):
+                col = jnp.abs(cols[c][r][k]) * norms[k]
+                b = col if b is None else b + col
+            # diverged (NaN) lanes: keep s finite; NaNs still reach
+            # the output so the controller rejects those lanes
+            mxr = jnp.max(jnp.where(jnp.isnan(b), 0.0, b))
+            s = jnp.clip(
+                jnp.ceil(jnp.log2(jnp.maximum(mxr / theta, 1.0))),
+                0, max_squarings,
+            ).astype(jnp.int32)
+            return (jnp.asarray(2.0, x.dtype) ** (-s.astype(x.dtype)),
+                    jnp.left_shift(jnp.ones((), jnp.int32), s))
 
         outs = []
         for c in range(C):
             v = x
             for r in range(R):
+                if cols[c][r] is None:
+                    continue   # declared-identity row (e^0 = I): skip
+                scale, n_pass = row_scale(c, r)
                 cs = [cols[c][r][k] * scale for k in range(K)]
 
                 def taylor_pass(_, v, cs=cs):

@@ -580,30 +580,31 @@ def make_chain_step_builder(C: int, R: int, K: int, m: int, theta: float,
                     jnp.logical_not(finite).astype(dtype)) > 0.5
                 xv = jnp.where(finite, xv, 0.0)
             cols = step_cols_fn(t, dt)
-            mx = jnp.zeros((), dtype)
-            for c in range(C):
-                for r in range(R):
-                    b = None
-                    for k in range(K):
-                        col = jnp.abs(cols[c][r][k]) * norms[k]
-                        b = col if b is None else b + col
-                    mx = jnp.maximum(
-                        mx, jnp.max(jnp.where(jnp.isnan(b), 0.0, b))
-                    )
-            s = jnp.clip(
-                jnp.ceil(jnp.log2(jnp.maximum(mx / theta, 1.0))),
-                0, max_squarings,
-            ).astype(jnp.int32)
-            scale = jnp.asarray(2.0, dtype) ** (-s.astype(dtype))
-            n_pass = jnp.left_shift(jnp.ones((), jnp.int32), s)
 
-            def prep_cs(c, r):
+            def row_scale(c, r):
+                # per-ROW squaring count from the row's own tile-max norm
+                # bound: a long row (e.g. the Yoshida middle substep of
+                # Magnus-6, |w2| ~ 1.7) no longer inflates every other
+                # row's Taylor pass count (VERDICT r3 #7)
+                b = None
+                for k in range(K):
+                    col = jnp.abs(cols[c][r][k]) * norms[k]
+                    b = col if b is None else b + col
+                mxr = jnp.max(jnp.where(jnp.isnan(b), 0.0, b))
+                s = jnp.clip(
+                    jnp.ceil(jnp.log2(jnp.maximum(mxr / theta, 1.0))),
+                    0, max_squarings,
+                ).astype(jnp.int32)
+                return (jnp.asarray(2.0, dtype) ** (-s.astype(dtype)),
+                        jnp.left_shift(jnp.ones((), jnp.int32), s))
+
+            def prep_cs(c, r, scale):
                 cs = [cols[c][r][k] * scale for k in range(K)]
                 if group > 1:
                     cs = [expand(ck.astype(dtype)) for ck in cs]
                 return cs
 
-            def taylor_chain(v, cs):
+            def taylor_chain(v, cs, n_pass):
                 def taylor_pass(_, v):
                     acc = v
                     term = v
@@ -639,7 +640,10 @@ def make_chain_step_builder(C: int, R: int, K: int, m: int, theta: float,
             for c in range(C):
                 v = xv
                 for r in range(R):
-                    v = taylor_chain(v, prep_cs(c, r))
+                    if cols[c][r] is None:
+                        continue   # declared-identity row (e^0 = I): skip
+                    scale, n_pass = row_scale(c, r)
+                    v = taylor_chain(v, prep_cs(c, r, scale), n_pass)
                 outs.append(v)
             if C >= 2:
                 dv = outs[1] - outs[0]
