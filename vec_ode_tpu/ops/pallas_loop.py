@@ -735,11 +735,18 @@ def make_rk_step_builder(tab, u_fn: Callable, advance_lower: bool,
             def expand(arr):
                 return arr          # (TILE, 1) broadcasts
 
+        # both operator actions in ONE wider contraction (6 serial matmuls
+        # per step instead of 12 on the stage dependency chain — VERDICT
+        # r3 #6; same trick as the chain builder's row-stacked basis)
+        # (_row_matmul contracts with M's axis 1 = x @ M^T: stack along
+        # axis 0, actions come back as column blocks)
+        Dw = m0_ref.shape[-1]
+        M01 = jnp.concatenate([m0_ref[:], m1_ref[:]], axis=0)
+
         def f(ti, xi):
             u = expand(u_fn(ti))                # (TILE, 1) or (TILE, G*D)
-            return _row_matmul(xi, m0_ref[:]) + u * _row_matmul(
-                xi, m1_ref[:]
-            )
+            mv = _row_matmul(xi, M01)
+            return mv[:, :Dw] + u * mv[:, Dw:]
 
         def step(t, dt, xw):
             dtype = xw.dtype

@@ -59,12 +59,19 @@ def _make_kernel(tab: ButcherTableau, u_fn: Callable, advance_lower: bool):
         t = t_ref[:]          # (TILE, 1)
         dt = dt_ref[:]        # (TILE, 1)
         xw = x_ref[:]         # (TILE, 2d)
-        M0 = m0_ref[:]        # (2d, 2d)
-        M1 = m1_ref[:]        # (2d, 2d)
+        # both operator actions in ONE wider contraction: the 6-stage
+        # dependency chain then sits on 6 serial matmuls instead of 12
+        # (the stage-latency bound, VERDICT r3 #6; same shared-matmul
+        # shape as make_chain_step_builder's (D, K*D) basis stack)
+        D = x_ref.shape[-1]
+        # _row_matmul contracts with M's axis 1 (x @ M^T), so the two
+        # operators stack along axis 0 and come back as column blocks
+        M01 = jnp.concatenate([m0_ref[:], m1_ref[:]], axis=0)  # (2D, D)
 
         def f(ti, xi):
             u = u_fn(ti)      # (TILE, 1) per-trajectory modulation
-            return _row_matmul(xi, M0) + u * _row_matmul(xi, M1)
+            mv = _row_matmul(xi, M01)
+            return mv[:, :D] + u * mv[:, D:]
 
         K = [None] * s
         K[0] = f(t, xw)
