@@ -268,3 +268,53 @@ def test_search_iterations_do_not_pollute_reject_stats():
     # extra iterations beyond the accepted steps
     assert (np.asarray(sol.n_iters)
             > np.asarray(sol.n_accept) + 5).all()
+
+
+def test_rk_loop_event_matches_xla_driver(monkeypatch):
+    """The headline RK stepper (ops/pallas_rk.FusedModulatedLinearRK)
+    carries the same in-kernel event machinery through its loop path."""
+    from vec_ode_tpu.driver import integrate, make_grid
+    from vec_ode_tpu.ops import pallas_loop
+    from vec_ode_tpu.ops.pallas_rk import FusedModulatedLinearRK
+
+    model = DrivenDense.make(d=64, seed=0)
+    rng = np.random.default_rng(41)
+    B = 16
+    z = rng.standard_normal((B, 64)) + 1j * rng.standard_normal((B, 64))
+    z /= np.linalg.norm(z, axis=-1, keepdims=True)
+    y0 = cp.from_complex(z, jnp.float32)
+    ctl = vo.StepControl(rtol=1e-4, min_dt=1e-6, max_dt=0.25,
+                         max_steps=2000)
+    t_grid = make_grid(jnp.float32(0), jnp.float32(0.5),
+                       dtype=jnp.float32)
+    w = np.zeros(128)
+    w[3] = 1.0   # Re z_3 crossing zero (widened [re | im] layout)
+    ev = EventConfig(events=(Event(LinearObservable(w=w)),), t_tol=1e-5)
+    st = FusedModulatedLinearRK.from_driven_dense(model, jnp.float32)
+    orig_chunk = pallas_loop.fused_loop_chunk
+
+    def chunk_interp(*args, **kw):
+        kw["interpret"] = True
+        kw["tile"] = 8
+        return orig_chunk(*args, **kw)
+
+    monkeypatch.setattr(pallas_loop, "fused_loop_chunk", chunk_interp)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    sol_f = st.fused_loop_solve(y0, t_grid, 1e-2, ctl=ctl, adaptive=True,
+                                events=ev)
+    assert sol_f is not None, "fused RK loop did not engage with events"
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    sol_x = integrate(
+        st.make_step_fn(), y0, t_grid, 1e-2, adaptive=True, ctl=ctl,
+        error_norm=st.error_norm, batch_shape=(B,), event_cfg=ev,
+    )
+    f_f = np.asarray(sol_f.event_found)
+    np.testing.assert_array_equal(f_f, np.asarray(sol_x.event_found))
+    m = f_f[:, 0]
+    assert m.any()
+    np.testing.assert_allclose(np.asarray(sol_f.event_t)[m],
+                               np.asarray(sol_x.event_t)[m], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sol_f.event_y.re)[m],
+                               np.asarray(sol_x.event_y.re)[m],
+                               atol=1e-4)

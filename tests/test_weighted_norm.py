@@ -335,3 +335,74 @@ def test_weighted_norm_conflicts_raise():
             adaptive=True, h0=1e-2,
             ctl=vo.StepControl(rtol=1e-6, min_dt=1e-6, max_dt=0.3),
         )
+
+
+def test_rk_stepper_weighted_norm_all_tiers(monkeypatch):
+    """FusedModulatedLinearRK executes a declared WeightedNorm on its XLA
+    step, its per-step Pallas kernel (interpret) and its fused loop — all
+    matching the driver applying the same declaration."""
+    from vec_ode_tpu.driver import integrate, make_grid
+    from vec_ode_tpu.models import DrivenDense
+    from vec_ode_tpu.ops import cplx as cp2
+    from vec_ode_tpu.ops import pallas_loop
+    from vec_ode_tpu.ops.pallas_rk import (FusedModulatedLinearRK,
+                                           fused_rk_step, xla_rk_step)
+
+    model = DrivenDense.make(d=64, seed=0)
+    rng = np.random.default_rng(51)
+    B = 16
+    z = rng.standard_normal((B, 64)) + 1j * rng.standard_normal((B, 64))
+    z /= np.linalg.norm(z, axis=-1, keepdims=True)
+    y0 = cp2.from_complex(z, jnp.float32)
+    w = np.linspace(0.5, 2.0, 64).astype(np.float32)
+    wn = WeightedNorm("l2", weights=w)
+    st = FusedModulatedLinearRK.from_driven_dense(model, jnp.float32,
+                                                  norm=wn)
+
+    # per-step: interpret kernel == XLA step with the same declaration
+    xw = jnp.concatenate([y0.re, y0.im], axis=1)
+    t = jnp.zeros((B,), jnp.float32)
+    dt = jnp.full((B,), 1e-2, jnp.float32)
+    M0 = jnp.asarray(st.M0, jnp.float32)
+    M1 = jnp.asarray(st.M1, jnp.float32)
+    kp = st._wnorm(64)
+    ox_p, oe_p = fused_rk_step(t, dt, xw, M0, M1, u_fn=st.u_fn,
+                               tile=8, interpret=True, wnorm=kp)
+    ox_x, oe_x = xla_rk_step(t, dt, xw, M0, M1, u_fn=st.u_fn, wnorm=kp)
+    np.testing.assert_allclose(np.asarray(oe_p), np.asarray(oe_x),
+                               rtol=1e-5, atol=1e-8)
+    # semantics: the declared norm == WeightedNorm applied to the raw
+    # error vector of the undeclared step
+    _, e_plain = xla_rk_step(t, dt, xw, M0, M1, u_fn=st.u_fn)
+    # (cannot recover the raw vector from the norm — check the weighted
+    # norm actually differs from the plain one)
+    assert not np.allclose(np.asarray(oe_x), np.asarray(e_plain),
+                           rtol=1e-3, atol=0)
+
+    # fused loop == XLA driver, same declared norm
+    ctl = vo.StepControl(rtol=1e-4, min_dt=1e-6, max_dt=0.25,
+                         max_steps=500)
+    t_grid = make_grid(jnp.float32(0), jnp.float32(0.3),
+                       dtype=jnp.float32)
+    orig_chunk = pallas_loop.fused_loop_chunk
+
+    def chunk_interp(*args, **kw):
+        kw["interpret"] = True
+        kw["tile"] = 8
+        return orig_chunk(*args, **kw)
+
+    monkeypatch.setattr(pallas_loop, "fused_loop_chunk", chunk_interp)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    sol_f = st.fused_loop_solve(y0, t_grid, 1e-2, ctl=ctl, adaptive=True)
+    assert sol_f is not None, "fused RK loop did not engage with norm="
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    sol_x = integrate(
+        st.make_step_fn(), y0, t_grid, 1e-2, adaptive=True, ctl=ctl,
+        error_norm=st.error_norm, batch_shape=(B,),
+    )
+    a_f, a_x = np.asarray(sol_f.n_accept), np.asarray(sol_x.n_accept)
+    assert (a_f == a_x).mean() > 0.8, (a_f, a_x)
+    np.testing.assert_allclose(np.asarray(sol_f.y_final.re),
+                               np.asarray(sol_x.y_final.re),
+                               rtol=2e-4, atol=2e-4)

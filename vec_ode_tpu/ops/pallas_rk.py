@@ -48,14 +48,24 @@ def _row_matmul(x, M):
     )
 
 
-def _make_kernel(tab: ButcherTableau, u_fn: Callable, advance_lower: bool):
+def _make_kernel(tab: ButcherTableau, u_fn: Callable, advance_lower: bool,
+                 wnorm=None):
+    """``wnorm=(w_row, post, kind)`` (lc.WeightedNorm.kernel_parts): the
+    per-trajectory error norm becomes post * ||w_row * err|| with kind
+    "l2" or "max"; a non-None w_row arrives as an extra (1, 2d) kernel
+    input after M1 (Pallas rejects captured non-scalar constants)."""
     s = tab.stages
     a = tab.a
     b = tab.b
     db = None if tab.b_err is None else (tab.b - tab.b_err)
     c = tab.c
+    has_wrow = wnorm is not None and wnorm[0] is not None
 
-    def kernel(t_ref, dt_ref, x_ref, m0_ref, m1_ref, ox_ref, oe_ref):
+    def kernel(t_ref, dt_ref, x_ref, m0_ref, m1_ref, *rest):
+        if has_wrow:
+            w_ref, ox_ref, oe_ref = rest
+        else:
+            ox_ref, oe_ref = rest
         t = t_ref[:]          # (TILE, 1)
         dt = dt_ref[:]        # (TILE, 1)
         xw = x_ref[:]         # (TILE, 2d)
@@ -106,7 +116,17 @@ def _make_kernel(tab: ButcherTableau, u_fn: Callable, advance_lower: bool):
             err_acc = term if err_acc is None else err_acc + term
         err = dt * err_acc
         ox_ref[:] = (x_b - err) if advance_lower else x_b
-        oe_ref[:] = jnp.sqrt(jnp.sum(err * err, axis=1, keepdims=True))
+        if wnorm is None:
+            oe_ref[:] = jnp.sqrt(jnp.sum(err * err, axis=1, keepdims=True))
+        else:
+            _, post, kind = wnorm
+            if has_wrow:
+                err = err * w_ref[:]
+            if kind == "max":
+                en = jnp.max(jnp.abs(err), axis=1, keepdims=True)
+            else:
+                en = jnp.sqrt(jnp.sum(err * err, axis=1, keepdims=True))
+            oe_ref[:] = en if post == 1.0 else en * post
 
     return kernel
 
@@ -123,10 +143,12 @@ def fused_rk_step(
     advance_lower: bool = True,
     tile: int = 256,
     interpret: bool = False,
+    wnorm=None,
 ):
     """One fused RK step over the whole ensemble.
 
-    Returns (xw_next (B, 2d), err_norm (B,)).
+    Returns (xw_next (B, 2d), err_norm (B,)). ``wnorm``: declared error
+    norm, see ``_make_kernel``.
     """
     B, twod = xw.shape
     if B % tile != 0:
@@ -136,7 +158,8 @@ def fused_rk_step(
             f"widened dim {twod} must be a multiple of 128 (TPU lanes); "
             "use the XLA fallback for other sizes"
         )
-    kernel = _make_kernel(tab, u_fn, advance_lower)
+    kernel = _make_kernel(tab, u_fn, advance_lower, wnorm=wnorm)
+    has_wrow = wnorm is not None and wnorm[0] is not None
     grid = (B // tile,)
     t2 = t.reshape(B, 1)
     dt2 = dt.reshape(B, 1)
@@ -155,6 +178,8 @@ def fused_rk_step(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((twod, twod), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            *([pl.BlockSpec((1, twod), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)] if has_wrow else []),
         ],
         out_specs=[
             pl.BlockSpec((tile, twod), lambda i: (i, 0),
@@ -167,12 +192,16 @@ def fused_rk_step(
             jax.ShapeDtypeStruct((B, 1), xw.dtype),
         ],
         interpret=interpret,
-    )(t2, dt2, xw, M0, M1)
+    )(t2, dt2, xw, M0, M1,
+      *([jnp.asarray(wnorm[0], xw.dtype)] if has_wrow else []))
     return ox, oe.reshape(B)
 
 
-def xla_rk_step(t, dt, xw, M0, M1, *, u_fn, tab=RKF45, advance_lower=True):
-    """Pure-XLA batched reference of the fused step (CPU / odd shapes)."""
+def xla_rk_step(t, dt, xw, M0, M1, *, u_fn, tab=RKF45, advance_lower=True,
+                wnorm=None):
+    """Pure-XLA batched reference of the fused step (CPU / odd shapes).
+    ``wnorm``: declared error norm (see ``_make_kernel``), identical
+    semantics here."""
     s = tab.stages
     dtc = dt[:, None]
     tc = t[:, None]
@@ -200,7 +229,16 @@ def xla_rk_step(t, dt, xw, M0, M1, *, u_fn, tab=RKF45, advance_lower=True):
     db = tab.b - tab.b_err
     err = dtc * sum(float(db[j]) * K[j] for j in range(s) if db[j] != 0.0)
     x_next = (x_b - err) if advance_lower else x_b
-    return x_next, jnp.sqrt(jnp.sum(err * err, axis=1))
+    if wnorm is None:
+        return x_next, jnp.sqrt(jnp.sum(err * err, axis=1))
+    w_row, post, kind = wnorm
+    if w_row is not None:
+        err = err * jnp.asarray(w_row, err.dtype).reshape(-1)
+    if kind == "max":
+        en = jnp.max(jnp.abs(err), axis=1)
+    else:
+        en = jnp.sqrt(jnp.sum(err * err, axis=1))
+    return x_next, (en if post == 1.0 else en * post)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -219,9 +257,27 @@ class FusedModulatedLinearRK:
     advance_lower: bool = True
     tile: int = 256
     use_pallas: bool = True
+    # declared error norm (lc.WeightedNorm) — executed natively on the
+    # per-step kernel, the XLA step and the fused loop kernel (reference
+    # NormFn, cfm.rs:131-155)
+    norm: Optional[object] = None
 
     is_batched = True
     error_norm = staticmethod(lambda e: e)
+
+    def _wnorm(self, d: int, group: int = 1):
+        """(w_row, post, kind) of the declared ``norm`` over the widened
+        [re | im] layout (lc.WeightedNorm.kernel_parts), or None. Raises
+        for weights the batched layout cannot express."""
+        if self.norm is None:
+            return None
+        kp = self.norm.kernel_parts(d, 2, group=group)
+        if kp is None:
+            raise ValueError(
+                "WeightedNorm.weights must be a single per-(complex-)"
+                f"component array of length {d} for this batched stepper"
+            )
+        return kp
 
     @property
     def nfev_per_step(self) -> int:
@@ -250,7 +306,7 @@ class FusedModulatedLinearRK:
         )
 
     def fused_loop_solve(self, y0, t_grid, h0, *, ctl, adaptive,
-                         chunk: int = 8, persistent=None):
+                         chunk: int = 8, persistent=None, events=None):
         """Whole-loop on-chip integration (ops/pallas_loop.py): the entire
         adaptive RK driver — stages, embedded error, controller, counters —
         runs on-chip, by default as ONE persistent kernel launch per solve
@@ -315,11 +371,32 @@ class FusedModulatedLinearRK:
         if t_grid.dtype != y0.re.dtype:
             return warn(
                 f"time dtype {t_grid.dtype} != state dtype {y0.re.dtype}")
+        wnorm = None
+        if self.norm is not None:
+            if ctl.scaled_error:
+                raise ValueError(
+                    "scaled_error and a declared WeightedNorm are "
+                    "mutually exclusive")
+            wnorm = self._wnorm(d, group=G)
+            if wnorm[2] == "max" and G > 1:
+                return warn(
+                    "max-kind WeightedNorm with lane packing (a segment "
+                    "max cannot ride the one-hot reduction matmul)")
+        ev_spec = None
+        if events is not None:
+            ev_spec = events.kernel_spec(d, 2)
+            if ev_spec is None:
+                return warn(
+                    "events= with opaque callables cannot run in-kernel; "
+                    "declare events.LinearObservable / "
+                    "QuadraticObservable for the fused loop")
+            if ev_spec.n > 8:
+                return warn(f"{ev_spec.n} events > 8 (found-bits budget)")
 
         builder = make_rk_step_builder(
             self.tableau, self.u_fn, self.advance_lower,
             scaled=(ctl.atol, ctl.rtol) if ctl.scaled_error else None,
-            group=G,
+            group=G, wnorm=wnorm,
         )
         if G > 1:
             eye_g = np.eye(G)
@@ -333,16 +410,20 @@ class FusedModulatedLinearRK:
             M0 = jnp.asarray(self.M0, y0.re.dtype)
             M1 = jnp.asarray(self.M1, y0.re.dtype)
             kparts = (y0.re, y0.im)
-        fs, ist, parts, saves, _ = fused_loop_integrate(
-            t_grid, kparts, h0, [M0, M1], builder,
+        consts = [M0, M1]
+        if wnorm is not None and wnorm[0] is not None:
+            consts.append(jnp.asarray(wnorm[0], y0.re.dtype))
+        fs, ist, parts, saves, ev_y = fused_loop_integrate(
+            t_grid, kparts, h0, consts, builder,
             adaptive=True, ctl=ctl, chunk=chunk,
             persistent=(persistent is None or persistent), tile=loop_tile,
-            group=G,
+            group=G, events=ev_spec,
         )
         n_grid = t_grid.shape[0]
+        from .pallas_loop import N_F, N_I
+        n_ev = 0 if ev_spec is None else ev_spec.n
+        n_f_eff = N_F + (2 * n_ev + 1 if n_ev else 0)
         if G > 1:
-            from .pallas_loop import N_F, N_I
-
             def unpack(buf):
                 xw = buf.reshape(B, Dw)
                 return (xw[:, :d], xw[:, d:])
@@ -350,9 +431,11 @@ class FusedModulatedLinearRK:
             parts = unpack(parts[0])
             saves = tuple(p for g in range(n_grid - 2)
                           for p in unpack(saves[g]))
+            ev_y = tuple(p for e in range(len(ev_y))
+                         for p in unpack(ev_y[e]))
             fs = jnp.stack(
-                [fs[:, q * G:(q + 1) * G].reshape(B) for q in range(N_F)],
-                axis=1)
+                [fs[:, q * G:(q + 1) * G].reshape(B)
+                 for q in range(n_f_eff)], axis=1)
             ist = jnp.stack(
                 [ist[:, q * G:(q + 1) * G].reshape(B)
                  for q in range(N_I)], axis=1)
@@ -371,6 +454,19 @@ class FusedModulatedLinearRK:
             ),
             y0, *interior, x_final,
         )
+        event_t = event_found = event_y = None
+        if n_ev:
+            event_t = jnp.stack(
+                [fs[:, N_F + n_ev + e] for e in range(n_ev)], axis=1)
+            bits = ist[:, 7]
+            event_found = jnp.stack(
+                [((bits >> e) & 1) == 1 for e in range(n_ev)], axis=1)
+            if ev_spec.record_y:
+                event_y = jax.tree_util.tree_map(
+                    lambda *evs: jnp.stack(evs, axis=1),
+                    *[Cplx(ev_y[2 * e], ev_y[2 * e + 1])
+                      for e in range(n_ev)],
+                )
         return Solution(
             ts=jnp.broadcast_to(t_grid, (B,) + t_grid.shape),
             ys=ys,
@@ -381,6 +477,9 @@ class FusedModulatedLinearRK:
             n_reject=ist[:, 4],
             n_iters=ist[:, 5],
             h_final=fs[:, 1],
+            event_t=event_t,
+            event_found=event_found,
+            event_y=event_y,
             path=("pallas-loop-persistent"
                   if (persistent is None or persistent)
                   else "pallas-loop-chunked") + ("-packed" if G > 1
@@ -420,12 +519,14 @@ class FusedModulatedLinearRK:
                     u_fn=self.u_fn, tab=self.tableau,
                     advance_lower=self.advance_lower,
                     tile=self.tile, interpret=interpret,
+                    wnorm=self._wnorm(d),
                 )
             else:
                 ox, oe = xla_rk_step(
                     t, dt, xw, self.M0, self.M1,
                     u_fn=self.u_fn, tab=self.tableau,
                     advance_lower=self.advance_lower,
+                    wnorm=self._wnorm(d),
                 )
             # no embedded pair -> no error estimate: return None so the
             # adaptive driver raises instead of silently accepting on a
