@@ -61,6 +61,7 @@ PARITY_FAMILIES = (
     "dense_generic",
     "shardmap_fused_loop",
     "lane_packed_loop",
+    "kernel_events_norms",
 )
 
 
@@ -625,6 +626,68 @@ def _parity_lane_packed(model):
             "max_counter_diff": dn, "path": a_k.path, "ok": True}
 
 
+def _parity_kernel_events_norms(model):
+    """r4 additions on device: IN-KERNEL event detection (declared
+    QuadraticObservable, terminal, lane-packed) and a declared
+    WeightedNorm on the fused loop — both vs the XLA driver running the
+    identical configuration."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import vec_ode_tpu as vo
+    from vec_ode_tpu import exp as vexp
+    from vec_ode_tpu.events import Event, EventConfig, QuadraticObservable
+    from vec_ode_tpu.models import LandauZener
+    from vec_ode_tpu.ops import cplx as cp
+    from vec_ode_tpu.parallel import ensemble_solve
+
+    lz = LandauZener(v=2.0, delta=0.4)
+    mod = lz.modulated(jnp.float32)
+    B = 256
+    psi0 = np.zeros((B, 2), np.complex64)
+    psi0[:, 0] = 1.0
+    y0 = cp.from_complex(psi0, jnp.float32)
+    ctl = vo.StepControl(rtol=1e-5, max_steps=20000, min_dt=1e-4,
+                         max_dt=1.0)
+    obs = QuadraticObservable(q=[0.0, 1.0], c=0.05)
+    ev = EventConfig(events=(Event(obs, direction=1, terminal=True),),
+                     t_tol=1e-4)
+    kw = dict(adaptive=True, h0=0.05, time_dtype=jnp.float32, ctl=ctl,
+              events=ev)
+    s_k = ensemble_solve(mod, y0, -20.0, 20.0,
+                         stepper=vexp.MagnusModulated4(mod), **kw)
+    s_x = ensemble_solve(mod, y0, -20.0, 20.0,
+                         stepper=vexp.MagnusModulated4(mod,
+                                                       use_pallas=False),
+                         **kw)
+    assert s_k.path.endswith("-packed"), s_k.path
+    assert (np.asarray(s_k.status) == vo.DONE_EVENT).all()
+    assert np.array_equal(np.asarray(s_k.event_found),
+                          np.asarray(s_x.event_found))
+    dt_ev = float(np.abs(np.asarray(s_k.event_t)
+                         - np.asarray(s_x.event_t)).max())
+    assert dt_ev <= 1e-4, dt_ev
+
+    wn = vo.WeightedNorm("l2", weights=np.asarray([2.0, 0.5], np.float32))
+    n_k = ensemble_solve(mod, y0, -20.0, 20.0,
+                         stepper=vexp.MagnusModulated4(mod, norm=wn),
+                         adaptive=True, h0=0.05, time_dtype=jnp.float32,
+                         ctl=ctl)
+    n_x = ensemble_solve(mod, y0, -20.0, 20.0,
+                         stepper=vexp.MagnusModulated4(mod, norm=wn,
+                                                       use_pallas=False),
+                         adaptive=True, h0=0.05, time_dtype=jnp.float32,
+                         ctl=ctl)
+    assert n_k.path.endswith("-packed"), n_k.path
+    dn = int(np.abs(np.asarray(n_k.n_accept)
+                    - np.asarray(n_x.n_accept)).max())
+    dy = max(float(jnp.max(jnp.abs(n_k.y_final.re - n_x.y_final.re))),
+             float(jnp.max(jnp.abs(n_k.y_final.im - n_x.y_final.im))))
+    assert dn <= 2 and dy <= 1e-3, (dn, dy)
+    return {"max_event_t_diff": dt_ev, "norm_max_state_diff": dy,
+            "norm_max_counter_diff": dn, "path": s_k.path, "ok": True}
+
+
 _PARITY_FNS = {
     "rk_step": _parity_rk_step,
     "chain_exp_step": _parity_chain_exp_step,
@@ -633,6 +696,7 @@ _PARITY_FNS = {
     "dense_generic": _parity_dense_generic,
     "shardmap_fused_loop": _parity_shardmap_fused,
     "lane_packed_loop": _parity_lane_packed,
+    "kernel_events_norms": _parity_kernel_events_norms,
 }
 
 
