@@ -827,6 +827,101 @@ def bench_magnus4_lz_events(results):
     })
 
 
+def bench_dense_profile(results):
+    """VERDICT r3 #3 profiling row: decompose the generic adaptive
+    Magnus-4 step (256x64c, stacked-expm executor) into its phases, each
+    timed as a chained scan over the SAME per-step shapes. Phases:
+    sample (assemble+embed both nodes), commutator GEMM, stacked expm,
+    matvec+norm. Prints per-phase ms/step so the gap to the ~0.78 ms GEMM
+    floor is attributable."""
+    B = 256
+    model = DrivenDense.make(d=64, seed=0)
+    rng = np.random.default_rng(2)
+    psi0 = rng.standard_normal((B, 64)) + 1j * rng.standard_normal((B, 64))
+    psi0 /= np.linalg.norm(psi0, axis=-1, keepdims=True)
+    y0 = cp.from_complex(psi0, jnp.float32)
+    xw = jnp.concatenate([y0.re, y0.im], axis=1)
+
+    from vec_ode_tpu.exp import DenseCplxSplit
+    from vec_ode_tpu.exp import dense_fast as df
+    from vec_ode_tpu.exp.magnus import _B2, _C_MID
+    from vec_ode_tpu.ops.expm import expm
+    from vec_ode_tpu.utils.prec import HIGHEST, mm
+
+    split = DenseCplxSplit()
+    assemble = jax.vmap(lambda t: model.op_pair(t, jnp.float32))
+    t0v = jnp.linspace(0.0, 1.0, B).astype(jnp.float32)
+    dtv = jnp.full((B,), 1e-2, jnp.float32)
+    L = 64   # chained iterations per dispatch
+
+    def chain(fn, x0):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                return fn(c), None
+            out, _ = jax.lax.scan(body, x, None, length=L)
+            return out
+        def sync():
+            r = run(x0)
+            return float(np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[0])
+        return sync
+
+    def phase_sample(t):
+        t12 = jnp.concatenate([t - _C_MID * dtv, t + _C_MID * dtv])
+        E12 = df.embed_node(split, assemble(t12))
+        return t + 1e-6 * E12[0, 0, 0]
+
+    def phase_comm(t):
+        t12 = jnp.concatenate([t - _C_MID * dtv, t + _C_MID * dtv])
+        E12 = df.embed_node(split, assemble(t12))
+        E1, E2 = E12[:B], E12[B:]
+        P = mm(jnp.concatenate([E1, E2]), jnp.concatenate([E2, E1]))
+        comm = P[:B] - P[B:]
+        return t + 1e-6 * comm[0, 0, 0]
+
+    def phase_expm(t):
+        t12 = jnp.concatenate([t - _C_MID * dtv, t + _C_MID * dtv])
+        E12 = df.embed_node(split, assemble(t12))
+        E1, E2 = E12[:B], E12[B:]
+        dt3 = dtv[:, None, None]
+        P = mm(jnp.concatenate([E1, E2]), jnp.concatenate([E2, E1]))
+        w1 = 0.5 * dt3 * (E1 + E2)
+        omega = w1 + (_B2 * dt3 * dt3) * (P[:B] - P[B:])
+        U = expm(jnp.concatenate([omega, w1]))
+        return t + 1e-6 * U[0, 0, 0]
+
+    def phase_full(t):
+        t12 = jnp.concatenate([t - _C_MID * dtv, t + _C_MID * dtv])
+        E12 = df.embed_node(split, assemble(t12))
+        E1, E2 = E12[:B], E12[B:]
+        dt3 = dtv[:, None, None]
+        P = mm(jnp.concatenate([E1, E2]), jnp.concatenate([E2, E1]))
+        w1 = 0.5 * dt3 * (E1 + E2)
+        omega = w1 + (_B2 * dt3 * dt3) * (P[:B] - P[B:])
+        U = expm(jnp.concatenate([omega, w1]))
+        xs = jnp.concatenate([xw, xw])
+        ys = jnp.einsum("...ij,...j->...i", U, xs, precision=HIGHEST)
+        dv = ys[B:] - ys[:B]
+        e = jnp.sqrt(jnp.sum(dv * dv, axis=-1))
+        return t + 1e-6 * e[0]
+
+    detail = {}
+    prev = None
+    for name, fn in [("sample", phase_sample), ("`+comm`", phase_comm),
+                     ("+expm", phase_expm), ("+matvec+norm", phase_full)]:
+        wall, _ = timed(chain(fn, t0v))
+        ms = wall / L * 1e3
+        detail[name] = {"ms_per_step": round(ms, 4),
+                        "delta_ms": round(ms - prev, 4) if prev else None}
+        prev = ms
+    results.append({
+        "metric": "generic adaptive Magnus-4 step phase profile, 256x64c "
+                  "(chained x64/dispatch)",
+        "value": detail["+matvec+norm"]["ms_per_step"], "unit": "ms/step",
+        "detail": detail,
+    })
+
+
 ALL = {
     "rk4_vdp": bench_rk4_vdp,
     "magnus2_lz": bench_magnus2_lz,
@@ -838,6 +933,7 @@ ALL = {
     "cfm4_driven": bench_cfm4_driven,
     "magnus4_driven": bench_magnus4_driven,
     "magnus4_driven_fast": bench_magnus4_driven_fast,
+    "dense_profile": bench_dense_profile,
     "magnus4_auto": bench_magnus4_auto_structured,
     "cfm4_modulated": bench_cfm4_modulated,
     "magnus4_modulated": bench_magnus4_modulated,
