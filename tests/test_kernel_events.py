@@ -318,3 +318,33 @@ def test_rk_loop_event_matches_xla_driver(monkeypatch):
     np.testing.assert_allclose(np.asarray(sol_f.event_y.re)[m],
                                np.asarray(sol_x.event_y.re)[m],
                                atol=1e-4)
+
+
+def test_blackbox_auto_modulated_events_stay_packed():
+    """The reference's OPAQUE operator contract (magnus.rs:32) routed
+    through exp.auto_modulated keeps in-kernel events too: structure
+    recovery + Chebyshev coefficient fit give the black box a kernel
+    view, so a declared terminal event stays on the packed loop."""
+    lz = LandauZener(v=2.0, delta=0.4)
+    mod = vexp.auto_modulated(
+        lambda t: lz.op_pair(t, jnp.float32), -20.0, 20.0,
+        dtype=jnp.float32)
+    assert mod is not None and mod.coeff_cols_fn is not None
+    B = 256
+    psi0 = np.zeros((B, 2), np.complex64)
+    psi0[:, 0] = 1.0
+    y0 = cp.from_complex(psi0, jnp.float32)
+    obs = QuadraticObservable(q=[0.0, 1.0], c=0.05)
+    ev = EventConfig(events=(Event(obs, direction=1, terminal=True),),
+                     t_tol=1e-4)
+    st = vexp.MagnusModulated4(mod, interpret=True)
+    sol = _run_fused(st, y0, GRID, CTL, ev)
+    assert sol is not None
+    assert sol.path == "pallas-loop-persistent-packed"
+    assert (np.asarray(sol.status) == vo.DONE_EVENT).all()
+    # event time matches the hand-declared modulated operator's run
+    mod_h = lz.modulated(jnp.float32)
+    sol_h = _run_fused(vexp.MagnusModulated4(mod_h, interpret=True),
+                       y0, GRID, CTL, ev)
+    np.testing.assert_allclose(np.asarray(sol.event_t),
+                               np.asarray(sol_h.event_t), atol=2e-4)
