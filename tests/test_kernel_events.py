@@ -348,3 +348,37 @@ def test_blackbox_auto_modulated_events_stay_packed():
                        y0, GRID, CTL, ev)
     np.testing.assert_allclose(np.asarray(sol.event_t),
                                np.asarray(sol_h.event_t), atol=2e-4)
+
+
+def test_fixed_step_kernel_events():
+    """adaptive=False: the event veto/search discipline rides the fixed
+    stepper too (accept is unconditionally true outside searches), matching
+    the XLA driver."""
+    mod, y0 = _lz_setup(B=256)
+    obs = QuadraticObservable(q=[0.0, 1.0], c=0.05)
+    ev = EventConfig(events=(Event(obs, direction=1, terminal=True),),
+                     t_tol=1e-4)
+    ctl = vo.StepControl(rtol=1e-6, max_steps=4000)
+    st = vexp.MagnusModulated4(mod, adaptive=False, interpret=True)
+    orig = jax.default_backend
+    try:
+        jax.default_backend = lambda: "tpu"
+        sol = st.fused_loop_solve(y0, GRID, 40.0 / 800, ctl=ctl,
+                                  adaptive=False, events=ev)
+    finally:
+        jax.default_backend = orig
+    assert sol is not None and sol.path.endswith("-packed")
+    assert (np.asarray(sol.status) == vo.DONE_EVENT).all()
+
+    oracle = ensemble_solve(
+        mod, y0, -20.0, 20.0,
+        stepper=vexp.MagnusModulated4(mod, adaptive=False,
+                                      use_pallas=False),
+        adaptive=False, h0=40.0 / 800, ctl=ctl, time_dtype=jnp.float32,
+        events=ev,
+    )
+    assert (np.asarray(oracle.status) == vo.DONE_EVENT).all()
+    np.testing.assert_allclose(np.asarray(sol.event_t),
+                               np.asarray(oracle.event_t), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(sol.n_accept),
+                                  np.asarray(oracle.n_accept))
