@@ -253,6 +253,12 @@ def _stepper_wnorm(stepper, parts, group: int = 1):
     wn = getattr(stepper, "norm", None)
     if wn is None:
         return None
+    if not hasattr(wn, "kernel_parts"):
+        raise TypeError(
+            "norm= must be a DECLARED lc.WeightedNorm (batched steppers "
+            "execute it in-kernel); opaque callables go through "
+            "error_norm= on a non-batched stepper"
+        )
     kp = wn.kernel_parts(parts[0].shape[-1], len(parts), group=group)
     if kp is None:
         raise ValueError(

@@ -271,6 +271,10 @@ class FusedModulatedLinearRK:
         for weights the batched layout cannot express."""
         if self.norm is None:
             return None
+        if not hasattr(self.norm, "kernel_parts"):
+            raise TypeError(
+                "norm= must be a DECLARED lc.WeightedNorm (this batched "
+                "stepper executes it in-kernel)")
         kp = self.norm.kernel_parts(d, 2, group=group)
         if kp is None:
             raise ValueError(
