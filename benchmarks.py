@@ -593,6 +593,18 @@ def bench_magnus4_auto_structured(results, B=256, length=16):
     })
 
 
+def bench_magnus4_modulated_fast(results):
+    """Modulated Magnus-4 with fast_error: ONE Taylor chain + one basis
+    contraction per adaptive step (vs the pair's two chains) — expected
+    ~1.6-1.8x the pair rate at identical order (different error
+    constant; exact parity with the generic fast_error semantics)."""
+    _bench_modulated(
+        results,
+        lambda mod: vexp.MagnusModulated4(mod, fast_error=True),
+        "adaptive Magnus-4 FAST_ERROR",
+    )
+
+
 def bench_cfm4_modulated(results):
     _bench_modulated(
         results, lambda mod: vexp.CFM4Modulated(mod),
@@ -937,6 +949,7 @@ ALL = {
     "magnus4_auto": bench_magnus4_auto_structured,
     "cfm4_modulated": bench_cfm4_modulated,
     "magnus4_modulated": bench_magnus4_modulated,
+    "magnus4_modulated_fast": bench_magnus4_modulated_fast,
     "magnus6_modulated": bench_magnus6_modulated,
     "magnus4_modulated_4k": bench_magnus4_modulated_4k,
     "lindblad": bench_lindblad,

@@ -303,7 +303,8 @@ def _ineligible(reason: str):
 
 
 def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
-                    adaptive, chunk=8, persistent=None, event_cfg=None):
+                    adaptive, chunk=8, persistent=None, event_cfg=None,
+                    err_cols_fn=None):
     """Shared fused-integrator-loop harness (ops/pallas_loop.py): runs the
     ENTIRE adaptive loop on-chip — by default as ONE persistent kernel
     launch per solve (in-kernel while loop; ``persistent=False`` falls back
@@ -432,7 +433,7 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
         C, R, basis_w.shape[0], m, float(theta), stepper.max_squarings,
         step_cols_fn,
         scaled=(ctl.atol, ctl.rtol) if ctl.scaled_error else None,
-        group=G, wnorm=wnorm,
+        group=G, wnorm=wnorm, err_action=err_cols_fn,
     )
     consts = [basis_k.reshape(-1, basis_k.shape[-1])]
     if wnorm is not None and wnorm[0] is not None:
@@ -645,6 +646,12 @@ class MagnusModulated4:
     # declared error norm (lc.WeightedNorm) — executed natively on every
     # tier incl. the fused loop kernel (reference NormFn, cfm.rs:131-155)
     norm: Optional[Any] = None
+    # estimate the error as w2*xf (leading term of the order-2/4 gap; ONE
+    # basis contraction on the advanced state) instead of propagating the
+    # order-2 comparison chain: nearly halves the per-step Taylor work.
+    # Same semantics as exp/magnus.py Magnus4(fast_error=True) — exact
+    # f64 parity with it; opt-in (different error CONSTANT than the pair)
+    fast_error: bool = False
 
     nfev_per_step: int = 2
     is_batched = True     # see MidpointModulated
@@ -667,6 +674,16 @@ class MagnusModulated4:
 
         K0 = self.op.n_terms
         adaptive = self.adaptive
+        fast_err = adaptive and self.fast_error
+
+        def _w2_cols(g1c, g2c, dt):
+            return [
+                (_B2 * dt * dt) * (
+                    g1c[:, j:j + 1] * g2c[:, k2:k2 + 1]
+                    - g1c[:, k2:k2 + 1] * g2c[:, j:j + 1]
+                )
+                for (j, k2) in pairs
+            ]
 
         def cols_builder(in_refs):
             # all Magnus-4 coefficient arithmetic on (TILE, 1) columns —
@@ -677,18 +694,19 @@ class MagnusModulated4:
                 0.5 * dt * (g1_ref[:, k:k + 1] + g2_ref[:, k:k + 1])
                 for k in range(K0)
             ]
-            w2 = [
-                (_B2 * dt * dt) * (
-                    g1_ref[:, j:j + 1] * g2_ref[:, k2:k2 + 1]
-                    - g1_ref[:, k2:k2 + 1] * g2_ref[:, j:j + 1]
-                )
-                for (j, k2) in pairs
-            ]
+            w2 = _w2_cols(g1_ref[:], g2_ref[:], dt)
             main = w1 + w2
-            if not adaptive:
+            if not adaptive or fast_err:
                 return [[main]]
             low = w1 + [jnp.zeros_like(dt) for _ in pairs]
             return [[main], [low]]
+
+        def err_action(in_refs):
+            # fast_error: dv = w2 * xf — only the commutator columns
+            # contribute (None skips the K0 basis terms)
+            g1_ref, g2_ref, dt_ref = in_refs
+            return ([None] * K0
+                    + _w2_cols(g1_ref[:], g2_ref[:], dt_ref[:]))
 
         def step_fn(t, x, dt):
             dt1 = jnp.asarray(dt)[..., None]                 # (..., 1)
@@ -704,11 +722,12 @@ class MagnusModulated4:
                     y_parts, e = fused_chain_apply(
                         [g1, g2, jnp.broadcast_to(dt1, (B, 1))],
                         parts, basis_w, cols_builder,
-                        C=2 if adaptive else 1, R=1,
+                        C=1 if (fast_err or not adaptive) else 2, R=1,
                         m=taylor_m, theta=theta,
                         max_squarings=self.max_squarings,
                         tile=t_eff, interpret=self.interpret,
                         wnorm=_stepper_wnorm(self, parts),
+                        err_action=err_action if fast_err else None,
                     )
                     return _fused_result(self.op, y_parts, e, adaptive)
 
@@ -722,17 +741,41 @@ class MagnusModulated4:
             else:
                 w2 = jnp.zeros(w1.shape[:-1] + (0,), w1.dtype)
             main = jnp.concatenate([w1, w2], axis=-1)        # (..., K + P)
-            if not adaptive:
+            if not adaptive or fast_err:
                 chains = main[..., None, None, :]            # (..., 1, 1, K')
             else:
                 low = jnp.concatenate([w1, jnp.zeros_like(w2)], axis=-1)
                 chains = jnp.stack([main, low], axis=-2)[..., :, None, :]
-            return _apply_chains(
+            xf, e = _apply_chains(
                 self.op, basis_w, norms, chains, x,
                 m=self.m, max_squarings=self.max_squarings,
                 wnorm=_stepper_wnorm(
                     self, (x.re, x.im) if self.op.is_cplx else (x,)),
             )
+            if fast_err:
+                # dv = w2*xf over the commutator sub-basis (magnus.py
+                # fast_error semantics, exact f64 parity)
+                xw = _widen(xf, self.op.is_cplx)
+                comm_w = basis_w[K0:].astype(xw.dtype)
+                mv = jnp.einsum("kij,...j->...ki", comm_w, xw,
+                                precision=HIGHEST)
+                dv = jnp.einsum("...k,...ki->...i", w2.astype(xw.dtype),
+                                mv, precision=HIGHEST)
+                wn = _stepper_wnorm(
+                    self, (x.re, x.im) if self.op.is_cplx else (x,))
+                if wn is None:
+                    e = jnp.sqrt(jnp.sum(dv * dv, axis=-1))
+                else:
+                    w_row, post, kind = wn
+                    if w_row is not None:
+                        dv = dv * jnp.asarray(w_row, dv.dtype).reshape(-1)
+                    if kind == "max":
+                        e = jnp.max(jnp.abs(dv), axis=-1)
+                    else:
+                        e = jnp.sqrt(jnp.sum(dv * dv, axis=-1))
+                    if post != 1.0:
+                        e = e * post
+            return xf, e
 
         return step_fn
 
@@ -742,6 +785,8 @@ class MagnusModulated4:
         pairs = self._pairs
         K0 = self.op.n_terms
         adaptive = self.adaptive
+
+        fast_err = adaptive and self.fast_error
 
         def step_cols(t, dt):
             tm = t + 0.5 * dt
@@ -753,11 +798,29 @@ class MagnusModulated4:
                 for (j, k2) in pairs
             ]
             main = w1 + w2
-            if not adaptive:
+            if not adaptive or fast_err:
                 return [[main]]
             return [[main], [w1 + [jnp.zeros_like(dt) for _ in pairs]]]
 
         return step_cols
+
+    def _err_cols_fn(self):
+        """fast_error action columns for the loop kernel: w2 over the
+        commutator sub-basis (None skips the K0 basis terms)."""
+        cc = self.op.coeff_cols_fn
+        pairs = self._pairs
+        K0 = self.op.n_terms
+
+        def err_cols(t, dt):
+            tm = t + 0.5 * dt
+            g1 = cc(tm - _C_MID * dt)
+            g2 = cc(tm + _C_MID * dt)
+            return [None] * K0 + [
+                (_B2 * dt * dt) * (g1[j] * g2[k2] - g1[k2] * g2[j])
+                for (j, k2) in pairs
+            ]
+
+        return err_cols
 
     def fused_loop_solve(self, y0, t_grid, h0, *, ctl, adaptive,
                          chunk: int = 8, persistent=None, events=None):
@@ -766,10 +829,13 @@ class MagnusModulated4:
         declared observables runs IN-KERNEL (events.py)."""
         if adaptive != self.adaptive:
             return None
+        fast_err = self.adaptive and self.fast_error
         return _fused_loop_run(
-            self, self._step_cols_fn(), 2 if self.adaptive else 1, 1,
+            self, self._step_cols_fn(),
+            1 if (fast_err or not self.adaptive) else 2, 1,
             y0, t_grid, h0, ctl, adaptive=adaptive, chunk=chunk,
             persistent=persistent, event_cfg=events,
+            err_cols_fn=self._err_cols_fn() if fast_err else None,
         )
 
 

@@ -58,7 +58,7 @@ def _row_matmul(x, M):
 def _make_kernel(C: int, R: int, K: int, m: int, theta: float,
                  max_squarings: int, n_state: int, n_inputs: int,
                  cols_builder: Callable, compute_err: bool,
-                 wnorm=None):
+                 wnorm=None, err_action=None):
     """``wnorm=(w_row, post, kind)`` (lc.WeightedNorm.kernel_parts): the
     embedded error norm becomes post * ||w_row * dv|| with kind "l2" or
     "max". post/kind are Python literals; a non-None w_row arrives as an
@@ -138,7 +138,20 @@ def _make_kernel(C: int, R: int, K: int, m: int, theta: float,
         for i, yr in enumerate(y_refs):
             yr[:] = outs[0][:, i * d:(i + 1) * d]
         if compute_err:
-            dv = outs[1] - outs[0]
+            if err_action is not None:
+                # fast_error: dv = (sum_k c_k M_k) y as ONE set of basis
+                # contractions on the advanced state (a None column
+                # skips its term) instead of a second Taylor chain
+                ecols = err_action(in_refs)
+                dv = None
+                for k in range(K):
+                    ck = ecols[k]
+                    if ck is None:
+                        continue
+                    term = ck * _row_matmul(outs[0], basis_ref[k])
+                    dv = term if dv is None else dv + term
+            else:
+                dv = outs[1] - outs[0]
             if wnorm is None:
                 e_ref[:] = jnp.sqrt(jnp.sum(dv * dv, axis=1, keepdims=True))
             else:
@@ -170,6 +183,7 @@ def fused_chain_apply(
     tile: int = 256,
     interpret: bool = False,
     wnorm=None,
+    err_action=None,
 ):
     """One fused stepper-exponential application.
 
@@ -186,7 +200,8 @@ def fused_chain_apply(
     dtype = x_parts[0].dtype
     kernel = _make_kernel(C, R, K, m, float(theta), max_squarings,
                           n_state, len(inputs), cols_builder,
-                          compute_err=C >= 2, wnorm=wnorm)
+                          compute_err=C >= 2 or err_action is not None,
+                          wnorm=wnorm, err_action=err_action)
     has_wrow = wnorm is not None and wnorm[0] is not None
 
     def vec_spec(w):

@@ -499,7 +499,8 @@ def _make_loop_kernel(
 
 def make_chain_step_builder(C: int, R: int, K: int, m: int, theta: float,
                             max_squarings: int, step_cols_fn: Callable,
-                            scaled=None, group: int = 1, wnorm=None):
+                            scaled=None, group: int = 1, wnorm=None,
+                            err_action=None):
     """Step builder for modulated-operator exponential steppers: the chain
     coefficient rows come from ``step_cols_fn(t_col, dt_col)`` (quadrature
     sampling in-kernel) and the propagator action runs as a per-tile-scaled
@@ -645,8 +646,26 @@ def make_chain_step_builder(C: int, R: int, K: int, m: int, theta: float,
                     scale, n_pass = row_scale(c, r)
                     v = taylor_chain(v, prep_cs(c, r, scale), n_pass)
                 outs.append(v)
-            if C >= 2:
-                dv = outs[1] - outs[0]
+            if C >= 2 or err_action is not None:
+                if err_action is not None:
+                    # fast_error: dv = (sum_k c_k M_k) y — the leading
+                    # term of the embedded gap as ONE basis contraction
+                    # on the advanced state instead of a second full
+                    # Taylor chain (exp/magnus.py fast_error semantics).
+                    # A None coefficient column skips its basis term.
+                    ecols = err_action(t, dt)
+                    mv_all = _row_matmul(outs[0], bigm_ref[:])
+                    dv = None
+                    for k in range(K):
+                        ck = ecols[k]
+                        if ck is None:
+                            continue
+                        ckx = (expand(ck.astype(dtype)) if group > 1
+                               else ck)
+                        term = ckx * mv_all[:, k * D:(k + 1) * D]
+                        dv = term if dv is None else dv + term
+                else:
+                    dv = outs[1] - outs[0]
                 if scaled is not None:
                     atol_s, rtol_s = scaled
                     sc = atol_s + rtol_s * jnp.maximum(
