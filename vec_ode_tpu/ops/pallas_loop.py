@@ -708,7 +708,8 @@ def make_chain_step_builder(C: int, R: int, K: int, m: int, theta: float,
 
 
 def make_rk_step_builder(tab, u_fn: Callable, advance_lower: bool,
-                         scaled=None, group: int = 1, wnorm=None):
+                         scaled=None, group: int = 1, wnorm=None,
+                         interleave: int = 1):
     """Step builder for the modulated-linear RK stepper: dx/dt =
     (M0 + u(t) M1) x with shared embedded matrices (const inputs 0, 1) and
     a kernel-compatible per-trajectory modulation u(t) — the in-loop twin
@@ -775,18 +776,46 @@ def make_rk_step_builder(tab, u_fn: Callable, advance_lower: bool,
                     jnp.logical_not(finite).astype(dtype)) > 0.5
                 xw = jnp.where(finite, xw, 0.0)
             dt_e = expand(dt)
-            K = [None] * s
-            K[0] = f(t, xw)
-            for i in range(1, s):
-                ti = t + float(c[i]) * dt
-                acc = None
-                for j in range(i):
-                    if a[i, j] == 0.0:
-                        continue
-                    term = float(a[i, j]) * K[j]
-                    acc = term if acc is None else acc + term
-                xi = xw if acc is None else xw + dt_e * acc
-                K[i] = f(ti, xi)
+            if interleave > 1 and group == 1 \
+                    and xw.shape[0] % interleave == 0:
+                # split the tile into `interleave` independent row blocks
+                # and issue their stage chains alternately: each block's
+                # stage-i matmul can overlap the others' dependency
+                # stalls (opt-in experiment for the stage-latency bound;
+                # identical contractions, so results are bitwise equal)
+                rows = xw.shape[0] // interleave
+                bl = [slice(bb * rows, (bb + 1) * rows)
+                      for bb in range(interleave)]
+                Kb = [[None] * s for _ in bl]
+                for bb, sl in enumerate(bl):
+                    Kb[bb][0] = f(t[sl], xw[sl])
+                for i in range(1, s):
+                    for bb, sl in enumerate(bl):
+                        ti = t[sl] + float(c[i]) * dt[sl]
+                        acc = None
+                        for j in range(i):
+                            if a[i, j] == 0.0:
+                                continue
+                            term = float(a[i, j]) * Kb[bb][j]
+                            acc = term if acc is None else acc + term
+                        xi = (xw[sl] if acc is None
+                              else xw[sl] + dt_e[sl] * acc)
+                        Kb[bb][i] = f(ti, xi)
+                K = [jnp.concatenate([Kb[bb][i] for bb in range(len(bl))])
+                     for i in range(s)]
+            else:
+                K = [None] * s
+                K[0] = f(t, xw)
+                for i in range(1, s):
+                    ti = t + float(c[i]) * dt
+                    acc = None
+                    for j in range(i):
+                        if a[i, j] == 0.0:
+                            continue
+                        term = float(a[i, j]) * K[j]
+                        acc = term if acc is None else acc + term
+                    xi = xw if acc is None else xw + dt_e * acc
+                    K[i] = f(ti, xi)
 
             xb_acc = None
             for j in range(s):

@@ -257,6 +257,11 @@ class FusedModulatedLinearRK:
     advance_lower: bool = True
     tile: int = 256
     use_pallas: bool = True
+    # loop-kernel stage interleave (opt-in experiment, VERDICT r3 #6):
+    # split each tile into N independent row blocks whose stage chains
+    # issue alternately, letting the MXU overlap dependency stalls.
+    # Bitwise-identical results; measure before adopting as default.
+    stage_interleave: int = 1
     # declared error norm (lc.WeightedNorm) — executed natively on the
     # per-step kernel, the XLA step and the fused loop kernel (reference
     # NormFn, cfm.rs:131-155)
@@ -400,7 +405,7 @@ class FusedModulatedLinearRK:
         builder = make_rk_step_builder(
             self.tableau, self.u_fn, self.advance_lower,
             scaled=(ctl.atol, ctl.rtol) if ctl.scaled_error else None,
-            group=G, wnorm=wnorm,
+            group=G, wnorm=wnorm, interleave=self.stage_interleave,
         )
         if G > 1:
             eye_g = np.eye(G)
