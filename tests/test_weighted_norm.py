@@ -406,3 +406,43 @@ def test_rk_stepper_weighted_norm_all_tiers(monkeypatch):
     np.testing.assert_allclose(np.asarray(sol_f.y_final.re),
                                np.asarray(sol_x.y_final.re),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_generic_batched_tier_weighted_norm():
+    """The generic dense steppers (the reference's actual operator
+    contract) keep their natively-BATCHED tier with a declared norm:
+    ensemble_solve(error_norm=WeightedNorm) installs it and the stacked-
+    expm executor applies it — matching the vmapped NormFn path exactly
+    (f64)."""
+    model = DrivenDense.make(d=8, seed=0)
+    op_fn = lambda t: model.op_pair(t, jnp.float64)
+    y0 = _psi0(8, B=8, seed=11)
+    w = np.linspace(0.25, 3.0, 8)
+    wn = WeightedNorm("l2", weights=w)
+    ctl = vo.StepControl(rtol=1e-7, min_dt=1e-6, max_dt=0.3)
+
+    for make in (lambda: vexp.Magnus4(vexp.DenseCplxSplit()),
+                 lambda: vexp.Magnus4(vexp.DenseCplxSplit(),
+                                      fast_error=True),
+                 lambda: vexp.CFM4(vexp.DenseCplxSplit()),
+                 lambda: vexp.Magnus6(vexp.DenseCplxSplit())):
+        sol_b = ensemble_solve(op_fn, y0, 0.0, 1.0, stepper=make(),
+                               error_norm=wn, adaptive=True, h0=1e-2,
+                               ctl=ctl)
+        # vmapped oracle: batched=False forces the scalar path where the
+        # DRIVER applies the same callable (reference NormFn contract)
+        st_v = dataclasses_replace_batched(make())
+        sol_v = ensemble_solve(op_fn, y0, 0.0, 1.0, stepper=st_v,
+                               error_norm=wn, adaptive=True, h0=1e-2,
+                               ctl=ctl)
+        np.testing.assert_array_equal(np.asarray(sol_b.n_accept),
+                                      np.asarray(sol_v.n_accept))
+        np.testing.assert_allclose(np.asarray(sol_b.y_final.re),
+                                   np.asarray(sol_v.y_final.re),
+                                   rtol=1e-10, atol=1e-10)
+
+
+def dataclasses_replace_batched(st):
+    import dataclasses as _dc
+
+    return _dc.replace(st, batched=False)

@@ -100,7 +100,7 @@ def cfm_step(
 
 
 def _cfm_batched_step(assemble, split, t, x, dt, alpha, c, alpha_err, *,
-                      use_pallas, interpret, max_squarings=16):
+                      use_pallas, interpret, max_squarings=16, wnorm=None):
     """Batched CFM on per-trajectory dense operators: all main + error
     exponentials in ONE stacked batched expm (default executor; the
     opt-in fused kernel builds the row lincombs in-kernel instead — see
@@ -147,7 +147,7 @@ def _cfm_batched_step(assemble, split, t, x, dt, alpha, c, alpha_err, *,
     return df.run_batched_chains(
         split, x, dt, Es, kernel_chains, xla_chains,
         adaptive=alpha_err is not None, use_pallas=use_pallas,
-        interpret=interpret, max_squarings=max_squarings,
+        interpret=interpret, max_squarings=max_squarings, wnorm=wnorm,
     )
 
 
@@ -172,6 +172,7 @@ class CFM(_DenseBatchedStepper):
     use_pallas: bool = False  # opt-in; XLA stacked-expm measures faster
     interpret: bool = False
     max_squarings: int = 16
+    norm: Optional[object] = None    # declared WeightedNorm (batched tier)
 
     @property
     def nfev_per_step(self) -> int:
@@ -192,9 +193,14 @@ class CFM(_DenseBatchedStepper):
                     assemble, self.split, t, x, dt, alpha, c, alpha_err,
                     use_pallas=self.use_pallas, interpret=self.interpret,
                     max_squarings=self.max_squarings,
+                    wnorm=self._wnorm_parts(x),
                 )
             if params is not None:
                 raise ValueError("params requires the batched driver")
+            if self.norm is not None:
+                raise ValueError(
+                    "norm= runs on the batched dense tier; the scalar/"
+                    "vmapped path takes the norm via error_norm=")
             return cfm_step(fn, self.split, t, x, dt, alpha, c, alpha_err)
 
         return step_fn

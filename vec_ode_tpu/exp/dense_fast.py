@@ -112,10 +112,16 @@ def run_batched_chains(
     use_pallas: bool,
     interpret: bool,
     max_squarings: int = 16,
+    wnorm=None,
 ):
     """Execute the chain structure on the fused kernel when eligible, else
     on the XLA reference path. Returns (y, err_norm or None) with err as a
-    PER-TRAJECTORY NORM (the batched drivers use error_norm=identity)."""
+    PER-TRAJECTORY NORM (the batched drivers use error_norm=identity).
+
+    ``wnorm=(w_row, post, kind)`` (lc.WeightedNorm.kernel_parts): declared
+    error norm over the widened layout — the XLA executor applies it
+    natively; the opt-in fused kernel (which computes a plain l2 norm
+    in-kernel) is skipped when a declaration is present."""
     parts = split_parts(split, x)
     dtype = parts[0].dtype
     m, theta = ps_params(dtype)
@@ -131,7 +137,8 @@ def run_batched_chains(
             t //= 2
         return t >= 8
 
-    if kernel_ok(parts, use_pallas, interpret) and _tile_feasible():
+    if (wnorm is None and kernel_ok(parts, use_pallas, interpret)
+            and _tile_feasible()):
         B = parts[0].shape[0]
         D = sum(p.shape[-1] for p in parts)
         n_nodes = len(node_embedded)
@@ -165,6 +172,18 @@ def run_batched_chains(
     xw = widen(parts)
     B = xw.shape[0]
 
+    def _enorm(dv):
+        if wnorm is None:
+            return jnp.sqrt(jnp.sum(dv * dv, axis=-1))
+        w_row, post, kind = wnorm
+        if w_row is not None:
+            dv = dv * jnp.asarray(w_row, dv.dtype).reshape(-1)
+        if kind == "max":
+            e = jnp.max(jnp.abs(dv), axis=-1)
+        else:
+            e = jnp.sqrt(jnp.sum(dv * dv, axis=-1))
+        return e if post == 1.0 else e * post
+
     if all(len(c) == 1 for c in chains):
         # every chain is a single propagator: apply ALL of them in one
         # batched matvec over the stacked U (2 launches -> 1; the y/err
@@ -175,7 +194,7 @@ def run_batched_chains(
         if len(chains) < 2:
             return unwiden(split, y), None
         dv = ys[B:2 * B] - y
-        e = jnp.sqrt(jnp.sum(dv * dv, axis=-1))
+        e = _enorm(dv)
         return unwiden(split, y), (e if adaptive else None)
 
     def apply_chain(idx0, chain_len, v):
@@ -190,5 +209,5 @@ def run_batched_chains(
         return unwiden(split, y), None
     ev = apply_chain(len(chains[0]), len(chains[1]), xw)
     dv = ev - y
-    e = jnp.sqrt(jnp.sum(dv * dv, axis=-1))
+    e = _enorm(dv)
     return unwiden(split, y), (e if adaptive else None)

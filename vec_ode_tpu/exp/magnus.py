@@ -113,7 +113,7 @@ def _midpoint_batched_step(assemble, split, t, x, dt, *, use_pallas,
 
 def _magnus4_batched_step(assemble, split, t, x, dt, *, adaptive,
                           use_pallas, interpret, max_squarings=16,
-                          fast_error=False):
+                          fast_error=False, wnorm=None):
     """Batched Magnus-4 on per-trajectory dense operators: the batched
     commutator + ONE stacked batched expm of the order-4/2 exponent pair
     (default executor; the opt-in fused kernel moves the commutator and
@@ -162,7 +162,14 @@ def _magnus4_batched_step(assemble, split, t, x, dt, *, adaptive,
         yw = df.widen(df.split_parts(split, y))
         dv = jnp.einsum("...ij,...j->...i", w2.astype(yw.dtype), yw,
                         precision=HIGHEST)
-        return y, jnp.sqrt(jnp.sum(dv * dv, axis=-1))
+        if wnorm is None:
+            return y, jnp.sqrt(jnp.sum(dv * dv, axis=-1))
+        w_row, post, kind = wnorm
+        if w_row is not None:
+            dv = dv * jnp.asarray(w_row, dv.dtype).reshape(-1)
+        e = (jnp.max(jnp.abs(dv), axis=-1) if kind == "max"
+             else jnp.sqrt(jnp.sum(dv * dv, axis=-1)))
+        return y, (e if post == 1.0 else e * post)
 
     def kernel_chains(mats, scalars):
         M1, M2 = mats
@@ -181,12 +188,13 @@ def _magnus4_batched_step(assemble, split, t, x, dt, *, adaptive,
     return df.run_batched_chains(
         split, x, dt, [E1, E2], kernel_chains, xla_chains,
         adaptive=adaptive, use_pallas=use_pallas, interpret=interpret,
-        max_squarings=max_squarings,
+        max_squarings=max_squarings, wnorm=wnorm,
     )
 
 
 def _magnus6_batched_step(assemble, split, t, x, dt, *, adaptive,
-                          use_pallas, interpret, max_squarings=16):
+                          use_pallas, interpret, max_squarings=16,
+                          wnorm=None):
     """Batched Magnus-6 (Yoshida triple-jump of the symmetric Magnus-4
     step) on per-trajectory dense operators: 3 sub-interval Magnus-4
     exponents (+ the embedded full-interval comparison) built from 6 (8)
@@ -254,7 +262,7 @@ def _magnus6_batched_step(assemble, split, t, x, dt, *, adaptive,
         return [main, [m4_omega(3, dt3)]]
 
     return df.run_batched_chains(
-        split, x, dt, Es, kernel_chains, xla_chains,
+        split, x, dt, Es, kernel_chains, xla_chains, wnorm=wnorm,
         adaptive=adaptive, use_pallas=use_pallas, interpret=interpret,
         max_squarings=max_squarings,
     )
@@ -315,6 +323,28 @@ class _DenseBatchedStepper:
     error_norm = staticmethod(lambda e: e)
     # ensemble_solve params support: op_fn(t, p) vmapped over (t, params)
     supports_batched_params = True
+
+    def _wnorm_parts(self, x):
+        """kernel_parts of the declared ``norm`` (lc.WeightedNorm) over
+        this split's widened layout, or None. Batched-mode only — the
+        scalar/vmapped path takes the norm via error_norm= instead."""
+        wn = getattr(self, "norm", None)
+        if wn is None:
+            return None
+        if not hasattr(wn, "kernel_parts"):
+            raise TypeError(
+                "norm= must be a DECLARED lc.WeightedNorm; opaque "
+                "callables go through error_norm= on the vmapped path")
+        from . import dense_fast as df
+
+        parts = df.split_parts(self.split, x)
+        kp = wn.kernel_parts(parts[0].shape[-1], len(parts))
+        if kp is None:
+            raise ValueError(
+                "WeightedNorm.weights must be a single per-(complex-)"
+                f"component array of length {parts[0].shape[-1]} for the "
+                "batched dense tier")
+        return kp
 
     def _assembler(self, fn, params):
         """Batched node assembly: vmap the scalar-contract callback over
@@ -414,6 +444,9 @@ class Magnus4(_DenseBatchedStepper):
     use_pallas: bool = False  # opt-in; XLA stacked-expm measures faster
     interpret: bool = False
     max_squarings: int = 16
+    # declared error norm (lc.WeightedNorm), batched tier only (reference
+    # NormFn, cfm.rs:131-155); the vmapped path takes error_norm= instead
+    norm: Optional[object] = None
     # estimate the error as w2·xf (leading term of the order-2/4 gap; the
     # commutator term is already in hand) instead of propagating the
     # comparison exponential: one expm per adaptive step instead of two.
@@ -434,9 +467,14 @@ class Magnus4(_DenseBatchedStepper):
                     use_pallas=self.use_pallas, interpret=self.interpret,
                     max_squarings=self.max_squarings,
                     fast_error=self.fast_error,
+                    wnorm=self._wnorm_parts(x),
                 )
             if params is not None:
                 raise ValueError("params requires the batched driver")
+            if self.norm is not None:
+                raise ValueError(
+                    "norm= runs on the batched dense tier; the scalar/"
+                    "vmapped path takes the norm via error_norm=")
             return magnus4_step(fn, self.split, t, x, dt,
                                 adaptive=self.adaptive,
                                 fast_error=self.fast_error)
@@ -461,6 +499,7 @@ class Magnus6(_DenseBatchedStepper):
     use_pallas: bool = False  # opt-in; XLA stacked-expm measures faster
     interpret: bool = False
     max_squarings: int = 16
+    norm: Optional[object] = None    # declared WeightedNorm (batched tier)
 
     @property
     def nfev_per_step(self) -> int:
@@ -477,9 +516,14 @@ class Magnus6(_DenseBatchedStepper):
                     assemble, self.split, t, x, dt, adaptive=self.adaptive,
                     use_pallas=self.use_pallas, interpret=self.interpret,
                     max_squarings=self.max_squarings,
+                    wnorm=self._wnorm_parts(x),
                 )
             if params is not None:
                 raise ValueError("params requires the batched driver")
+            if self.norm is not None:
+                raise ValueError(
+                    "norm= runs on the batched dense tier; the scalar/"
+                    "vmapped path takes the norm via error_norm=")
             return magnus6_step(fn, self.split, t, x, dt,
                                 adaptive=self.adaptive)
 
