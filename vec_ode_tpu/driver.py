@@ -748,6 +748,12 @@ def resume(
         return of_carry(bufs).status  # XLA prunes the unused slices
 
     if method == "while":
+        if remat_levels > 0:
+            raise ValueError(
+                "remat_levels only applies to method='scan' (reverse-mode "
+                "checkpointing of a fixed-length scan); the default "
+                "while-loop driver is not reverse-differentiable"
+            )
         final_bufs = jax.lax.while_loop(
             lambda b: jnp.any(status_of(b) == RUNNING), body_packed, carry0
         )

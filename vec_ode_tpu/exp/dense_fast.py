@@ -137,6 +137,14 @@ def run_batched_chains(
             t //= 2
         return t >= 8
 
+    if kernel_ok(parts, use_pallas, interpret) and _tile_feasible() \
+            and wnorm is not None:
+        from .. import config as _config
+
+        _config._warn_fallback(
+            "declared WeightedNorm: the opt-in fused dense kernel computes "
+            "its own plain l2 norm in-kernel; the XLA stacked-expm "
+            "executor applies the declaration instead")
     if (wnorm is None and kernel_ok(parts, use_pallas, interpret)
             and _tile_feasible()):
         B = parts[0].shape[0]
@@ -172,17 +180,10 @@ def run_batched_chains(
     xw = widen(parts)
     B = xw.shape[0]
 
+    from ..lc import apply_weighted_norm as _enorm_w
+
     def _enorm(dv):
-        if wnorm is None:
-            return jnp.sqrt(jnp.sum(dv * dv, axis=-1))
-        w_row, post, kind = wnorm
-        if w_row is not None:
-            dv = dv * jnp.asarray(w_row, dv.dtype).reshape(-1)
-        if kind == "max":
-            e = jnp.max(jnp.abs(dv), axis=-1)
-        else:
-            e = jnp.sqrt(jnp.sum(dv * dv, axis=-1))
-        return e if post == 1.0 else e * post
+        return _enorm_w(dv, wnorm)
 
     if all(len(c) == 1 for c in chains):
         # every chain is a single propagator: apply ALL of them in one

@@ -162,14 +162,9 @@ def _magnus4_batched_step(assemble, split, t, x, dt, *, adaptive,
         yw = df.widen(df.split_parts(split, y))
         dv = jnp.einsum("...ij,...j->...i", w2.astype(yw.dtype), yw,
                         precision=HIGHEST)
-        if wnorm is None:
-            return y, jnp.sqrt(jnp.sum(dv * dv, axis=-1))
-        w_row, post, kind = wnorm
-        if w_row is not None:
-            dv = dv * jnp.asarray(w_row, dv.dtype).reshape(-1)
-        e = (jnp.max(jnp.abs(dv), axis=-1) if kind == "max"
-             else jnp.sqrt(jnp.sum(dv * dv, axis=-1)))
-        return y, (e if post == 1.0 else e * post)
+        from ..lc import apply_weighted_norm
+
+        return y, apply_weighted_norm(dv, wnorm)
 
     def kernel_chains(mats, scalars):
         M1, M2 = mats
@@ -348,10 +343,21 @@ class _DenseBatchedStepper:
 
     def _assembler(self, fn, params):
         """Batched node assembly: vmap the scalar-contract callback over
-        per-trajectory times (and params, when given)."""
+        per-trajectory times (and params, when given). The steppers stack
+        ALL quadrature nodes into one call (times of length n_nodes*B), so
+        per-trajectory params tile to match."""
         if params is None:
             return lambda tv: jax.vmap(fn)(tv)
-        return lambda tv: jax.vmap(fn)(tv, params)
+        pb = jax.tree_util.tree_leaves(params)[0].shape[0]
+
+        def assemble(tv):
+            rep = tv.shape[0] // pb
+            p = params if rep == 1 else jax.tree_util.tree_map(
+                lambda a: jnp.concatenate([a] * rep), params
+            )
+            return jax.vmap(fn)(tv, p)
+
+        return assemble
 
     @property
     def is_batched(self) -> bool:

@@ -746,35 +746,27 @@ class MagnusModulated4:
             else:
                 low = jnp.concatenate([w1, jnp.zeros_like(w2)], axis=-1)
                 chains = jnp.stack([main, low], axis=-2)[..., :, None, :]
+            wn = _stepper_wnorm(
+                self, (x.re, x.im) if self.op.is_cplx else (x,))
             xf, e = _apply_chains(
                 self.op, basis_w, norms, chains, x,
                 m=self.m, max_squarings=self.max_squarings,
-                wnorm=_stepper_wnorm(
-                    self, (x.re, x.im) if self.op.is_cplx else (x,)),
+                # C=1 under fast_err: the pair error (and its norm) is
+                # not computed there — the estimate below owns the norm
+                wnorm=None if fast_err else wn,
             )
             if fast_err:
                 # dv = w2*xf over the commutator sub-basis (magnus.py
                 # fast_error semantics, exact f64 parity)
+                from ..lc import apply_weighted_norm
+
                 xw = _widen(xf, self.op.is_cplx)
                 comm_w = basis_w[K0:].astype(xw.dtype)
                 mv = jnp.einsum("kij,...j->...ki", comm_w, xw,
                                 precision=HIGHEST)
                 dv = jnp.einsum("...k,...ki->...i", w2.astype(xw.dtype),
                                 mv, precision=HIGHEST)
-                wn = _stepper_wnorm(
-                    self, (x.re, x.im) if self.op.is_cplx else (x,))
-                if wn is None:
-                    e = jnp.sqrt(jnp.sum(dv * dv, axis=-1))
-                else:
-                    w_row, post, kind = wn
-                    if w_row is not None:
-                        dv = dv * jnp.asarray(w_row, dv.dtype).reshape(-1)
-                    if kind == "max":
-                        e = jnp.max(jnp.abs(dv), axis=-1)
-                    else:
-                        e = jnp.sqrt(jnp.sum(dv * dv, axis=-1))
-                    if post != 1.0:
-                        e = e * post
+                e = apply_weighted_norm(dv, wn)
             return xf, e
 
         return step_fn

@@ -210,6 +210,19 @@ class WeightedNorm:
             raise ValueError(
                 f"WeightedNorm kind must be l2|rms|max, got {self.kind!r}"
             )
+        # normalize flat array weights to a tuple: keeps the frozen
+        # dataclass comparable/hashable (an ndarray field makes __eq__
+        # return an array, so 'norm != other' would raise the ambiguous-
+        # truth-value error); pytree weights stay as-is
+        if self.weights is not None:
+            import numpy as _np
+
+            try:
+                w = _np.asarray(self.weights, _np.float64)
+            except Exception:
+                return
+            if w.ndim == 1:
+                object.__setattr__(self, "weights", tuple(w.tolist()))
 
     def _weighted_leaves(self, err):
         leaves = jax.tree_util.tree_leaves(err)
@@ -274,3 +287,18 @@ class WeightedNorm:
         post = 1.0 / _math.sqrt(D) if self.kind == "rms" else 1.0
         kind = "max" if self.kind == "max" else "l2"
         return row, post, kind
+
+
+def apply_weighted_norm(dv, wnorm, axis=-1):
+    """post * ||w_row * dv|| with kind l2|max over ``axis`` — the ONE
+    XLA-side executor of a ``WeightedNorm.kernel_parts`` declaration
+    (``wnorm=(w_row, post, kind)`` or None for plain l2). The Pallas
+    kernels inline their own Mosaic-safe variants of the same semantics."""
+    if wnorm is None:
+        return jnp.sqrt(jnp.sum(dv * dv, axis=axis))
+    w_row, post, kind = wnorm
+    if w_row is not None:
+        dv = dv * jnp.asarray(w_row, dv.dtype).reshape(-1)
+    e = (jnp.max(jnp.abs(dv), axis=axis) if kind == "max"
+         else jnp.sqrt(jnp.sum(dv * dv, axis=axis)))
+    return e if post == 1.0 else e * post

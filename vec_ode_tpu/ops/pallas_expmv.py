@@ -312,16 +312,9 @@ def chain_expmv_xla(cs, n_pass, xw, basis, *, m: int = 12, wnorm=None):
     if C < 2:
         return y0, None
     d = vs[..., 1, :] - y0
-    if wnorm is None:
-        return y0, jnp.sqrt(jnp.sum(d * d, axis=-1))
-    w_row, post, kind = wnorm
-    if w_row is not None:
-        d = d * jnp.asarray(w_row, d.dtype).reshape(-1)
-    if kind == "max":
-        en = jnp.max(jnp.abs(d), axis=-1)
-    else:
-        en = jnp.sqrt(jnp.sum(d * d, axis=-1))
-    return y0, (en if post == 1.0 else en * post)
+    from ..lc import apply_weighted_norm
+
+    return y0, apply_weighted_norm(d, wnorm)
 
 
 def _tmatmul(x, M):

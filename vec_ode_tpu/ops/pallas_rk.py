@@ -229,16 +229,9 @@ def xla_rk_step(t, dt, xw, M0, M1, *, u_fn, tab=RKF45, advance_lower=True,
     db = tab.b - tab.b_err
     err = dtc * sum(float(db[j]) * K[j] for j in range(s) if db[j] != 0.0)
     x_next = (x_b - err) if advance_lower else x_b
-    if wnorm is None:
-        return x_next, jnp.sqrt(jnp.sum(err * err, axis=1))
-    w_row, post, kind = wnorm
-    if w_row is not None:
-        err = err * jnp.asarray(w_row, err.dtype).reshape(-1)
-    if kind == "max":
-        en = jnp.max(jnp.abs(err), axis=1)
-    else:
-        en = jnp.sqrt(jnp.sum(err * err, axis=1))
-    return x_next, (en if post == 1.0 else en * post)
+    from ..lc import apply_weighted_norm
+
+    return x_next, apply_weighted_norm(err, wnorm, axis=1)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -104,11 +104,17 @@ def ensemble_solve(
                 existing = getattr(stepper, "norm", None)
                 if existing is None:
                     stepper = _dc.replace(stepper, norm=error_norm)
-                elif existing != error_norm:
-                    raise ValueError(
-                        "stepper already declares a different norm= than "
-                        "the error_norm= passed to ensemble_solve"
-                    )
+                else:
+                    try:
+                        same = bool(existing == error_norm)
+                    except Exception:
+                        # pytree array weights defeat dataclass __eq__
+                        same = existing is error_norm
+                    if not same:
+                        raise ValueError(
+                            "stepper already declares a different norm= "
+                            "than the error_norm= passed to ensemble_solve"
+                        )
                 custom_norm = False  # handled natively
             elif stepper_norm is None:
                 # vector-returning batched stepper: reduce per trajectory
