@@ -382,3 +382,53 @@ def test_fixed_step_kernel_events():
                                np.asarray(oracle.event_t), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(sol.n_accept),
                                   np.asarray(oracle.n_accept))
+
+
+def test_events_with_interior_saves():
+    """Non-terminal in-kernel event + interior save grid: located times
+    AND the recorded save states both match the XLA driver."""
+    mod, y0 = _lz_setup(B=256)
+    obs = QuadraticObservable(q=[0.0, 1.0], c=0.05)
+    ev = EventConfig(events=(Event(obs, direction=1),), t_tol=1e-4)
+    grid = jnp.asarray([-20.0, 0.0, 10.0, 20.0], jnp.float32)
+    st = vexp.MagnusModulated4(mod, interpret=True)
+    sol = _run_fused(st, y0, grid, CTL, ev)
+    assert sol is not None and sol.path.endswith("-packed")
+    assert (np.asarray(sol.status) == vo.DONE).all()
+
+    oracle = ensemble_solve(
+        mod, y0, -20.0, 20.0, save_at=[0.0, 10.0],
+        stepper=vexp.MagnusModulated4(mod, use_pallas=False),
+        adaptive=True, h0=1e-2, ctl=CTL, time_dtype=jnp.float32,
+        events=ev,
+    )
+    np.testing.assert_allclose(np.asarray(sol.event_t),
+                               np.asarray(oracle.event_t), atol=1e-4)
+    # interior save slots (indices 1, 2) recorded in-kernel
+    np.testing.assert_allclose(np.asarray(sol.ys.re)[:, 1:3],
+                               np.asarray(oracle.ys.re)[:, 1:3],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_terminal_event_before_interior_save():
+    """A terminal event located BEFORE an interior save time leaves that
+    save slot at its zero initialization — identically on both paths."""
+    mod, y0 = _lz_setup(B=256)
+    obs = QuadraticObservable(q=[0.0, 1.0], c=0.05)
+    ev = EventConfig(events=(Event(obs, direction=1, terminal=True),),
+                     t_tol=1e-4)
+    grid = jnp.asarray([-20.0, 10.0, 20.0], jnp.float32)  # event ~ t=0.33
+    st = vexp.MagnusModulated4(mod, interpret=True)
+    sol = _run_fused(st, y0, grid, CTL, ev)
+    assert sol is not None and sol.path.endswith("-packed")
+    assert (np.asarray(sol.status) == vo.DONE_EVENT).all()
+    assert (np.asarray(sol.ys.re)[:, 1] == 0).all()
+    oracle = ensemble_solve(
+        mod, y0, -20.0, 20.0, save_at=[10.0],
+        stepper=vexp.MagnusModulated4(mod, use_pallas=False),
+        adaptive=True, h0=1e-2, ctl=CTL, time_dtype=jnp.float32,
+        events=ev,
+    )
+    assert (np.asarray(oracle.status) == vo.DONE_EVENT).all()
+    np.testing.assert_allclose(np.asarray(sol.event_t),
+                               np.asarray(oracle.event_t), atol=1e-4)
