@@ -78,6 +78,30 @@ void matvec(int d, const double* A, const double* y, double* out) {
   }
 }
 
+// The reference's user NormFn contract (ExpCFMSolver, cfm.rs:131-155):
+// an arbitrary error measure applied by the solver to the embedded error
+// vector. This oracle implements the practical family the rebuild's
+// lc.WeightedNorm declares: weighted l2 (kind 0), rms (1), max (2);
+// weights == nullptr means all-ones.
+double user_norm(int d, const double* v, const double* wts, int kind) {
+  if (kind == 2) {
+    double mx = 0.0;
+    for (int k = 0; k < d; ++k) {
+      const double e = std::fabs(wts ? wts[k] * v[k] : v[k]);
+      if (e > mx) mx = e;
+    }
+    return mx;
+  }
+  double acc = 0.0;
+  for (int k = 0; k < d; ++k) {
+    const double e = wts ? wts[k] * v[k] : v[k];
+    acc += e * e;
+  }
+  double n = std::sqrt(acc);
+  if (kind == 1) n /= std::sqrt(static_cast<double>(d));
+  return n;
+}
+
 double norm2(int d, const double* v) {
   double acc = 0.0;
   for (int i = 0; i < d; ++i) acc += v[i] * v[i];
@@ -247,6 +271,8 @@ int vecode_solve_linear_magnus4(
     const double* y0, double t0, double tf,
     double h0, double rtol, double min_dt, double max_dt, double alpha,
     double order, int adaptive, int strict_end, int max_steps,
+    // user NormFn (cfm.rs:131-155 contract): nullptr weights = plain l2
+    const double* norm_weights, int norm_kind,
     // outputs
     double* y_final, double* t_final, double* h_final, int* n_accept,
     int* n_reject, int* n_events, int8_t* events) {
@@ -307,7 +333,8 @@ int vecode_solve_linear_magnus4(
       x_lo = x;
       expmv(dim, W1.data(), x_lo.data());
       for (int k = 0; k < dim; ++k) err[k] = x_lo[k] - x_hi[k];
-      const double dx_norm = norm2(dim, err.data());
+      const double dx_norm =
+          user_norm(dim, err.data(), norm_weights, norm_kind);
       const double f = rtol / dx_norm;
       double fp = alpha * std::pow(f, pw);
       fp = std::min(std::max(fp, 0.3), 2.0);
@@ -352,6 +379,8 @@ int vecode_solve_linear_cfm4(
     const double* y0, double t0, double tf,
     double h0, double rtol, double min_dt, double max_dt, double alpha_c,
     double order, int adaptive, int strict_end, int max_steps,
+    // user NormFn (cfm.rs:131-155 contract): nullptr weights = plain l2
+    const double* norm_weights, int norm_kind,
     // outputs
     double* y_final, double* t_final, double* h_final, int* n_accept,
     int* n_reject, int* n_events, int8_t* events) {
@@ -412,7 +441,8 @@ int vecode_solve_linear_cfm4(
       x_lo = x;
       expmv(dim, R.data(), x_lo.data());
       for (int k = 0; k < dim; ++k) err[k] = x_lo[k] - x_hi[k];
-      const double dx_norm = norm2(dim, err.data());
+      const double dx_norm =
+          user_norm(dim, err.data(), norm_weights, norm_kind);
       const double f = rtol / dx_norm;
       double fp = alpha_c * std::pow(f, pw);
       fp = std::min(std::max(fp, 0.3), 2.0);

@@ -315,3 +315,59 @@ def test_cfm4_trajectory_and_event_parity(lib):
     np.testing.assert_allclose(np.asarray(state.x), want["y_final"],
                                rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(float(state.t), want["t_final"], rtol=1e-15)
+
+
+@pytest.mark.parametrize("kind,kind_name", [(0, "l2"), (1, "rms"),
+                                            (2, "max")])
+def test_cfm4_user_normfn_parity(lib, kind, kind_name):
+    """The reference's user NormFn contract (ExpCFMSolver takes an
+    arbitrary error measure, cfm.rs:131-155), pinned cross-language (r4):
+    the C++ oracle applies a weighted l2/rms/max to its embedded error
+    vector; the JAX CFM-4 with the SAME lc.WeightedNorm as error_norm=
+    must reproduce the per-iteration event sequence, counters and
+    trajectory in f64."""
+    from vec_ode_tpu import exp as vexp
+    from vec_ode_tpu import lc
+
+    rng = np.random.default_rng(13)
+    d, w = 5, 1.7
+    M0 = rng.standard_normal((d, d)) * 0.6
+    A0 = M0 - M0.T
+    M1 = rng.standard_normal((d, d)) * 0.4
+    A1 = M1 - M1.T
+    y0 = rng.standard_normal(d)
+    weights = rng.uniform(0.3, 2.5, d)
+    rtol, h0, tf = 1e-7, 1e-2, 1.5
+
+    want = oracle.solve_linear_cfm4(
+        A0, A1, w, y0, 0.0, tf, h0, rtol=rtol, min_dt=1e-6, max_dt=0.5,
+        norm_weights=weights, norm_kind=kind,
+    )
+    assert want["status"] == 1
+
+    def op_fn(t):
+        return jnp.asarray(A0) + jnp.cos(w * t) * jnp.asarray(A1)
+
+    wn = lc.WeightedNorm(kind_name, weights=weights)
+    step_raw = vexp.CFM4(vexp.DenseSplit()).make_step_fn(op_fn)
+    ctl = vo.StepControl(time_compensated=False, rtol=rtol, min_dt=1e-6,
+                         max_dt=0.5)
+    t_grid = vo.make_grid(0.0, tf, dtype=jnp.float64)
+    state = vo.init_state(jnp.asarray(y0, jnp.float64), t_grid, h0)
+    step = jax.jit(functools.partial(
+        vo.step_once, step_fn=step_raw, adaptive=True, ctl=ctl,
+        error_norm=wn))
+    events = []
+    for _ in range(100000):
+        state = step(state)
+        events.append(int(state.last_event))
+        if int(state.status) != vo.RUNNING:
+            break
+
+    assert int(state.status) == vo.DONE
+    np.testing.assert_array_equal(np.asarray(events, np.int8),
+                                  want["events"])
+    assert int(state.n_accept) == want["n_accept"]
+    assert int(state.n_reject) == want["n_reject"]
+    np.testing.assert_allclose(np.asarray(state.x), want["y_final"],
+                               rtol=1e-10, atol=1e-12)

@@ -69,6 +69,7 @@ def load() -> ctypes.CDLL:
         ctypes.c_double, ctypes.c_double,           # alpha, order
         ctypes.c_int, ctypes.c_int,                 # adaptive, strict_end
         ctypes.c_int,                               # max_steps
+        dp, ctypes.c_int,                           # norm_weights, kind
         dp, dp, dp, ip, ip, ip, i8p,                # outputs
     ]
     lib.vecode_solve_linear_cfm4.restype = ctypes.c_int
@@ -167,10 +168,14 @@ def solve_linear_magnus4(
     adaptive: bool = True,
     strict_end: bool = False,
     max_steps: int = 1_000_000,
+    norm_weights=None,
+    norm_kind: int = 0,
     _entry: str = "vecode_solve_linear_magnus4",
 ):
     """Adaptive Magnus-4 oracle on y' = (A0 + cos(w t) A1) y; same return
-    dict as :func:`solve_linear_rkf45`."""
+    dict as :func:`solve_linear_rkf45`. ``norm_weights``/``norm_kind``
+    (0=l2, 1=rms, 2=max): the reference's user NormFn (cfm.rs:131-155)
+    applied to the embedded error vector."""
     lib = load()
     A0 = np.ascontiguousarray(A0, dtype=np.float64)
     A1 = np.ascontiguousarray(A1, dtype=np.float64)
@@ -194,6 +199,9 @@ def solve_linear_magnus4(
         y0.ctypes.data_as(dp),
         t0, tf, h0, rtol, min_dt, max_dt, alpha, order,
         int(adaptive), int(strict_end), max_steps,
+        (None if norm_weights is None else np.ascontiguousarray(
+            norm_weights, dtype=np.float64).ctypes.data_as(dp)),
+        int(norm_kind),
         y_final.ctypes.data_as(dp),
         ctypes.byref(t_final),
         ctypes.byref(h_final),
