@@ -772,6 +772,53 @@ def bench_lz_sweep_efficiency(results):
     })
 
 
+def bench_magnus4_lz_packed_fast(results):
+    """Adaptive lane-packed LZ with fast_error: ONE Taylor chain + one
+    commutator-basis contraction per step in the packed kernel (vs the
+    pair's two chains) — expected close to the fixed-step packed rate."""
+    B = 1024
+    lz = LandauZener(v=2.0, delta=0.4)
+    mod = lz.modulated(jnp.float32)
+    psi0 = np.zeros((B, 2), np.complex64)
+    psi0[:, 0] = 1.0
+    y0 = cp.from_complex(psi0, jnp.float32)
+    ctl = vo.StepControl(rtol=1e-5, max_steps=20000)
+    stepper = vexp.MagnusModulated4(mod, fast_error=True)
+    probe = stepper.fused_loop_solve(
+        y0, jnp.asarray([-20.0, 20.0], jnp.float32), 0.05, ctl=ctl,
+        adaptive=True,
+    )
+    assert probe is not None and probe.path.endswith("-packed")
+
+    @jax.jit
+    def run(y0):
+        def body(carry, _):
+            y, acc = carry
+            sol = ensemble_solve(
+                mod, y, -20.0, 20.0, stepper=stepper, ctl=ctl,
+                h0=0.05, time_dtype=jnp.float32,
+            )
+            n = jnp.sqrt(jnp.sum(sol.y_final.re**2 + sol.y_final.im**2,
+                                 axis=-1, keepdims=True))
+            yn = cp.Cplx(sol.y_final.re / n, sol.y_final.im / n)
+            return (yn, acc + sol.n_iters), None
+
+        zeros = jnp.zeros((y0.re.shape[0],), jnp.int32)
+        (yf, acc), _ = jax.lax.scan(body, (y0, zeros), None, length=8)
+        return acc, yf
+
+    def sync():
+        it, yf = run(y0)
+        return int(np.asarray(it).sum()), float(np.asarray(yf.re[0, 0]))
+
+    wall, (steps, _) = timed(sync)
+    results.append({
+        "metric": f"adaptive Magnus-4 FAST_ERROR Landau-Zener steps/sec, "
+                  f"{B} sweeps (lane-packed) [chained: 8/dispatch]",
+        "value": round(steps / wall, 1), "unit": "steps/sec",
+    })
+
+
 def bench_magnus4_lz_events(results):
     """IN-KERNEL event detection (VERDICT r3 #2): the adaptive lane-packed
     LZ sweep with a TERMINAL population-threshold event (declared
@@ -939,6 +986,7 @@ ALL = {
     "magnus2_lz": bench_magnus2_lz,
     "magnus2_lz_packed": bench_magnus2_lz_packed,
     "magnus4_lz_packed": bench_magnus4_lz_packed,
+    "magnus4_lz_packed_fast": bench_magnus4_lz_packed_fast,
     "magnus4_lz_events": bench_magnus4_lz_events,
     "lz_blackbox_auto": bench_lz_blackbox_auto,
     "adjoint_smalld": bench_adjoint_smalld,
