@@ -432,3 +432,60 @@ def test_terminal_event_before_interior_save():
     assert (np.asarray(oracle.status) == vo.DONE_EVENT).all()
     np.testing.assert_allclose(np.asarray(sol.event_t),
                                np.asarray(oracle.event_t), atol=1e-4)
+
+
+def test_events_and_weighted_norm_together():
+    """Both r4 kernel features on ONE solve: a terminal declared event
+    and a declared WeightedNorm, in-kernel, packed — vs the XLA driver."""
+    from vec_ode_tpu import lc
+
+    mod, y0 = _lz_setup(B=256)
+    obs = QuadraticObservable(q=[0.0, 1.0], c=0.05)
+    ev = EventConfig(events=(Event(obs, direction=1, terminal=True),),
+                     t_tol=1e-4)
+    wn = lc.WeightedNorm("l2", weights=np.asarray([2.0, 0.5], np.float32))
+    st = vexp.MagnusModulated4(mod, interpret=True, norm=wn)
+    sol = _run_fused(st, y0, GRID, CTL, ev)
+    assert sol is not None and sol.path.endswith("-packed")
+    assert (np.asarray(sol.status) == vo.DONE_EVENT).all()
+    oracle = _oracle(mod, y0, ev,
+                     stepper=vexp.MagnusModulated4(mod, use_pallas=False,
+                                                   norm=wn))
+    np.testing.assert_allclose(np.asarray(sol.event_t),
+                               np.asarray(oracle.event_t), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(sol.n_accept),
+                                  np.asarray(oracle.n_accept))
+
+
+def test_cfm_modulated_kernel_events():
+    """In-kernel events ride every chain stepper's loop path — CFM-4
+    modulated (R=2 chains) with a terminal event, packed."""
+    mod, y0 = _lz_setup(B=256)
+    obs = QuadraticObservable(q=[0.0, 1.0], c=0.05)
+    ev = EventConfig(events=(Event(obs, direction=1, terminal=True),),
+                     t_tol=1e-4)
+    st = vexp.CFM4Modulated(mod, interpret=True)
+    sol = _run_fused(st, y0, GRID, CTL, ev)
+    assert sol is not None and sol.path.endswith("-packed")
+    assert (np.asarray(sol.status) == vo.DONE_EVENT).all()
+    oracle = _oracle(mod, y0, ev,
+                     stepper=vexp.CFM4Modulated(mod, use_pallas=False))
+    np.testing.assert_allclose(np.asarray(sol.event_t),
+                               np.asarray(oracle.event_t), atol=1e-4)
+
+
+def test_fast_error_kernel_events():
+    """fast_error (C=1 + err action) composes with in-kernel events."""
+    mod, y0 = _lz_setup(B=256)
+    obs = QuadraticObservable(q=[0.0, 1.0], c=0.05)
+    ev = EventConfig(events=(Event(obs, direction=1, terminal=True),),
+                     t_tol=1e-4)
+    st = vexp.MagnusModulated4(mod, interpret=True, fast_error=True)
+    sol = _run_fused(st, y0, GRID, CTL, ev)
+    assert sol is not None and sol.path.endswith("-packed")
+    assert (np.asarray(sol.status) == vo.DONE_EVENT).all()
+    oracle = _oracle(mod, y0, ev,
+                     stepper=vexp.MagnusModulated4(mod, use_pallas=False,
+                                                   fast_error=True))
+    np.testing.assert_allclose(np.asarray(sol.event_t),
+                               np.asarray(oracle.event_t), atol=1e-4)
