@@ -166,3 +166,58 @@ def test_fast_error_lane_packed():
     np.testing.assert_allclose(np.asarray(sol.y_final.re),
                                np.asarray(oracle.y_final.re),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fast_error_with_weighted_norm():
+    """fast_error + a declared WeightedNorm compose: the w2*xf estimate is
+    normed by the declaration — exact f64 parity with the generic
+    fast_error stepper under the same norm as a driver-applied callable,
+    and the packed loop kernel matches the XLA fallback."""
+    from vec_ode_tpu import lc
+
+    model = DrivenDense.make(d=8, seed=0)
+    mod = model.modulated(jnp.float64)
+    psi0 = _psi0(8, seed=5)
+    op_fn = lambda t: model.op_pair(t, jnp.float64)
+    w = np.linspace(0.25, 3.0, 8)
+    wn = lc.WeightedNorm("l2", weights=w)
+    ctl = vo.StepControl(rtol=1e-7, min_dt=1e-6, max_dt=0.3)
+    sm = vo.solve_linear(
+        None, 0.0, 1.5, psi0,
+        stepper=vexp.MagnusModulated4(mod, fast_error=True, norm=wn),
+        adaptive=True, ctl=ctl, h0=1e-2)
+    sg = vo.solve_linear(
+        op_fn, 0.0, 1.5, psi0,
+        stepper=vexp.Magnus4(vexp.DenseCplxSplit(), fast_error=True),
+        error_norm=wn, adaptive=True, ctl=ctl, h0=1e-2)
+    assert int(sm.n_accept) == int(sg.n_accept)
+    assert int(sm.n_reject) == int(sg.n_reject)
+    np.testing.assert_allclose(np.asarray(sm.y_final.re),
+                               np.asarray(sg.y_final.re),
+                               rtol=1e-12, atol=1e-12)
+
+    # packed kernel x fast_error x norm vs XLA driver (f32)
+    lz = LandauZener(v=2.0, delta=0.4)
+    modz = lz.modulated(jnp.float32)
+    B = 256
+    p0 = np.zeros((B, 2), np.complex64)
+    p0[:, 0] = 1.0
+    y0 = cp.from_complex(p0, jnp.float32)
+    wnz = lc.WeightedNorm("l2", weights=np.asarray([2.0, 0.5], np.float32))
+    ctlz = vo.StepControl(rtol=1e-5, max_steps=4000, min_dt=1e-4,
+                          max_dt=1.0)
+    st = vexp.MagnusModulated4(modz, interpret=True, fast_error=True,
+                               norm=wnz)
+    sol = _run_fused(st, y0, jnp.asarray([-20.0, 20.0], jnp.float32), ctlz)
+    assert sol is not None and sol.path.endswith("-packed")
+    oracle = ensemble_solve(
+        modz, y0, -20.0, 20.0,
+        stepper=vexp.MagnusModulated4(modz, use_pallas=False,
+                                      fast_error=True, norm=wnz),
+        adaptive=True, h0=1e-2, ctl=ctlz, time_dtype=jnp.float32,
+    )
+    a_f, a_x = np.asarray(sol.n_accept), np.asarray(oracle.n_accept)
+    assert (a_f == a_x).mean() > 0.8, (a_f, a_x)
+    np.testing.assert_allclose(np.asarray(sol.y_final.re),
+                               np.asarray(oracle.y_final.re),
+                               rtol=2e-4, atol=2e-4)
