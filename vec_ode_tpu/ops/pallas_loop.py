@@ -224,7 +224,16 @@ def _make_loop_kernel(
             if n_ev:
                 (g_prev, t_ev, found, searching, h_entry, y_ev) = evc
                 g_prev, t_ev = list(g_prev), list(t_ev)
-                found, y_ev = list(found), list(y_ev)
+                # found/searching travel the while carry as int32 0/1:
+                # Mosaic cannot relayout i1 (mask) vectors whose vpad
+                # offset differs between the scf.yield and the loop-entry
+                # block argument (the inits are column slices of is_ref),
+                # so bool carries fail to legalize on real TPU; i32
+                # carries at arbitrary offsets are supported (the control
+                # columns already do this).
+                found = [f != 0 for f in found]
+                searching = searching != 0
+                y_ev = list(y_ev)
             running = status == _RUNNING
             # chk_t = t_grid[min(tgt, n_grid-1)], static select over the
             # (small) grid — Mosaic has no per-lane SMEM gather
@@ -417,7 +426,9 @@ def _make_loop_kernel(
             n_acc = n_acc + adv.astype(jnp.int32)
             n_rej = n_rej + true_rej.astype(jnp.int32)
             evc_out = (
-                (tuple(g_prev), tuple(t_ev), tuple(found), searching,
+                (tuple(g_prev), tuple(t_ev),
+                 tuple(f.astype(jnp.int32) for f in found),
+                 searching.astype(jnp.int32),
                  h_entry, tuple(y_ev)) if n_ev else ()
             )
             return (t, h, prev_h, err_prev, t_lo, xv, tgt, status, event,
@@ -431,8 +442,8 @@ def _make_loop_kernel(
             evc0 = (
                 tuple(fcol(N_F + e) for e in range(n_ev)),
                 tuple(fcol(N_F + n_ev + e) for e in range(n_ev)),
-                tuple(((bits >> e) & 1) == 1 for e in range(n_ev)),
-                ((bits >> 15) & 1) == 1,
+                tuple((bits >> e) & 1 for e in range(n_ev)),
+                (bits >> 15) & 1,
                 fcol(N_F + 2 * n_ev),
                 tuple(
                     (evyin_refs[e][:] if n_state == 1
