@@ -219,6 +219,30 @@ def main_parent():
         rec["wall_s"] = round(wall, 1)
         parity["families"][name] = rec
         _save_parity()
+
+    # ---- phase 3: retry failed families while budget remains. With the
+    # persistent compile cache, a family that timed out on a slow-compile
+    # first attempt usually loads its executables from disk in seconds.
+    for name in PARITY_FAMILIES:
+        rec = parity["families"][name]
+        if rec.get("ok") or "skipped" in rec:
+            continue
+        need = FAMILY_CAP_S + (WEDGE_WAIT_S if prev_timed_out else 0) + 10
+        if remaining() < need:
+            break
+        if prev_timed_out:
+            time.sleep(WEDGE_WAIT_S)
+        rc, out, wall, timed_out = _run_child(
+            ["--parity", name], min(FAMILY_CAP_S, remaining() - 10))
+        prev_timed_out = timed_out
+        rec2 = _last_json_line(out)
+        if rec2 is not None:
+            rec2["wall_s"] = round(wall, 1)
+            rec2["retried"] = True
+            parity["families"][name] = rec2
+        else:
+            rec["retries"] = rec.get("retries", 0) + 1
+        _save_parity()
     ok = sum(1 for r in parity["families"].values() if r.get("ok"))
     print(f"parity: {ok}/{len(PARITY_FAMILIES)} families ok "
           f"-> {_PARITY_ARTIFACT}", file=sys.stderr)
@@ -741,12 +765,33 @@ def main_probe():
     assert float(np.asarray(jnp.sum(x))) == 8 * 128
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache (repo-local, gitignored). The axon
+    tunnel's compile latency is erratic (same program: 106 s then 0.4 s);
+    the cache makes every re-compile of an already-seen program a
+    sub-second disk load (verified on this backend), so parity-family
+    retries and repeat bench runs stop losing the compile lottery."""
+    import jax
+
+    cache_dir = os.path.join(_REPO, ".jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
+        pass
+
+
 if __name__ == "__main__":
     if "--probe" in sys.argv:
+        _enable_compile_cache()
         main_probe()
     elif "--headline" in sys.argv:
+        _enable_compile_cache()
         main_headline()
     elif "--parity" in sys.argv:
+        _enable_compile_cache()
         main_parity(sys.argv[sys.argv.index("--parity") + 1])
     else:
         main_parent()
