@@ -176,7 +176,13 @@ def run_batched_chains(
 
     chains = xla_chains()
     flat = [W.astype(dtype) for chain in chains for W in chain]
-    U = expm(jnp.concatenate(flat), max_squarings=max_squarings)
+    # STACK (K, B, D, D), do NOT concatenate to (K*B, D, D): a concatenated
+    # K*B batch (e.g. CFM4's 3*256=768) defeats XLA's batched-GEMM tiling
+    # inside expm and measured 3-4x slower end-to-end (36K vs 144K steps/s
+    # at 256x64c, r4 bisect); keeping B as the minor batch dim preserves
+    # the power-of-two tiling. The squaring count is batch-uniform either
+    # way (ops/expm.py:118-125), so the math is identical.
+    U = expm(jnp.stack(flat), max_squarings=max_squarings)
     xw = widen(parts)
     B = xw.shape[0]
 
@@ -189,8 +195,9 @@ def run_batched_chains(
         # every chain is a single propagator: apply ALL of them in one
         # batched matvec over the stacked U (2 launches -> 1; the y/err
         # pair is the common adaptive case, magnus.rs:63-79)
+        Uf = U.reshape((-1,) + U.shape[2:])
         xs = jnp.concatenate([xw] * len(chains))
-        ys = jnp.einsum("...ij,...j->...i", U, xs, precision=HIGHEST)
+        ys = jnp.einsum("...ij,...j->...i", Uf, xs, precision=HIGHEST)
         y = ys[:B]
         if len(chains) < 2:
             return unwiden(split, y), None
@@ -200,8 +207,7 @@ def run_batched_chains(
 
     def apply_chain(idx0, chain_len, v):
         for i in range(chain_len):
-            v = jnp.einsum("...ij,...j->...i",
-                           U[(idx0 + i) * B:(idx0 + i + 1) * B], v,
+            v = jnp.einsum("...ij,...j->...i", U[idx0 + i], v,
                            precision=HIGHEST)
         return v
 
