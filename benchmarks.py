@@ -84,6 +84,62 @@ def bench_rk4_vdp(results):
     })
 
 
+def bench_headline_interleave(results):
+    """VERDICT r3 #6 A/B: the headline RK loop kernel's opt-in
+    ``stage_interleave`` (split each tile into N independent row blocks
+    whose 6-stage chains issue alternately, overlapping the MXU stage
+    dependency stalls; ops/pallas_rk.py). Same DrivenDense config as
+    bench.py's headline at B=4096, chained x8/dispatch; results are
+    bitwise-identical across interleave factors, so any delta is pure
+    pipeline overlap."""
+    import dataclasses
+
+    from vec_ode_tpu.models import DrivenDense
+    from vec_ode_tpu.ops.pallas_rk import FusedModulatedLinearRK
+
+    B, d = 4096, 64
+    model = DrivenDense.make(d=d, seed=0)
+    rng = np.random.default_rng(42)
+    psi0 = rng.standard_normal((B, d)) + 1j * rng.standard_normal((B, d))
+    psi0 /= np.linalg.norm(psi0, axis=-1, keepdims=True)
+    y0 = cp.from_complex(psi0, jnp.float32)
+    ctl = vo.StepControl(rtol=1e-8, min_dt=1e-6, max_dt=0.25)
+    base = FusedModulatedLinearRK.from_driven_dense(model, jnp.float32)
+    REPS = 8
+
+    detail = {}
+    for k in (1, 2, 4):
+        stepper = dataclasses.replace(base, stage_interleave=k)
+
+        @jax.jit
+        def run(y0, stepper=stepper):
+            def body(y, _):
+                sol = ensemble_solve(
+                    None, y, 0.0, 1.0, stepper=stepper, ctl=ctl,
+                    h0=1e-3, adaptive=True, time_dtype=jnp.float32,
+                )
+                n = jnp.sqrt(jnp.sum(sol.y_final.re**2 + sol.y_final.im**2,
+                                     axis=-1, keepdims=True))
+                y2 = cp.Cplx(sol.y_final.re / n, sol.y_final.im / n)
+                return y2, sol.n_accept
+            yf, na = jax.lax.scan(body, y0, None, length=REPS)
+            return na, yf
+
+        def sync(run=run):
+            na, yf = run(y0)
+            return int(np.asarray(na).sum()), float(np.asarray(yf.re[0, 0]))
+
+        wall, (steps, _) = timed(sync)
+        detail[f"interleave={k}"] = round(steps / wall, 1)
+
+    results.append({
+        "metric": f"adaptive RKF45 steps/sec, DrivenDense {B}x{d}c "
+                  "(loop kernel stage_interleave A/B, chained x8)",
+        "value": detail["interleave=2"], "unit": "steps/sec",
+        "detail": detail,
+    })
+
+
 def bench_magnus2_lz(results):
     """Config 3: exponential midpoint on Landau-Zener sweeps (pair rep)."""
     B = 1024
@@ -983,6 +1039,7 @@ def bench_dense_profile(results):
 
 ALL = {
     "rk4_vdp": bench_rk4_vdp,
+    "headline_interleave": bench_headline_interleave,
     "magnus2_lz": bench_magnus2_lz,
     "magnus2_lz_packed": bench_magnus2_lz_packed,
     "magnus4_lz_packed": bench_magnus4_lz_packed,
@@ -1006,9 +1063,28 @@ ALL = {
 }
 
 
+def _enable_compile_cache():
+    """Same repo-local persistent compile cache bench.py uses: the tunnel's
+    compile latency is erratic (106 s then 0.4 s for one program); warm
+    loads make repeat benchmark sessions start in seconds."""
+    import os
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
+        pass
+
+
 def main():
+    _enable_compile_cache()
     filters = sys.argv[1:]
     results = []
+    printed = 0
     for name, fn in ALL.items():
         if filters and not any(f in name for f in filters):
             continue
@@ -1016,7 +1092,10 @@ def main():
             fn(results)
         except Exception as e:  # noqa: BLE001
             results.append({"metric": name, "error": str(e)[:200]})
-        print(json.dumps(results[-1]), flush=True)
+        # a bench fn may append SEVERAL rows (chained + paired steady-state)
+        for row in results[printed:]:
+            print(json.dumps(row), flush=True)
+        printed = len(results)
 
 
 if __name__ == "__main__":
