@@ -222,27 +222,37 @@ def main_parent():
 
     # ---- phase 3: retry failed families while budget remains. With the
     # persistent compile cache, a family that timed out on a slow-compile
-    # first attempt usually loads its executables from disk in seconds.
-    for name in PARITY_FAMILIES:
-        rec = parity["families"][name]
-        if rec.get("ok") or "skipped" in rec:
-            continue
-        need = FAMILY_CAP_S + (WEDGE_WAIT_S if prev_timed_out else 0) + 10
-        if remaining() < need:
+    # first attempt usually loads its executables from disk in seconds —
+    # observed timeouts are transient tunnel stalls (the same family runs
+    # in 5 s minutes later), so SEVERAL short retry passes beat one long
+    # one: cap retries at 45 s and sweep the failed set up to 3 times.
+    RETRY_CAP_S = 45.0
+    for _retry_pass in range(3):
+        pending = [n for n in PARITY_FAMILIES
+                   if not parity["families"][n].get("ok")
+                   and "skipped" not in parity["families"][n]]
+        if not pending:
             break
-        if prev_timed_out:
-            time.sleep(WEDGE_WAIT_S)
-        rc, out, wall, timed_out = _run_child(
-            ["--parity", name], min(FAMILY_CAP_S, remaining() - 10))
-        prev_timed_out = timed_out
-        rec2 = _last_json_line(out)
-        if rec2 is not None:
-            rec2["wall_s"] = round(wall, 1)
-            rec2["retried"] = True
-            parity["families"][name] = rec2
-        else:
-            rec["retries"] = rec.get("retries", 0) + 1
-        _save_parity()
+        for name in pending:
+            rec = parity["families"][name]
+            need = RETRY_CAP_S + (WEDGE_WAIT_S if prev_timed_out else 0) + 10
+            if remaining() < need:
+                break
+            if prev_timed_out:
+                time.sleep(WEDGE_WAIT_S)
+            rc, out, wall, timed_out = _run_child(
+                ["--parity", name], min(RETRY_CAP_S, remaining() - 10))
+            prev_timed_out = timed_out
+            rec2 = _last_json_line(out)
+            if rec2 is not None:
+                rec2["wall_s"] = round(wall, 1)
+                rec2["retried"] = True
+                parity["families"][name] = rec2
+            else:
+                rec["retries"] = rec.get("retries", 0) + 1
+            _save_parity()
+        if remaining() < RETRY_CAP_S + 10:
+            break
     ok = sum(1 for r in parity["families"].values() if r.get("ok"))
     print(f"parity: {ok}/{len(PARITY_FAMILIES)} families ok "
           f"-> {_PARITY_ARTIFACT}", file=sys.stderr)
