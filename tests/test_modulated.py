@@ -803,3 +803,31 @@ def test_fused_loop_many_interior_saves_matches_xla_driver():
                                np.asarray(sol_x.ys.re), atol=2e-5)
     np.testing.assert_allclose(np.asarray(sol_k.ys.im),
                                np.asarray(sol_x.ys.im), atol=2e-5)
+
+
+def test_magnus6_below_f32_error_floor_surfaces_max_steps():
+    """r4 (measured on device): the Magnus-6 6(4) embedded estimate has an
+    f32 noise floor ~1e-7, so an rtol far below it rejects every step. The
+    solve must terminate with ERR_MAX_STEPS and a FINITE state — never a
+    silent livelock at min_dt (the reference's failure mode, ode.rs:324) —
+    on both the fused kernel and the XLA driver."""
+    from vec_ode_tpu.parallel import ensemble_solve
+
+    _, mod, _ = _driven_setup(d=64, dtype=jnp.float32)
+    B = 8
+    rng = np.random.default_rng(11)
+    psi = rng.standard_normal((B, 64)) + 1j * rng.standard_normal((B, 64))
+    psi /= np.linalg.norm(psi, axis=-1, keepdims=True)
+    y0 = cp.from_complex(psi, jnp.float32)
+    ctl = vo.StepControl(rtol=1e-12, min_dt=1e-6, max_dt=0.25, max_steps=64)
+
+    for stepper in (vexp.MagnusModulated6(mod, interpret=True),
+                    vexp.MagnusModulated6(mod, use_pallas=False)):
+        sol = ensemble_solve(None, y0, 0.0, 1.0, stepper=stepper,
+                             adaptive=True, ctl=ctl, h0=1e-2,
+                             time_dtype=jnp.float32)
+        assert (np.asarray(sol.status) == vo.ERR_MAX_STEPS).all(), (
+            stepper, np.asarray(sol.status))
+        assert np.isfinite(np.asarray(sol.y_final.re)).all()
+        assert np.isfinite(np.asarray(sol.y_final.im)).all()
+        assert (np.asarray(sol.n_accept) == 0).all()
