@@ -930,16 +930,40 @@ def bench_magnus4_lz_events(results):
         warnings.simplefilter("ignore")
         wall_x, (steps_x, t_x) = timed(make(ev_x))
     assert abs(t_k - t_x) < 1e-3, (t_k, t_x)
+    metric = (f"adaptive Magnus-4 LZ steps/sec, {B} sweeps, TERMINAL "
+              "population event IN-KERNEL (declared observable, "
+              "lane-packed persistent kernel)")
     results.append({
-        "metric": f"adaptive Magnus-4 LZ steps/sec, {B} sweeps, TERMINAL "
-                  "population event IN-KERNEL (declared observable, "
-                  "lane-packed persistent kernel) [chained: 8/dispatch]",
+        "metric": metric + " [chained: 8/dispatch]",
         "value": round(steps_k / wall_k, 1), "unit": "steps/sec",
         "detail": {
             "xla_fallback_opaque_callable": round(steps_x / wall_x, 1),
             "speedup": round((steps_k / wall_k) / (steps_x / wall_x), 2),
         },
     })
+
+    def make_one(ev):
+        @jax.jit
+        def run_one(y0):
+            sol = ensemble_solve(
+                mod, y0, -20.0, 20.0, stepper=stepper, ctl=ctl,
+                h0=0.05, time_dtype=jnp.float32, events=ev,
+            )
+            return sol.n_iters, sol.event_t
+
+        def run1():
+            it, tev = run_one(y0)
+            np.asarray(tev)
+            return int(np.asarray(it).sum())
+
+        return run1
+
+    paired_steady(results, metric, make_one(ev_k))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        sx = steady_rate(make_one(ev_x))
+    results[-1]["detail"] = {"xla_fallback_opaque_callable": round(sx, 1),
+                             "speedup": round(results[-1]["value"] / sx, 2)}
 
 
 def bench_dense_profile(results):
