@@ -1061,6 +1061,72 @@ def bench_dense_profile(results):
     })
 
 
+def bench_dense_dispatch_floor(results):
+    """r4: prove the dense 'sample' phase is DISPATCH-bound, not
+    memory/compute-bound. Four scan bodies with 2-4x different bytes and
+    FLOPs — assemble only, embed of a constant, one-node sample, the full
+    two-node sample — measure identically (~360 us/step on the axon
+    backend = ~4 launches x ~90 us), while the phase's memory floor is
+    ~40 us. On a standard TPU runtime the phase collapses toward the
+    memory floor and the default generic-dense executor projects to
+    ~310K steps/s at 256x64c (BENCH.md round-4 dense section)."""
+    B, L = 256, 64
+    model = DrivenDense.make(d=64, seed=0)
+    from vec_ode_tpu.exp import DenseCplxSplit
+    from vec_ode_tpu.exp import dense_fast as df
+    from vec_ode_tpu.exp.magnus import _C_MID
+
+    split = DenseCplxSplit()
+    assemble = jax.vmap(lambda t: model.op_pair(t, jnp.float32))
+    t0v = jnp.linspace(0.0, 1.0, B).astype(jnp.float32)
+    dtv = jnp.full((B,), 1e-2, jnp.float32)
+    const_pair = assemble(t0v)
+
+    def chain(fn):
+        @jax.jit
+        def run(t):
+            out, _ = jax.lax.scan(lambda c, _: (fn(c), None), t, None,
+                                  length=L)
+            return out
+
+        def sync():
+            return float(np.asarray(run(t0v)).ravel()[0])
+
+        return sync
+
+    def a_only(t):
+        la = assemble(jnp.concatenate([t - _C_MID * dtv, t + _C_MID * dtv]))
+        return t + 1e-6 * la.re[0, 0, 0]
+
+    def embed_const(t):
+        E = df.embed_node(split, cp.Cplx(const_pair.re + t[0] * 1e-9,
+                                         const_pair.im))
+        return t + 1e-6 * E[0, 0, 0]
+
+    def one_node(t):
+        E = df.embed_node(split, assemble(t - _C_MID * dtv))
+        return t + 1e-6 * E[0, 0, 0]
+
+    def two_node(t):
+        E = df.embed_node(split, assemble(
+            jnp.concatenate([t - _C_MID * dtv, t + _C_MID * dtv])))
+        return t + 1e-6 * E[0, 0, 0]
+
+    detail = {}
+    for name, fn in [("assemble_only_2B", a_only),
+                     ("embed_const_B", embed_const),
+                     ("sample_1node_B", one_node),
+                     ("sample_2node_2B", two_node)]:
+        wall, _ = timed(chain(fn))
+        detail[name] = round(wall / L * 1e6, 1)
+    results.append({
+        "metric": "dense sample-phase dispatch floor, us/step for 4 bodies "
+                  "with 2-4x different work (equal => dispatch-bound)",
+        "value": detail["sample_2node_2B"], "unit": "us/step",
+        "detail": detail,
+    })
+
+
 ALL = {
     "rk4_vdp": bench_rk4_vdp,
     "headline_interleave": bench_headline_interleave,
@@ -1075,6 +1141,7 @@ ALL = {
     "magnus4_driven": bench_magnus4_driven,
     "magnus4_driven_fast": bench_magnus4_driven_fast,
     "dense_profile": bench_dense_profile,
+    "dense_dispatch_floor": bench_dense_dispatch_floor,
     "magnus4_auto": bench_magnus4_auto_structured,
     "cfm4_modulated": bench_cfm4_modulated,
     "magnus4_modulated": bench_magnus4_modulated,
