@@ -247,6 +247,13 @@ def main_parent():
             if rec2 is not None:
                 rec2["wall_s"] = round(wall, 1)
                 rec2["retried"] = True
+                # keep attempt history uniform across both failure shapes:
+                # a failed retry that DID emit JSON still records how many
+                # attempts preceded it (and the first attempt's wall/error).
+                rec2["retries"] = rec.get("retries", 0) + 1
+                if not rec2.get("ok"):
+                    rec2["prev_attempt"] = {
+                        k: rec[k] for k in ("wall_s", "error") if k in rec}
                 parity["families"][name] = rec2
             else:
                 rec["retries"] = rec.get("retries", 0) + 1

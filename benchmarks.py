@@ -50,11 +50,14 @@ def steady_rate(run1, reps=8):
 
 def paired_steady(results, metric, run1):
     """Append the steady-state row PAIRED with a chained row (same config,
-    same jitted solve, unchained dispatch)."""
-    results.append({
+    same jitted solve, unchained dispatch). Returns the appended row dict so
+    callers can attach details without positional results[-1] coupling."""
+    row = {
         "metric": metric + " [STEADY-STATE: one solve/dispatch, host sync]",
         "value": round(steady_rate(run1), 1), "unit": "steps/sec",
-    })
+    }
+    results.append(row)
+    return row
 
 
 def bench_rk4_vdp(results):
@@ -134,8 +137,9 @@ def bench_headline_interleave(results):
 
     results.append({
         "metric": f"adaptive RKF45 steps/sec, DrivenDense {B}x{d}c "
-                  "(loop kernel stage_interleave A/B, chained x8)",
-        "value": detail["interleave=2"], "unit": "steps/sec",
+                  "(loop kernel stage_interleave A/B, chained x8; "
+                  "value = default interleave=1, deltas are tunnel noise)",
+        "value": detail["interleave=1"], "unit": "steps/sec",
         "detail": detail,
     })
 
@@ -958,12 +962,12 @@ def bench_magnus4_lz_events(results):
 
         return run1
 
-    paired_steady(results, metric, make_one(ev_k))
+    row = paired_steady(results, metric, make_one(ev_k))
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         sx = steady_rate(make_one(ev_x))
-    results[-1]["detail"] = {"xla_fallback_opaque_callable": round(sx, 1),
-                             "speedup": round(results[-1]["value"] / sx, 2)}
+    row["detail"] = {"xla_fallback_opaque_callable": round(sx, 1),
+                     "speedup": round(row["value"] / sx, 2)}
 
 
 def bench_dense_profile(results):
