@@ -7,7 +7,7 @@ states), re-designed TPU-first: pytree vector spaces, branchless
 ``vmap``/``shard_map`` ensemble scale-out. See SURVEY.md for the layer map.
 """
 
-from . import config, lc, tableaus
+from . import comp, config, lc, tableaus
 from . import dense, diff, events, exp, models, parallel, quad
 from .api import solve_ivp, solve_linear
 from .dense import solve_ivp_dense, solve_linear_dense
@@ -52,6 +52,7 @@ from .tableaus import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "comp",
     "config",
     "lc",
     "tableaus",

@@ -242,6 +242,10 @@ def solve_linear(
     t_grid = make_grid(t0, tf, save_at, dtype=time_dtype)
     h0 = _check_h0(h0, ctl, adaptive)
     step_fn = stepper.make_step_fn(op_fn)
+    init_carry_fn = (
+        stepper.make_init_carry(op_fn)
+        if getattr(stepper, "has_carry", False) else None
+    )
     sol = integrate(
         step_fn,
         y0,
@@ -252,6 +256,7 @@ def solve_linear(
         error_norm=error_norm,
         method=method,
         pack_carry=getattr(stepper, "prefers_packed_carry", False),
+        init_carry_fn=init_carry_fn,
         event_cfg=event_cfg,
     )
     sol = _attach_nfev(sol, stepper)

@@ -426,7 +426,7 @@ def solve_ivp_dense(
 
     if use_fsal:
         def step_fn_dense(t, x, dt, k0):
-            x_next, err, K = rk_step_stages(
+            x_next, err, K, _ = rk_step_stages(
                 f, t, x, dt, tableau, advance_lower=False, k0=k0,
             )
             idata = tuple(K) if use_p else (K[0], K[-1])
@@ -435,7 +435,7 @@ def solve_ivp_dense(
         init_carry_fn = lambda t, x: f(t, x)
     else:
         def step_fn_dense(t, x, dt):
-            x_next, err, K = rk_step_stages(
+            x_next, err, K, _ = rk_step_stages(
                 f, t, x, dt, tableau, advance_lower=advance_lower,
             )
             if use_p:

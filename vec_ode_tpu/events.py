@@ -429,7 +429,10 @@ def event_step(
         def record(buf, a, b):
             # buf: (..., E) + s ; a/b: (...,) + s  -> lerp by per-event theta
             extra = buf.ndim - nb - 1
-            th = theta.reshape(theta.shape + (1,) * extra)
+            # theta carries the time dtype (may be f64 while the state is
+            # f32) — cast to the buffer dtype so the lerp doesn't promote
+            # the carried event-state buffer
+            th = theta.reshape(theta.shape + (1,) * extra).astype(buf.dtype)
             m = rec.reshape(rec.shape + (1,) * extra)
             ae = jnp.expand_dims(a, nb)
             be = jnp.expand_dims(b, nb)

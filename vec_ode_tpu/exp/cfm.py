@@ -99,8 +99,53 @@ def cfm_step(
     return xf, lc.sub(xe, xf)
 
 
+def cfm_step_comp(op_fn, split, t, x, dt, alpha, c, alpha_err, lo):
+    """Compensated (double-f32) CFM step (see :func:`cfm_step` / comp.py):
+    main and error chains run in increment form via exp_m1, the embedded
+    estimate is the difference of increments, and the advance folds into
+    the (x, lo) pair."""
+    from .. import comp, lc
+    from .protocol import index_u
+
+    c = np.asarray(c)
+    t_nodes = jnp.stack([t + float(ci) * dt for ci in c])
+    l_nodes = jax.vmap(op_fn)(t_nodes)
+    samples = [
+        jax.tree_util.tree_map(lambda a, j=j: a[j], l_nodes)
+        for j in range(len(c))
+    ]
+
+    def row_op(a_row):
+        k = split.lincomb_l(samples, list(a_row))
+        return split.scale_l(k, dt)
+
+    n_main = alpha.shape[0]
+    rows = [row_op(alpha[i]) for i in range(n_main)]
+    if alpha_err is not None:
+        rows += [row_op(alpha_err[i]) for i in range(alpha_err.shape[0])]
+    phis = split.exp_many_m1(rows) if len(rows) > 1 else None
+
+    def phi_at(i):
+        return index_u(phis, i) if phis is not None else split.exp_m1(
+            rows[0])
+
+    D = comp.chain_increment(
+        split.map_exp, [phi_at(i) for i in range(n_main)], x
+    )
+    err = None
+    if alpha_err is not None:
+        De = comp.chain_increment(
+            split.map_exp,
+            [phi_at(n_main + i) for i in range(alpha_err.shape[0])], x,
+        )
+        err = lc.sub(De, D)
+    hi, lo2 = comp.update(x, lo, D)
+    return hi, err, lo2
+
+
 def _cfm_batched_step(assemble, split, t, x, dt, alpha, c, alpha_err, *,
-                      use_pallas, interpret, max_squarings=16, wnorm=None):
+                      use_pallas, interpret, max_squarings=16, wnorm=None,
+                      lo=None):
     """Batched CFM on per-trajectory dense operators: all main + error
     exponentials in ONE stacked batched expm (default executor; the
     opt-in fused kernel builds the row lincombs in-kernel instead — see
@@ -148,6 +193,7 @@ def _cfm_batched_step(assemble, split, t, x, dt, alpha, c, alpha_err, *,
         split, x, dt, Es, kernel_chains, xla_chains,
         adaptive=alpha_err is not None, use_pallas=use_pallas,
         interpret=interpret, max_squarings=max_squarings, wnorm=wnorm,
+        lo=lo,
     )
 
 
@@ -173,6 +219,7 @@ class CFM(_DenseBatchedStepper):
     interpret: bool = False
     max_squarings: int = 16
     norm: Optional[object] = None    # declared WeightedNorm (batched tier)
+    compensated: bool = False  # double-f32 state pair (comp.py)
 
     @property
     def nfev_per_step(self) -> int:
@@ -187,13 +234,13 @@ class CFM(_DenseBatchedStepper):
             self.alpha_err
         )
 
-        def step_fn(t, x, dt):
+        def step_core(t, x, dt, lo=None):
             if self._batched_mode(t):
                 return _cfm_batched_step(
                     assemble, self.split, t, x, dt, alpha, c, alpha_err,
                     use_pallas=self.use_pallas, interpret=self.interpret,
                     max_squarings=self.max_squarings,
-                    wnorm=self._wnorm_parts(x),
+                    wnorm=self._wnorm_parts(x), lo=lo,
                 )
             if params is not None:
                 raise ValueError("params requires the batched driver")
@@ -201,9 +248,14 @@ class CFM(_DenseBatchedStepper):
                 raise ValueError(
                     "norm= runs on the batched dense tier; the scalar/"
                     "vmapped path takes the norm via error_norm=")
+            if lo is not None:
+                return cfm_step_comp(fn, self.split, t, x, dt, alpha, c,
+                                     alpha_err, lo)
             return cfm_step(fn, self.split, t, x, dt, alpha, c, alpha_err)
 
-        return step_fn
+        if self.compensated:
+            return lambda t, x, dt, lo: step_core(t, x, dt, lo)
+        return lambda t, x, dt: step_core(t, x, dt)
 
 
 def _tupled(a):

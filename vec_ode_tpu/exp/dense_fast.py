@@ -113,6 +113,7 @@ def run_batched_chains(
     interpret: bool,
     max_squarings: int = 16,
     wnorm=None,
+    lo=None,
 ):
     """Execute the chain structure on the fused kernel when eligible, else
     on the XLA reference path. Returns (y, err_norm or None) with err as a
@@ -121,10 +122,25 @@ def run_batched_chains(
     ``wnorm=(w_row, post, kind)`` (lc.WeightedNorm.kernel_parts): declared
     error norm over the widened layout — the XLA executor applies it
     natively; the opt-in fused kernel (which computes a plain l2 norm
-    in-kernel) is skipped when a declaration is present."""
+    in-kernel) is skipped when a declaration is present.
+
+    ``lo`` (state-structured pytree) switches to the COMPENSATED tier
+    (vec_ode_tpu.comp, VERDICT r4 #1): chain propagators run in increment
+    form via ``ops.expm.expm_m1`` (D <- D + phi_i (x + D), every term
+    O(|dy|)), the error estimate is a DIFFERENCE OF INCREMENTS (noise floor
+    eps*|dy| instead of eps*|y|), and the step returns
+    (y, err_norm, lo_next) with (y, lo_next) the TwoSum-renormalized pair.
+    Runs on the XLA executor only (the opt-in fused kernel has no
+    increment form)."""
     parts = split_parts(split, x)
     dtype = parts[0].dtype
     m, theta = ps_params(dtype)
+
+    if lo is not None:
+        return _run_batched_chains_comp(
+            split, parts, lo, xla_chains, dtype,
+            adaptive=adaptive, max_squarings=max_squarings, wnorm=wnorm,
+        )
 
     def _tile_feasible():
         # mirror fused_dense_chain_apply's VMEM-budgeted tile pick: fall
@@ -218,3 +234,37 @@ def run_batched_chains(
     dv = ev - y
     e = _enorm(dv)
     return unwiden(split, y), (e if adaptive else None)
+
+
+def _run_batched_chains_comp(split, parts, lo, xla_chains, dtype, *,
+                             adaptive, max_squarings, wnorm):
+    """Compensated executor (see run_batched_chains ``lo=``): stacked
+    batched expm_m1 + increment-form chain applications + TwoSum state
+    update, all on the widened real layout."""
+    from .. import comp
+    from ..lc import apply_weighted_norm
+    from ..ops.expm import expm_m1
+    from ..utils.prec import HIGHEST
+
+    chains = xla_chains()
+    flat = [W.astype(dtype) for chain in chains for W in chain]
+    # same stacked-(K, B, D, D) layout rationale as the plain executor
+    Phi = expm_m1(jnp.stack(flat), max_squarings=max_squarings)
+    xw = widen(parts)
+    lo_w = widen(split_parts(split, lo))
+
+    def chain_increment(idx0, chain_len):
+        D = jnp.einsum("...ij,...j->...i", Phi[idx0], xw, precision=HIGHEST)
+        for i in range(1, chain_len):
+            v = xw + D
+            D = D + jnp.einsum("...ij,...j->...i", Phi[idx0 + i], v,
+                               precision=HIGHEST)
+        return D
+
+    D = chain_increment(0, len(chains[0]))
+    e = None
+    if len(chains) >= 2 and adaptive:
+        De = chain_increment(len(chains[0]), len(chains[1]))
+        e = apply_weighted_norm(De - D, wnorm)
+    hi2, lo2 = comp._update_leaf(xw, lo_w, D)
+    return unwiden(split, hi2), e, unwiden(split, lo2)

@@ -21,7 +21,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..ops.expm import expm, expm_frechet
+from ..ops.expm import expm, expm_frechet, expm_m1
 from ..utils.prec import HIGHEST, mm
 from .protocol import ExponentialSplit
 
@@ -77,6 +77,21 @@ def _skew_expm_bwd(M, G):
 _skew_expm.defvjp(_skew_expm_fwd, _skew_expm_bwd)
 
 
+def _skew_expm_m1(M):
+    """exp(M) - I for skew-symmetric M without the I-subtraction:
+    exp(M) - I = (cos(P) - I) + M sinc(P) with cos(θ) - 1 = -2 sin²(θ/2),
+    so every term is O(|M|) and the increment keeps relative accuracy."""
+    M2 = -mm(M, M)
+    theta2, V = jnp.linalg.eigh(M2)
+    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    half = jnp.sin(0.5 * theta)
+    cos_m1 = -2.0 * half * half
+    sinc_t = jnp.sinc(theta / jnp.pi)
+    Vt = jnp.swapaxes(V, -1, -2)
+    MV = mm(M, V)
+    return mm(V * cos_m1[..., None, :] + MV * sinc_t[..., None, :], Vt)
+
+
 @dataclasses.dataclass(frozen=True)
 class DenseSplit(ExponentialSplit):
     """Dense-matrix operator leaf. L: (..., d, d). U: (..., d, d)."""
@@ -92,6 +107,9 @@ class DenseSplit(ExponentialSplit):
 
     def exp(self, L):
         return expm(L, max_squarings=self.max_squarings)
+
+    def exp_m1(self, L):
+        return expm_m1(L, max_squarings=self.max_squarings)
 
     def map_exp(self, U, x):
         return jnp.einsum("...ij,...j->...i", U, x, precision=HIGHEST)
@@ -109,6 +127,9 @@ class DiagonalSplit(ExponentialSplit):
 
     def exp(self, L):
         return jnp.exp(L)
+
+    def exp_m1(self, L):
+        return jnp.expm1(L)
 
     def map_exp(self, U, x):
         return U * x
@@ -203,6 +224,11 @@ class DenseCplxSplit(_CplxSplitBase):
 
         return expm(cp.embed(L), max_squarings=self.max_squarings)
 
+    def exp_m1(self, L):
+        from ..ops import cplx as cp
+
+        return expm_m1(cp.embed(L), max_squarings=self.max_squarings)
+
 
 @dataclasses.dataclass(frozen=True)
 class DiagonalCplxSplit(_CplxSplitBase):
@@ -212,6 +238,11 @@ class DiagonalCplxSplit(_CplxSplitBase):
         from ..ops import cplx as cp
 
         return cp.cexp(L)
+
+    def exp_m1(self, L):
+        from ..ops import cplx as cp
+
+        return cp.cexpm1(L)
 
     def map_exp(self, U, x):
         return U * x
@@ -246,6 +277,9 @@ class AntiHermitianCplxSplit(_CplxSplitBase):
 
     def exp(self, L):
         return _skew_expm(cp_embed(L))
+
+    def exp_m1(self, L):
+        return _skew_expm_m1(cp_embed(L))
 
     def _reject_complex(self, k):
         import numbers
@@ -293,6 +327,19 @@ class AntiHermitianSplit(ExponentialSplit):
         phase = jnp.exp(-1j * w.astype(L.dtype))
         return jnp.einsum(
             "...ik,...k,...jk->...ij", V, phase, jnp.conj(V),
+            precision=HIGHEST,
+        )
+
+    def exp_m1(self, L):
+        # e^{-iw} - 1 = -2 sin²(w/2) - i sin(w): O(|w|) termwise, so the
+        # increment-form propagator keeps relative accuracy
+        H = 1j * L
+        w, V = jnp.linalg.eigh(H)
+        w = w.astype(jnp.real(L).dtype)
+        half = jnp.sin(0.5 * w)
+        phase_m1 = (-2.0 * half * half - 1j * jnp.sin(w)).astype(L.dtype)
+        return jnp.einsum(
+            "...ik,...k,...jk->...ij", V, phase_m1, jnp.conj(V),
             precision=HIGHEST,
         )
 

@@ -44,6 +44,18 @@ def midpoint_step(op_fn, split: ExponentialSplit, t, x, dt):
     return split.map_exp(u, x), None
 
 
+def midpoint_step_comp(op_fn, split: ExponentialSplit, t, x, dt, lo):
+    """Compensated (double-f32) exponential midpoint: increment form
+    D = (e^{dt A} - I) x via exp_m1, TwoSum state update (comp.py)."""
+    from .. import comp
+
+    l_mid = op_fn(t + 0.5 * dt)
+    phi = split.exp_m1(split.scale_l(l_mid, dt))
+    D = split.map_exp(phi, x)
+    hi, lo2 = comp.update(x, lo, D)
+    return hi, None, lo2
+
+
 def _m4_omega(op_fn, split: ExponentialSplit, t, dt):
     """The Magnus-4 exponent Ω over [t, t+dt] (GL2 nodes) — magnus.rs:46-61.
     Returns (Ω, w1, w2) with Ω = w1 + w2 (order-2 part + commutator term)."""
@@ -88,7 +100,7 @@ def magnus6_step(op_fn, split: ExponentialSplit, t, x, dt, *,
 
 
 def _midpoint_batched_step(assemble, split, t, x, dt, *, use_pallas,
-                           interpret, max_squarings=16):
+                           interpret, max_squarings=16, lo=None):
     """Batched exponential midpoint on per-trajectory dense operators
     (default: stacked batched expm; opt-in fused kernel — see
     exp/dense_fast.py). ``assemble(t_vec)`` -> per-trajectory operators."""
@@ -107,13 +119,13 @@ def _midpoint_batched_step(assemble, split, t, x, dt, *, use_pallas,
     return df.run_batched_chains(
         split, x, dt, [E], kernel_chains, xla_chains,
         adaptive=False, use_pallas=use_pallas, interpret=interpret,
-        max_squarings=max_squarings,
+        max_squarings=max_squarings, lo=lo,
     )
 
 
 def _magnus4_batched_step(assemble, split, t, x, dt, *, adaptive,
                           use_pallas, interpret, max_squarings=16,
-                          fast_error=False, wnorm=None):
+                          fast_error=False, wnorm=None, lo=None):
     """Batched Magnus-4 on per-trajectory dense operators: the batched
     commutator + ONE stacked batched expm of the order-4/2 exponent pair
     (default executor; the opt-in fused kernel moves the commutator and
@@ -154,17 +166,21 @@ def _magnus4_batched_step(assemble, split, t, x, dt, *, adaptive,
             return [[(0.5 * dt_s) * (M1 + M2)
                      + (_B2 * dt_s * dt_s) * comm]]
 
-        y, _ = df.run_batched_chains(
+        out = df.run_batched_chains(
             split, x, dt, [E1, E2], kernel_chains_f, lambda: [[omega]],
             adaptive=False, use_pallas=use_pallas, interpret=interpret,
-            max_squarings=max_squarings,
+            max_squarings=max_squarings, lo=lo,
         )
+        y = out[0]
         yw = df.widen(df.split_parts(split, y))
         dv = jnp.einsum("...ij,...j->...i", w2.astype(yw.dtype), yw,
                         precision=HIGHEST)
         from ..lc import apply_weighted_norm
 
-        return y, apply_weighted_norm(dv, wnorm)
+        e = apply_weighted_norm(dv, wnorm)
+        if lo is not None:
+            return y, e, out[2]
+        return y, e
 
     def kernel_chains(mats, scalars):
         M1, M2 = mats
@@ -183,13 +199,13 @@ def _magnus4_batched_step(assemble, split, t, x, dt, *, adaptive,
     return df.run_batched_chains(
         split, x, dt, [E1, E2], kernel_chains, xla_chains,
         adaptive=adaptive, use_pallas=use_pallas, interpret=interpret,
-        max_squarings=max_squarings, wnorm=wnorm,
+        max_squarings=max_squarings, wnorm=wnorm, lo=lo,
     )
 
 
 def _magnus6_batched_step(assemble, split, t, x, dt, *, adaptive,
                           use_pallas, interpret, max_squarings=16,
-                          wnorm=None):
+                          wnorm=None, lo=None):
     """Batched Magnus-6 (Yoshida triple-jump of the symmetric Magnus-4
     step) on per-trajectory dense operators: 3 sub-interval Magnus-4
     exponents (+ the embedded full-interval comparison) built from 6 (8)
@@ -259,7 +275,7 @@ def _magnus6_batched_step(assemble, split, t, x, dt, *, adaptive,
     return df.run_batched_chains(
         split, x, dt, Es, kernel_chains, xla_chains, wnorm=wnorm,
         adaptive=adaptive, use_pallas=use_pallas, interpret=interpret,
-        max_squarings=max_squarings,
+        max_squarings=max_squarings, lo=lo,
     )
 
 
@@ -301,6 +317,57 @@ def magnus4_step(op_fn, split: ExponentialSplit, t, x, dt, *,
     return xf, err
 
 
+def magnus4_step_comp(op_fn, split: ExponentialSplit, t, x, dt, lo, *,
+                      adaptive: bool = True, fast_error: bool = False):
+    """Compensated Magnus-4 (see :func:`magnus4_step` / comp.py): the
+    advance is the increment D = (e^Ω - I) x folded into the (x, lo) pair;
+    the embedded estimate is the DIFFERENCE OF INCREMENTS
+    (e^{Ω1} - I) x - D, whose f32 noise floor is eps*|D| instead of the
+    plain pair's eps*|x|."""
+    from .. import comp, lc
+    from .protocol import index_u
+
+    omega, w1, w2 = _m4_omega(op_fn, split, t, dt)
+    if not adaptive or fast_error:
+        D = split.map_exp(split.exp_m1(omega), x)
+        hi, lo2 = comp.update(x, lo, D)
+        err = split.apply_l(w2, hi) if (adaptive and fast_error) else None
+        return hi, err, lo2
+    phis = split.exp_many_m1([omega, w1])
+    D = split.map_exp(index_u(phis, 0), x)
+    err = lc.sub(split.map_exp(index_u(phis, 1), x), D)
+    hi, lo2 = comp.update(x, lo, D)
+    return hi, err, lo2
+
+
+def magnus6_step_comp(op_fn, split: ExponentialSplit, t, x, dt, lo, *,
+                      adaptive: bool = True):
+    """Compensated Magnus-6 (see :func:`magnus6_step` / comp.py): the
+    triple-jump chain runs in increment form (comp.chain_increment) and the
+    embedded order-4 comparison becomes an increment difference — which is
+    what lifts the estimator's f32 noise floor (~1e-7 absolute, the reason
+    plain-f32 Magnus-6 rejects everything at rtol<=1e-7) down to
+    eps*|dy|."""
+    from .. import comp, lc
+    from .protocol import index_u
+
+    omegas = [
+        _m4_omega(op_fn, split, t + o * dt, g * dt)[0]
+        for o, g in zip(_SUB_OFF, _SUB_LEN)
+    ]
+    if adaptive:
+        omegas.append(_m4_omega(op_fn, split, t, dt)[0])
+    phis = split.exp_many_m1(omegas)
+    D = comp.chain_increment(
+        split.map_exp, [index_u(phis, i) for i in range(3)], x
+    )
+    err = None
+    if adaptive:
+        err = lc.sub(split.map_exp(index_u(phis, 3), x), D)
+    hi, lo2 = comp.update(x, lo, D)
+    return hi, err, lo2
+
+
 class _DenseBatchedStepper:
     """Shared batched-execution surface for the generic exp steppers.
 
@@ -318,6 +385,18 @@ class _DenseBatchedStepper:
     error_norm = staticmethod(lambda e: e)
     # ensemble_solve params support: op_fn(t, p) vmapped over (t, params)
     supports_batched_params = True
+
+    # compensated (double-f32) tier: the residual word ``lo`` rides the
+    # stepper-carry channel (step_fn(t, x, dt, lo) -> (x_next, err, lo));
+    # see vec_ode_tpu/comp.py
+    @property
+    def has_carry(self) -> bool:
+        return bool(getattr(self, "compensated", False))
+
+    def make_init_carry(self, fn=None, params=None):
+        from .. import comp
+
+        return lambda t, x: comp.zero_lo(x)
 
     def _wnorm_parts(self, x):
         """kernel_parts of the declared ``norm`` (lc.WeightedNorm) over
@@ -409,6 +488,7 @@ class ExpMidpoint(_DenseBatchedStepper):
     use_pallas: bool = False  # opt-in; XLA stacked-expm measures faster
     interpret: bool = False
     max_squarings: int = 16
+    compensated: bool = False  # double-f32 state pair (comp.py)
 
     nfev_per_step: int = 1
 
@@ -416,18 +496,22 @@ class ExpMidpoint(_DenseBatchedStepper):
         fn = op_fn if op_fn is not None else self.op_fn
         assemble = self._assembler(fn, params)
 
-        def step_fn(t, x, dt):
+        def step_core(t, x, dt, lo=None):
             if self._batched_mode(t):
                 return _midpoint_batched_step(
                     assemble, self.split, t, x, dt,
                     use_pallas=self.use_pallas, interpret=self.interpret,
-                    max_squarings=self.max_squarings,
+                    max_squarings=self.max_squarings, lo=lo,
                 )
             if params is not None:
                 raise ValueError("params requires the batched driver")
+            if lo is not None:
+                return midpoint_step_comp(fn, self.split, t, x, dt, lo)
             return midpoint_step(fn, self.split, t, x, dt)
 
-        return step_fn
+        if self.compensated:
+            return lambda t, x, dt, lo: step_core(t, x, dt, lo)
+        return lambda t, x, dt: step_core(t, x, dt)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -459,6 +543,7 @@ class Magnus4(_DenseBatchedStepper):
     # Opt-in: same order, different constant, so accept/reject sequences
     # deviate from the reference's pair (magnus.rs:63-79).
     fast_error: bool = False
+    compensated: bool = False  # double-f32 state pair (comp.py)
 
     nfev_per_step: int = 2
 
@@ -466,14 +551,14 @@ class Magnus4(_DenseBatchedStepper):
         fn = op_fn if op_fn is not None else self.op_fn
         assemble = self._assembler(fn, params)
 
-        def step_fn(t, x, dt):
+        def step_core(t, x, dt, lo=None):
             if self._batched_mode(t):
                 return _magnus4_batched_step(
                     assemble, self.split, t, x, dt, adaptive=self.adaptive,
                     use_pallas=self.use_pallas, interpret=self.interpret,
                     max_squarings=self.max_squarings,
                     fast_error=self.fast_error,
-                    wnorm=self._wnorm_parts(x),
+                    wnorm=self._wnorm_parts(x), lo=lo,
                 )
             if params is not None:
                 raise ValueError("params requires the batched driver")
@@ -481,11 +566,17 @@ class Magnus4(_DenseBatchedStepper):
                 raise ValueError(
                     "norm= runs on the batched dense tier; the scalar/"
                     "vmapped path takes the norm via error_norm=")
+            if lo is not None:
+                return magnus4_step_comp(fn, self.split, t, x, dt, lo,
+                                         adaptive=self.adaptive,
+                                         fast_error=self.fast_error)
             return magnus4_step(fn, self.split, t, x, dt,
                                 adaptive=self.adaptive,
                                 fast_error=self.fast_error)
 
-        return step_fn
+        if self.compensated:
+            return lambda t, x, dt, lo: step_core(t, x, dt, lo)
+        return lambda t, x, dt: step_core(t, x, dt)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -506,6 +597,10 @@ class Magnus6(_DenseBatchedStepper):
     interpret: bool = False
     max_squarings: int = 16
     norm: Optional[object] = None    # declared WeightedNorm (batched tier)
+    compensated: bool = False  # double-f32 state pair (comp.py) — the tier
+    # that makes this solver usable on f32 hardware: the increment-form
+    # estimate lifts the ~1e-7 f32 noise floor that made rtol<=1e-7 reject
+    # every step (BENCH.md r4 time-to-accuracy table)
 
     @property
     def nfev_per_step(self) -> int:
@@ -516,13 +611,13 @@ class Magnus6(_DenseBatchedStepper):
         fn = op_fn if op_fn is not None else self.op_fn
         assemble = self._assembler(fn, params)
 
-        def step_fn(t, x, dt):
+        def step_core(t, x, dt, lo=None):
             if self._batched_mode(t):
                 return _magnus6_batched_step(
                     assemble, self.split, t, x, dt, adaptive=self.adaptive,
                     use_pallas=self.use_pallas, interpret=self.interpret,
                     max_squarings=self.max_squarings,
-                    wnorm=self._wnorm_parts(x),
+                    wnorm=self._wnorm_parts(x), lo=lo,
                 )
             if params is not None:
                 raise ValueError("params requires the batched driver")
@@ -530,7 +625,12 @@ class Magnus6(_DenseBatchedStepper):
                 raise ValueError(
                     "norm= runs on the batched dense tier; the scalar/"
                     "vmapped path takes the norm via error_norm=")
+            if lo is not None:
+                return magnus6_step_comp(fn, self.split, t, x, dt, lo,
+                                         adaptive=self.adaptive)
             return magnus6_step(fn, self.split, t, x, dt,
                                 adaptive=self.adaptive)
 
-        return step_fn
+        if self.compensated:
+            return lambda t, x, dt, lo: step_core(t, x, dt, lo)
+        return lambda t, x, dt: step_core(t, x, dt)

@@ -92,6 +92,25 @@ class ExponentialSplit:
                                          *Ls)
         return self.exp(stacked)
 
+    def exp_m1(self, L: Pytree) -> Pytree:
+        """phi = exp(L) - I with RELATIVE accuracy (no I-subtraction), in
+        the same representation as a propagator, so ``map_exp(phi, x)``
+        yields the state increment (U - I) x. Required by the compensated
+        (double-f32) tier (vec_ode_tpu.comp); leaves implement it via
+        ``ops.expm.expm_m1`` / elementwise expm1 analogs."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not define exp_m1 — the "
+            "compensated tier needs an increment-form propagator; use a "
+            "dense/diagonal/anti-Hermitian leaf or implement exp_m1"
+        )
+
+    def exp_many_m1(self, Ls) -> Pytree:
+        """Stacked :meth:`exp_m1` of several same-structure operators (one
+        batched call, like :meth:`exp_many`)."""
+        stacked = jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves),
+                                         *Ls)
+        return self.exp_m1(stacked)
+
     def commutator(self, La: Pytree, Lb: Pytree) -> Pytree:
         """[La, Lb] (the reference's Commutator trait, exp/mod.rs:47-54)."""
         raise NotImplementedError(

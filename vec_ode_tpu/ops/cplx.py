@@ -189,6 +189,17 @@ def cexp(c: Cplx) -> Cplx:
     return Cplx(m * jnp.cos(c.im), m * jnp.sin(c.im))
 
 
+def cexpm1(c: Cplx) -> Cplx:
+    """Elementwise complex expm1: e^z - 1 with RELATIVE accuracy for small
+    |z| (no catastrophic 1-subtraction):
+        re = expm1(a) cos b - 2 sin^2(b/2),  im = e^a sin b."""
+    half = jnp.sin(0.5 * c.im)
+    return Cplx(
+        jnp.expm1(c.re) * jnp.cos(c.im) - 2.0 * half * half,
+        jnp.exp(c.re) * jnp.sin(c.im),
+    )
+
+
 def cscale_any(c: Cplx, z) -> Cplx:
     """Scale by: python/np scalar (real or complex), traced real scalar, or a
     scalar Cplx. The one entry point operator code should use."""

@@ -96,9 +96,36 @@ def _taylor12_ps(As, ident):
     return block(0) + mm(A4, acc)
 
 
+def _taylor12_ps_m1(As, ident):
+    """Degree-12 Taylor of expm1 (e^A - I) via Paterson-Stockmeyer.
+
+    Identical to :func:`_taylor12_ps` except the constant I term of block 0
+    is dropped, so the result is phi = e^A - I computed WITHOUT the
+    catastrophic I-subtraction: every term is O(|A|), giving phi a relative
+    (not |I|-absolute) rounding error. This is the primitive behind the
+    compensated (double-f32) exponential steppers (vec_ode_tpu.comp)."""
+    import math
+
+    c = [1.0 / math.factorial(k) for k in range(13)]
+    A2 = mm(As, As)
+    A3 = mm(A2, As)
+    A4 = mm(A3, As)
+
+    def block(j):
+        return (
+            c[4 * j] * ident + c[4 * j + 1] * As
+            + c[4 * j + 2] * A2 + c[4 * j + 3] * A3
+        )
+
+    blk0_m1 = As + c[2] * A2 + c[3] * A3   # block(0) - I
+    acc = block(2) + c[12] * A4
+    acc = block(1) + mm(A4, acc)
+    return blk0_m1 + mm(A4, acc)
+
+
 def _expm_impl(A: jax.Array, max_squarings: int,
-               method: str = "auto", differentiable: bool = False
-               ) -> jax.Array:
+               method: str = "auto", differentiable: bool = False,
+               minus_one: bool = False) -> jax.Array:
     A = jnp.asarray(A)
     d = A.shape[-1]
     if A.shape[-2] != d:
@@ -128,7 +155,7 @@ def _expm_impl(A: jax.Array, max_squarings: int,
 
     ident = jnp.broadcast_to(jnp.eye(d, dtype=A.dtype), A.shape)
     if method == "taylor":
-        R = _taylor12_ps(As, ident)
+        R = (_taylor12_ps_m1 if minus_one else _taylor12_ps)(As, ident)
     else:
         A2 = mm(As, As)
         A4 = mm(A2, A2)
@@ -136,16 +163,26 @@ def _expm_impl(A: jax.Array, max_squarings: int,
         U, V = _pade13(As, A2, A4, A6, ident)
         P = V + U
         Q = V - U
-        R = jnp.linalg.solve(Q, P)
+        # minus_one: phi = Q^{-1}P - I = Q^{-1}(P - Q) = Q^{-1}(2U) — the
+        # I-subtraction happens in exact arithmetic (P - Q == 2U), so phi
+        # keeps a relative error bound like the Taylor m1 path
+        R = jnp.linalg.solve(Q, 2.0 * U if minus_one else P)
 
-    # uniform squaring: R <- R^2, s times. s is one scalar for the whole
-    # batch, so this while_loop has uniform trip count across the ensemble.
+    # uniform squaring: R <- R^2, s times (minus_one: phi <- phi^2 + 2 phi,
+    # since (I+phi)^2 - I = phi^2 + 2 phi — every term stays O(|phi|)).
+    # s is one scalar for the whole batch, so this while_loop has uniform
+    # trip count across the ensemble.
     # ``differentiable=True`` swaps the dynamic while_loop for a bounded
     # masked scan (reverse-mode differentiable; always pays max_squarings
     # matmuls) — used by expm_frechet so second-order gradients work.
+    def square(Rc):
+        if minus_one:
+            return mm(Rc, Rc) + Rc + Rc
+        return mm(Rc, Rc)
+
     if differentiable:
         def sq(Rc, i):
-            return jnp.where(i < s, mm(Rc, Rc), Rc), None
+            return jnp.where(i < s, square(Rc), Rc), None
 
         R, _ = jax.lax.scan(sq, R, jnp.arange(max_squarings))
         return R
@@ -156,7 +193,7 @@ def _expm_impl(A: jax.Array, max_squarings: int,
 
     def body(c):
         i, Rc = c
-        return i + 1, mm(Rc, Rc)
+        return i + 1, square(Rc)
 
     _, R = jax.lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), R))
     return R
@@ -214,6 +251,37 @@ def expm(A: jax.Array, *, max_squarings: int = 16,
     TPU, accurate to f32 eps), or "auto" (taylor for <=f32, pade13 for f64).
     """
     return _expm_core(A, max_squarings, method)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _expm_m1_core(A: jax.Array, max_squarings: int, method: str) -> jax.Array:
+    return _expm_impl(A, max_squarings, method, minus_one=True)
+
+
+def _expm_m1_fwd(A, max_squarings, method):
+    return _expm_impl(A, max_squarings, method, minus_one=True), A
+
+
+_expm_m1_core.defvjp(_expm_m1_fwd, _expm_bwd)  # d(e^A - I) = d(e^A)
+
+
+@partial(jax.jit, static_argnames=("max_squarings", "method"))
+def expm_m1(A: jax.Array, *, max_squarings: int = 16,
+            method: str = "auto") -> jax.Array:
+    """phi = expm(A) - I, computed WITHOUT the I-subtraction (the matrix
+    analog of ``expm1``).
+
+    Same scaling-and-squaring scheme as :func:`expm` (batch-uniform squaring
+    count, same methods/VJP), but every intermediate stays O(|phi|):
+      * Taylor path drops the identity term from the PS block-0;
+      * Pade path solves Q phi = 2U (P - Q == 2U exactly);
+      * squaring uses (I+phi)^2 - I = phi^2 + 2 phi.
+    So for dt*||A|| << 1 the result has RELATIVE accuracy ~eps where
+    ``expm(A) - I`` would be floored at the ABSOLUTE eps*|I| — the primitive
+    that lets the compensated (double-f32) exponential steppers
+    (vec_ode_tpu.comp) advance states in increment form y += phi @ y with
+    per-step rounding O(eps*|dy|) instead of O(eps*|y|)."""
+    return _expm_m1_core(A, max_squarings, method)
 
 
 def expm_apply(A: jax.Array, x: jax.Array, **kw) -> jax.Array:

@@ -227,6 +227,13 @@ def ensemble_solve(
                 error_norm=enorm, method=method,
                 batch_shape=(b,),
                 pack_carry=getattr(stepper, "prefers_packed_carry", False),
+                init_carry_fn=(
+                    # batched steppers with a carry (e.g. the compensated
+                    # tier's lo word) seed it over the whole batch — their
+                    # make_init_carry is shape-polymorphic (zeros_like)
+                    stepper.make_init_carry(rhs_or_op)
+                    if getattr(stepper, "has_carry", False) else None
+                ),
                 event_cfg=event_cfg,
             )
             step_path = getattr(stepper, "step_path", None)

@@ -58,7 +58,7 @@ def rk_step(
     # rk.rs:136-151 — mathematically identical but free of the catastrophic
     # cancellation that floors the estimate at eps*|x|; see rk_step_stages,
     # the single implementation of the stage loop.)
-    x_next, err, _ = rk_step_stages(
+    x_next, err, _, _ = rk_step_stages(
         f, t, x0, dt, tab, embedded=embedded, advance_lower=advance_lower,
     )
     return x_next, err
@@ -74,10 +74,13 @@ def rk_step_stages(
     embedded: bool = True,
     advance_lower: bool = True,
     k0: Optional[Pytree] = None,
-) -> Tuple[Pytree, Optional[Pytree], list]:
+) -> Tuple[Pytree, Optional[Pytree], list, Pytree]:
     """Like :func:`rk_step` / :func:`rk_step_fsal` but also returns the
-    stage slopes K (for dense-output interpolants). ``k0`` supplies the
-    FSAL first stage; when given, ``advance_lower`` must be False."""
+    stage slopes K (for dense-output interpolants) and the ADVANCED
+    INCREMENT x_next - x0 (computed directly from the weighted stage sum,
+    never by subtraction — the compensated tier, comp.py, folds it into the
+    state pair with O(eps*|dy|) rounding). ``k0`` supplies the FSAL first
+    stage; when given, ``advance_lower`` must be False."""
     if k0 is not None and advance_lower:
         raise ValueError("FSAL stage reuse requires advance_lower=False")
     s = tab.stages
@@ -95,17 +98,21 @@ def rk_step_stages(
         K[i] = f(ti, xi)
 
     bidx = [j for j in range(s) if tab.b[j] != 0.0]
-    x_b = lc.axpy(dt, lc.lincomb([K[j] for j in bidx],
-                                 [float(tab.b[j]) for j in bidx]), x0)
+    incr_b = lc.scale(
+        lc.lincomb([K[j] for j in bidx], [float(tab.b[j]) for j in bidx]),
+        dt,
+    )
+    x_b = lc.add(x0, incr_b)
     if not embedded or tab.b_err is None:
-        return x_b, None, K
+        return x_b, None, K, incr_b
     db = tab.b - tab.b_err
     eidx = [j for j in range(s) if db[j] != 0.0]
     err = lc.scale(
         lc.lincomb([K[j] for j in eidx], [float(db[j]) for j in eidx]), dt
     )
-    x_next = lc.sub(x_b, err) if advance_lower else x_b
-    return x_next, err, K
+    if advance_lower:
+        return lc.sub(x_b, err), err, K, lc.sub(incr_b, err)
+    return x_b, err, K, incr_b
 
 
 def rk_step_fsal(
@@ -130,7 +137,7 @@ def rk_step_fsal(
     evaluates stage 1, rk.rs:111).
     """
     # FSAL: stage s's state IS x_b (a[s-1] == b), so K[s-1] = f(t+dt, x_b)
-    x_b, err, K = rk_step_stages(
+    x_b, err, K, _ = rk_step_stages(
         f, t, x0, dt, tab, embedded=embedded, advance_lower=False, k0=k0,
     )
     return x_b, err, K[-1]
@@ -149,6 +156,12 @@ class RungeKutta:
     # solution). Threads the last stage through the driver carry so DOPRI5
     # costs 6 RHS evals/attempt instead of 7 (BOSH32: 3 instead of 4).
     fsal: Optional[bool] = None
+    # compensated (double-f32) state accumulation: carry the state as a
+    # TwoSum-renormalized (hi, lo) pair and fold in the directly-computed
+    # step increment, so n-step f32 accumulation drift (~n*eps*|y|)
+    # vanishes — the reference's f64 regime on f32 hardware (comp.py,
+    # VERDICT r4 #1). The lo word rides the stepper carry.
+    compensated: bool = False
 
     # RHS signature is f(t, y) (vs op_fn(t) for exp steppers) — used by
     # ensemble_solve to thread per-trajectory params correctly
@@ -170,7 +183,7 @@ class RungeKutta:
     # the carry; make_init_carry seeds it at (t0, x0)
     @property
     def has_carry(self) -> bool:
-        return self.use_fsal
+        return self.use_fsal or self.compensated
 
     @property
     def nfev_per_step(self) -> int:
@@ -181,9 +194,29 @@ class RungeKutta:
         return 1 if self.use_fsal else 0
 
     def make_init_carry(self, f: Callable) -> Callable:
+        from . import comp
+
+        if self.use_fsal and self.compensated:
+            return lambda t, x: (f(t, x), comp.zero_lo(x))
+        if self.compensated:
+            return lambda t, x: comp.zero_lo(x)
         return lambda t, x: f(t, x)
 
     def make_step_fn(self, f: Callable) -> Callable:
+        from . import comp
+
+        if self.use_fsal and self.compensated:
+            def step_fn_fsal_comp(t, x, dt, carry):
+                k0, lo = carry
+                _, err, K, incr = rk_step_stages(
+                    f, t, x, dt, self.tableau, k0=k0,
+                    embedded=self.embedded, advance_lower=False,
+                )
+                hi, lo2 = comp.update(x, lo, incr)
+                return hi, err, (K[-1], lo2)
+
+            return step_fn_fsal_comp
+
         if self.use_fsal:
             def step_fn_fsal(t, x, dt, k0):
                 return rk_step_fsal(
@@ -191,6 +224,18 @@ class RungeKutta:
                 )
 
             return step_fn_fsal
+
+        if self.compensated:
+            def step_fn_comp(t, x, dt, lo):
+                _, err, _, incr = rk_step_stages(
+                    f, t, x, dt, self.tableau,
+                    embedded=self.embedded,
+                    advance_lower=self.advance_lower,
+                )
+                hi, lo2 = comp.update(x, lo, incr)
+                return hi, err, lo2
+
+            return step_fn_comp
 
         def step_fn(t, x, dt):
             return rk_step(
