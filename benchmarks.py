@@ -781,6 +781,62 @@ def bench_adjoint_grad(results, B=256, d=64, n_steps=256, length=4):
     })
 
 
+def bench_fit_loop(results, B=256, d=64, n_steps=256, n_iters=8):
+    """On-device optimizer loop (diff.make_fit_loop): n_iters iterations of
+    value_and_grad(adjoint infidelity) + Adam inside ONE dispatch, vs the
+    host loop a user would otherwise write (one dispatch per iteration,
+    host-synced — the steady-state pattern). Same config as adjoint_grad so
+    the chained-adjoint number is directly comparable (VERDICT r4 #2: the
+    fit_loop rate should sit within ~2x of the chained adjoint rate)."""
+    import optax
+
+    from vec_ode_tpu.diff import make_fit_loop
+    from vec_ode_tpu.models import PulseControl
+
+    pc = PulseControl.make(d=d, seed=0, T=1.0, n_modes=6)
+    rng = np.random.default_rng(3)
+    psi0 = rng.standard_normal((B, d)) + 1j * rng.standard_normal((B, d))
+    psi0 /= np.linalg.norm(psi0, axis=-1, keepdims=True)
+    tgt = np.roll(psi0, 1, axis=-1)
+    y0 = cp.from_complex(psi0, jnp.float32)
+    tg = cp.from_complex(tgt, jnp.float32)
+    theta = jnp.full((6,), 0.1, jnp.float32)
+
+    loss = lambda th: pc.infidelity(th, y0, tg, n_steps=n_steps,  # noqa: E731
+                                    dtype=jnp.float32)
+    fit = make_fit_loop(loss, optax.adam(0.05), n_iters=n_iters)
+
+    def sync():
+        res = fit(theta)
+        return float(np.asarray(res.losses[-1]))
+
+    wall, last = timed(sync)
+    steps = 2 * n_steps * B * n_iters  # fwd+bwd, matching adjoint_grad
+    results.append({
+        "metric": f"fit_loop on-device Adam steps/sec, {B}x{d}-dim complex, "
+                  f"Magnus-4 adjoint n_steps={n_steps}, {n_iters} iters "
+                  "in ONE dispatch (fwd+bwd counted)",
+        "value": round(steps / wall, 1), "unit": "steps/sec",
+        "detail": {"iters_per_sec": round(n_iters / wall, 3),
+                   "final_loss": last},
+    })
+
+    # the host loop fit_loop replaces: one value_and_grad + update per
+    # dispatch, host-synced (what a user's optimizer loop costs today)
+    vg = jax.jit(jax.value_and_grad(loss))
+
+    def run1():
+        v, g = vg(theta)
+        float(np.asarray(v))
+        return 2 * n_steps * B
+
+    paired_steady(
+        results,
+        f"host-loop value_and_grad steps/sec, {B}x{d}-dim complex, "
+        f"Magnus-4 adjoint n_steps={n_steps}",
+        run1)
+
+
 def bench_lz_sweep_efficiency(results):
     """Straggler accounting on a heterogeneous Landau-Zener sweep: plain
     batched loop vs host-compacted re-batching (VERDICT r1 item 6)."""
@@ -1154,6 +1210,7 @@ ALL = {
     "magnus4_modulated_4k": bench_magnus4_modulated_4k,
     "lindblad": bench_lindblad,
     "adjoint_grad": bench_adjoint_grad,
+    "fit_loop": bench_fit_loop,
     "lz_sweep_efficiency": bench_lz_sweep_efficiency,
 }
 

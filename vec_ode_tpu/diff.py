@@ -40,7 +40,7 @@ Three regimes:
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -1393,3 +1393,165 @@ def adjoint_solve_dense(
     is_cplx = isinstance(y0, Cplx)
     yfw = solver(theta, _widen(y0, is_cplx), t0, tf)
     return _unwiden(yfw, is_cplx)
+
+
+# ---------------------------------------------------------------------------
+# On-device optimization loops: N optimizer iterations in ONE dispatch.
+#
+# Motivation (measured, BENCH.md): through the TPU tunnel a host-synced
+# optimizer loop (solve -> grad -> update, one dispatch per iteration) pays
+# ~100 ms dispatch latency per iteration and lives at the STEADY-STATE rate,
+# 10-60x below the chained-dispatch rate the solver itself sustains. The
+# reference's user contract is exactly such a host loop
+# (/root/reference/src/impls/nalgebra.rs:61-64 — `while let ODEState::Ok(_) =
+# solver.step()`); the rebuild's answer is to put the whole optimization
+# inside one jitted lax.scan so the per-iteration cost is the solve+grad
+# itself, not the dispatch.
+# ---------------------------------------------------------------------------
+
+
+class FitResult(NamedTuple):
+    """Result of :func:`fit_loop` / :func:`make_fit_loop`.
+
+    ``losses[i]`` is the loss evaluated at the PRE-update parameters of
+    iteration ``i`` (the standard convention: ``losses[0]`` is the loss at
+    ``theta0``). With early stopping (``tol``) entries past ``n_done`` are
+    NaN. ``aux`` is the stacked per-iteration auxiliary output when the
+    loss has ``has_aux=True`` (None otherwise; None under ``tol`` early
+    stopping, where iteration count is dynamic).
+    """
+
+    params: Any
+    opt_state: Any
+    losses: jax.Array
+    n_done: jax.Array
+    aux: Any = None
+
+
+def make_fit_loop(
+    loss_fn: Callable,
+    optimizer,
+    *,
+    n_iters: int,
+    has_aux: bool = False,
+    tol: Optional[float] = None,
+    unroll: int = 1,
+    verbose_every: int = 0,
+    jit: bool = True,
+):
+    """Build ``fit(theta0, *args) -> FitResult`` running ``n_iters``
+    optimizer iterations — ``value_and_grad(loss_fn)`` + ``optimizer``
+    update — inside ONE jitted dispatch.
+
+    ``loss_fn(theta, *args) -> scalar`` (or ``(scalar, aux)`` with
+    ``has_aux=True``) is any differentiable loss; with a solver inside
+    (``adjoint_solve``, ``value_and_grad_terminal``'s objective, a
+    ``method="scan"`` solve) the entire optimization runs on-device: no
+    host round-trip between iterations, so the per-iteration cost is the
+    solve+grad itself instead of the ~100 ms tunnel dispatch floor.
+
+    ``optimizer`` is any optax-style pair: ``init(params) -> state`` and
+    ``update(grads, state, params) -> (updates, state)`` with additive
+    updates. ``*args`` are static-shaped extra loss inputs (data batches,
+    targets) passed through unchanged.
+
+    ``tol`` switches the fixed-length ``lax.scan`` to a
+    ``lax.while_loop`` that stops as soon as the loss at the current
+    parameters is <= ``tol`` (still one dispatch; ``losses`` keeps its
+    static ``(n_iters,)`` shape with NaN past ``n_done``).
+
+    ``verbose_every=k`` prints the iteration/loss every k iterations from
+    inside the compiled loop (``jax.debug.print``) — the only way to watch
+    progress without breaking the single dispatch.
+
+    The loop is reverse-differentiated per-iteration only (value_and_grad
+    inside the body); nothing differentiates THROUGH the optimizer loop,
+    so there is no stored-trajectory memory cost beyond the loss's own.
+    """
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    vg = jax.value_and_grad(loss_fn, has_aux=has_aux)
+
+    def _eval_update(theta, opt_state, args):
+        if has_aux:
+            (v, aux), g = vg(theta, *args)
+        else:
+            v, g = vg(theta, *args)
+            aux = None
+        updates, opt_state = optimizer.update(g, opt_state, theta)
+        theta = jax.tree_util.tree_map(
+            lambda p, u: p + u.astype(p.dtype), theta, updates)
+        return v, aux, theta, opt_state
+
+    def _maybe_print(i, v):
+        if verbose_every > 0:
+            jax.lax.cond(
+                i % verbose_every == 0,
+                lambda: jax.debug.print(
+                    "fit_loop iter {i}  loss {v}", i=i, v=v),
+                lambda: None,
+            )
+
+    def run(theta0, *args):
+        opt_state0 = optimizer.init(theta0)
+        if tol is None:
+            def body(carry, i):
+                theta, opt_state = carry
+                v, aux, theta, opt_state = _eval_update(
+                    theta, opt_state, args)
+                _maybe_print(i, v)
+                out = (v, aux) if has_aux else v
+                return (theta, opt_state), out
+
+            (theta, opt_state), hist = jax.lax.scan(
+                body, (theta0, opt_state0), jnp.arange(n_iters),
+                unroll=unroll)
+            losses, aux = hist if has_aux else (hist, None)
+            return FitResult(theta, opt_state, losses,
+                             jnp.asarray(n_iters, jnp.int32), aux)
+
+        # early-stopping variant: dynamic iteration count, one dispatch
+        losses0 = jnp.full((n_iters,), jnp.nan,
+                           jax.eval_shape(
+                               lambda th: loss_fn(th, *args)[0]
+                               if has_aux else loss_fn(th, *args),
+                               theta0).dtype)
+
+        def cond(carry):
+            i, _, _, _, last_v = carry
+            return (i < n_iters) & (last_v > tol)
+
+        def body(carry):
+            i, theta, opt_state, losses, _ = carry
+            v, _, theta, opt_state = _eval_update(theta, opt_state, args)
+            _maybe_print(i, v)
+            return (i + 1, theta, opt_state, losses.at[i].set(v), v)
+
+        i, theta, opt_state, losses, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.asarray(0, jnp.int32), theta0, opt_state0, losses0,
+             jnp.asarray(jnp.inf, losses0.dtype)))
+        return FitResult(theta, opt_state, losses, i, None)
+
+    return jax.jit(run) if jit else run
+
+
+def fit_loop(
+    loss_fn: Callable,
+    theta0: Pytree,
+    *args,
+    optimizer,
+    n_iters: int,
+    has_aux: bool = False,
+    tol: Optional[float] = None,
+    unroll: int = 1,
+    verbose_every: int = 0,
+) -> FitResult:
+    """Run ``n_iters`` optimizer iterations of ``loss_fn`` starting from
+    ``theta0`` inside ONE jitted dispatch (see :func:`make_fit_loop`;
+    build the loop once with that factory when calling repeatedly —
+    this convenience wrapper re-jits per call)."""
+    fit = make_fit_loop(
+        loss_fn, optimizer, n_iters=n_iters, has_aux=has_aux, tol=tol,
+        unroll=unroll, verbose_every=verbose_every)
+    return fit(theta0, *args)
