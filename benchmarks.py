@@ -837,6 +837,104 @@ def bench_fit_loop(results, B=256, d=64, n_steps=256, n_iters=8):
         run1)
 
 
+def bench_compensated(results, B=256, d=64):
+    """Compensated double-f32 state tier (comp.py, VERDICT r4 #1): what the
+    (hi, lo) pair + increment-form propagation COSTS at the standard
+    rtol=1e-5 row config, and what it BUYS — adaptive control at rtol=1e-8,
+    where plain f32 reject-storms on the eps*|y| estimator noise floor, and
+    adaptive Magnus-6 at rtol=1e-8, where plain f32 is ERR_MAX_STEPS."""
+    model = DrivenDense.make(d=d, seed=0)
+    rng = np.random.default_rng(2)
+    psi0 = rng.standard_normal((B, d)) + 1j * rng.standard_normal((B, d))
+    psi0 /= np.linalg.norm(psi0, axis=-1, keepdims=True)
+    y0 = cp.from_complex(psi0, jnp.float32)
+
+    def rate_and_counts(stepper, rtol, length=8):
+        ctl = vo.StepControl(rtol=rtol, min_dt=1e-6, max_dt=0.25,
+                             max_steps=4000)
+
+        @jax.jit
+        def run(y0):
+            def body(carry, _):
+                y, acc, rej = carry
+                sol = ensemble_solve(
+                    lambda t: model.op_pair(t, jnp.float32), y, 0.0, 1.0,
+                    stepper=stepper, adaptive=True, ctl=ctl,
+                    h0=1e-2, time_dtype=jnp.float32,
+                )
+                n = jnp.sqrt(jnp.sum(sol.y_final.re**2 + sol.y_final.im**2,
+                                     axis=-1, keepdims=True))
+                yn = cp.Cplx(sol.y_final.re / n, sol.y_final.im / n)
+                return (yn, acc + sol.n_accept, rej + sol.n_reject), None
+
+            zeros = jnp.zeros((y0.re.shape[0],), jnp.int32)
+            (yf, acc, rej), _ = jax.lax.scan(
+                body, (y0, zeros, zeros), None, length=length)
+            return acc, rej, yf
+
+        def sync():
+            na, nr, yf = run(y0)
+            np.asarray(yf.re)
+            return int(np.asarray(na).sum()), int(np.asarray(nr).sum())
+
+        wall, (steps, rejects) = timed(sync)
+        return steps / wall, steps, rejects
+
+    # cost at the standard row config (rtol=1e-5): plain vs compensated
+    r_plain, _, rej_p = rate_and_counts(
+        vexp.Magnus4(vexp.DenseCplxSplit()), 1e-5)
+    r_comp, _, rej_c = rate_and_counts(
+        vexp.Magnus4(vexp.DenseCplxSplit(), compensated=True), 1e-5)
+    results.append({
+        "metric": f"compensated Magnus-4 steps/sec, {B}x{d}-dim complex, "
+                  "rtol=1e-5 [chained: 8 solves/dispatch] — COST row",
+        "value": round(r_comp, 1), "unit": "steps/sec",
+        "detail": {"plain_f32_rate": round(r_plain, 1),
+                   "relative_cost": round(r_plain / r_comp, 3),
+                   "rejects_plain": rej_p, "rejects_comp": rej_c},
+    })
+
+    # capability at rtol=1e-8: plain f32 reject-storms on estimator noise
+    r_plain8, st_p8, rej_p8 = rate_and_counts(
+        vexp.Magnus4(vexp.DenseCplxSplit()), 1e-8, length=4)
+    r_comp8, st_c8, rej_c8 = rate_and_counts(
+        vexp.Magnus4(vexp.DenseCplxSplit(), compensated=True), 1e-8,
+        length=4)
+    results.append({
+        "metric": f"compensated Magnus-4 steps/sec, {B}x{d}-dim complex, "
+                  "rtol=1e-8 [chained: 4 solves/dispatch] — CAPABILITY row",
+        "value": round(r_comp8, 1), "unit": "steps/sec",
+        "detail": {"plain_f32_rate": round(r_plain8, 1),
+                   "accepts_plain": st_p8, "rejects_plain": rej_p8,
+                   "accepts_comp": st_c8, "rejects_comp": rej_c8},
+    })
+
+    # Magnus-6 at rtol=1e-8: plain f32 is ERR_MAX_STEPS (estimator floor
+    # ~1e-7); compensated completes (single bounded solve, one dispatch)
+    ctl6 = vo.StepControl(rtol=1e-8, min_dt=1e-6, max_dt=0.25,
+                          max_steps=2000)
+
+    @jax.jit
+    def run_m6(y0):
+        st = vexp.Magnus6(vexp.DenseCplxSplit(), compensated=True)
+        sol = ensemble_solve(
+            lambda t: model.op_pair(t, jnp.float32), y0, 0.0, 1.0,
+            stepper=st, adaptive=True, ctl=ctl6, h0=1e-2,
+            time_dtype=jnp.float32,
+        )
+        return sol.status, sol.n_accept, sol.n_reject
+
+    s_c, na_c, nr_c = run_m6(y0)
+    done_frac = float(np.mean(np.asarray(s_c) == vo.DONE))
+    results.append({
+        "metric": f"compensated adaptive Magnus-6 rtol=1e-8, {B}x{d}-dim "
+                  "complex: DONE fraction (plain f32 is ERR_MAX_STEPS here)",
+        "value": done_frac, "unit": "fraction DONE",
+        "detail": {"median_accepts": int(np.median(np.asarray(na_c))),
+                   "median_rejects": int(np.median(np.asarray(nr_c)))},
+    })
+
+
 def bench_lz_sweep_efficiency(results):
     """Straggler accounting on a heterogeneous Landau-Zener sweep: plain
     batched loop vs host-compacted re-batching (VERDICT r1 item 6)."""
@@ -1211,6 +1309,7 @@ ALL = {
     "lindblad": bench_lindblad,
     "adjoint_grad": bench_adjoint_grad,
     "fit_loop": bench_fit_loop,
+    "compensated": bench_compensated,
     "lz_sweep_efficiency": bench_lz_sweep_efficiency,
 }
 
