@@ -221,9 +221,9 @@ class EventConfig:
         eps = jnp.finfo(t.dtype).eps
         return 64.0 * eps * jnp.maximum(1.0, jnp.abs(t))
 
-    def kernel_spec(self, d_part: int, n_parts: int):
+    def kernel_spec(self, d_part: int, n_parts: int, dtype=None):
         """See :func:`_kernel_spec` (defined below the observable types)."""
-        return _kernel_spec(self, d_part, n_parts)
+        return _kernel_spec(self, d_part, n_parts, dtype=dtype)
 
     def evaluate(self, t, x):
         """Stacked g values, shape ``t.shape + (E,)``. ``t`` may carry a
@@ -250,13 +250,20 @@ class KernelEvents:
     Python literals. Consumed by ops/pallas_loop.py."""
 
     n: int
-    kinds: tuple          # "lin" | "quad" per event
+    kinds: tuple          # "lin" | "quad" | "traced" per event
     dirs: tuple           # -1 | 0 | +1
     terminal: tuple       # bool
     offsets: tuple        # float c per event
-    rows: Any             # numpy (E, D) base rows (pre-group-tiling)
+    rows: Any             # numpy (E, D) base rows (zeros for traced events)
     t_tol: Optional[float]
     record_y: bool
+    # per-event block evaluator g(t_col (TILE,1), y_block (TILE,D)) ->
+    # (TILE,1) for "traced" events (the user's jnp callable vmapped over the
+    # kernel tile rows), None for declared observables. Traced events run
+    # UNPACKED only (group == 1): a lane-packed row interleaves G
+    # trajectories, and unpacking in-kernel needs a 3-D reshape Mosaic
+    # rejects — callers gate G > 1 off to the XLA driver.
+    traced: tuple = ()
 
     def tiled_rows(self, group: int = 1):
         import numpy as np
@@ -268,32 +275,90 @@ class KernelEvents:
     def any_terminal(self) -> bool:
         return any(self.terminal)
 
+    @property
+    def any_traced(self) -> bool:
+        return any(f is not None for f in self.traced)
 
-def _kernel_spec(cfg: "EventConfig", d_part: int, n_parts: int):
+
+def _traced_block_eval(fn, d_part: int, n_parts: int, dtype):
+    """TRACE, don't declare (VERDICT r4 #3, events half): probe an opaque
+    event callable ``g(t, x) -> scalar`` with ``jax.eval_shape`` on a
+    per-trajectory state abstract; when it traces to a scalar, return a
+    kernel-tile block evaluator ``(t_col (TILE,1), y_block (TILE,D)) ->
+    (TILE,1)`` that vmaps the callable over the tile rows (reconstructing
+    the Cplx pair from the widened [re | im] layout for n_parts == 2).
+    Returns None on tracing failure — the caller falls back to the XLA
+    driver, which runs arbitrary callables."""
+    if dtype is None:
+        dtype = jnp.float32
+    if n_parts == 2:
+        from .ops.cplx import Cplx
+
+        probe_x = Cplx(jax.ShapeDtypeStruct((d_part,), dtype),
+                       jax.ShapeDtypeStruct((d_part,), dtype))
+    elif n_parts == 1:
+        probe_x = jax.ShapeDtypeStruct((d_part,), dtype)
+    else:
+        return None
+    try:
+        out = jax.eval_shape(fn, jax.ShapeDtypeStruct((), dtype), probe_x)
+    except Exception:
+        return None
+    if getattr(out, "shape", None) != ():
+        return None
+
+    def block_eval(t_col, y_block):
+        ts = t_col[:, 0]
+        if n_parts == 2:
+            from .ops.cplx import Cplx
+
+            x = Cplx(y_block[:, :d_part], y_block[:, d_part:])
+        else:
+            x = y_block
+        g = jax.vmap(fn)(ts, x)
+        return g[:, None].astype(y_block.dtype)
+
+    return block_eval
+
+
+def _kernel_spec(cfg: "EventConfig", d_part: int, n_parts: int, dtype=None):
     """KernelEvents for this config over a (d_part x n_parts)-widened
-    state, or None when any event's fn is not a declared observable the
-    kernels can lay out (the caller falls back to the XLA driver)."""
+    state, or None when any event's fn is neither a declared observable
+    the kernels can lay out nor a traceable callable (the caller falls
+    back to the XLA driver). Traceable plain-jnp callables become
+    "traced" events executed in-kernel by vmapping over the tile rows
+    (unpacked tiles only — see KernelEvents.traced)."""
     import numpy as np
 
-    rows, kinds = [], []
+    rows, kinds, traced = [], [], []
     for e in cfg.events:
         kind = getattr(e.fn, "kernel_kind", None)
         if kind is None:
-            return None
+            fn_b = _traced_block_eval(e.fn, d_part, n_parts, dtype)
+            if fn_b is None:
+                return None
+            rows.append(np.zeros(d_part * n_parts))
+            kinds.append("traced")
+            traced.append(fn_b)
+            continue
         row = e.fn.kernel_row(d_part, n_parts)
         if row is None:
             return None
         rows.append(row)
         kinds.append(kind)
+        traced.append(None)
     return KernelEvents(
         n=cfg.n,
         kinds=tuple(kinds),
         dirs=tuple(e.direction for e in cfg.events),
         terminal=tuple(bool(e.terminal) for e in cfg.events),
-        offsets=tuple(float(e.fn.c) for e in cfg.events),
+        offsets=tuple(
+            float(getattr(e.fn, "c", 0.0)) for e in cfg.events
+        ),
         rows=np.stack(rows),
         t_tol=None if cfg.t_tol is None else float(cfg.t_tol),
         record_y=bool(cfg.record_y),
+        traced=tuple(traced),
     )
 
 

@@ -443,16 +443,23 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
                 "driver applies it instead")
     ev_spec = None
     if event_cfg is not None:
-        ev_spec = event_cfg.kernel_spec(parts[0].shape[-1], len(parts))
+        ev_spec = event_cfg.kernel_spec(parts[0].shape[-1], len(parts),
+                                        dtype=parts[0].dtype)
         if ev_spec is None:
             return _ineligible(
-                "events= with opaque callables cannot run in-kernel; "
+                "events= with untraceable callables cannot run in-kernel; "
                 "declare events.LinearObservable / QuadraticObservable "
-                "for the fused loop (the XLA driver handles callables)")
+                "or pass plain-jnp callables for the fused loop (the XLA "
+                "driver handles arbitrary callables)")
         if ev_spec.n > 8:
             return _ineligible(
                 f"{ev_spec.n} events > 8 (found-bits budget of the "
                 "in-kernel event state)")
+        if ev_spec.any_traced and G > 1:
+            return _ineligible(
+                "traced event callables with lane packing (unpacking a "
+                "packed row in-kernel needs a 3-D reshape Mosaic "
+                "rejects); the XLA driver runs them instead")
     m, theta = _taylor_params(parts[0].dtype, stepper.m)
     builder = make_chain_step_builder(
         C, R, basis_w.shape[0], m, float(theta), stepper.max_squarings,

@@ -122,6 +122,10 @@ def _make_loop_kernel(
         raise ValueError("lane-packed loop kernel needs a single pre-"
                          f"widened state buffer, got n_state={n_state}")
     n_ev = 0 if events is None else int(events.n)
+    if n_ev and gw > 1 and events.any_traced:
+        raise ValueError(
+            "traced event callables cannot run on the lane-packed layout "
+            "(callers must gate group > 1 off to the XLA driver)")
     has_evy = n_ev > 0 and events.record_y
     n_evy = n_ev * n_state if has_evy else 0
     # float carry widens by per-event g_prev + t_ev columns and the shared
@@ -298,9 +302,16 @@ def _make_loop_kernel(
                 g_next, thetas, active = [], [], []
                 theta_min = None
                 for e in range(n_ev):
-                    row = evrows_ref[e:e + 1, :]
-                    src = y if events.kinds[e] == "lin" else y * y
-                    gn = reduce_vals(src * row) - events.offsets[e]
+                    if events.kinds[e] == "traced":
+                        # traced opaque callable, vmapped over the tile
+                        # rows (unpacked only — callers gate G > 1 off);
+                        # evaluated at the TRIAL point (t + dt, y), the
+                        # same contract as events.event_step
+                        gn = events.traced[e](t + dt, y)
+                    else:
+                        row = evrows_ref[e:e + 1, :]
+                        src = y if events.kinds[e] == "lin" else y * y
+                        gn = reduce_vals(src * row) - events.offsets[e]
                     gp = g_prev[e]
                     rising = (gp < 0) & (gn >= 0)
                     falling = (gp > 0) & (gn <= 0)
@@ -1037,6 +1048,12 @@ def fused_loop_integrate(
         x3 = xw.reshape(B, group, Dw)
         rows = np.asarray(events.rows)
         for e in range(n_ev):
+            if events.kinds[e] == "traced":
+                # traced events run unpacked (group == 1): one host-side
+                # block evaluation of g(t0, x0) over the (B, D) batch
+                evcols.append(events.traced[e](
+                    jnp.full((B, 1), t0, dtype), xw))
+                continue
             row = jnp.asarray(rows[e], dtype)
             src = x3 if events.kinds[e] == "lin" else x3 * x3
             evcols.append((src * row).sum(-1) - events.offsets[e])

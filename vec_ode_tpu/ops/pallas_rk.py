@@ -386,14 +386,18 @@ class FusedModulatedLinearRK:
                     "max cannot ride the one-hot reduction matmul)")
         ev_spec = None
         if events is not None:
-            ev_spec = events.kernel_spec(d, 2)
+            ev_spec = events.kernel_spec(d, 2, dtype=y0.re.dtype)
             if ev_spec is None:
                 return warn(
-                    "events= with opaque callables cannot run in-kernel; "
-                    "declare events.LinearObservable / "
-                    "QuadraticObservable for the fused loop")
+                    "events= with untraceable callables cannot run "
+                    "in-kernel; declare events.LinearObservable / "
+                    "QuadraticObservable or pass plain-jnp callables")
             if ev_spec.n > 8:
                 return warn(f"{ev_spec.n} events > 8 (found-bits budget)")
+            if ev_spec.any_traced and G > 1:
+                return warn(
+                    "traced event callables with lane packing (in-kernel "
+                    "unpacking needs a 3-D reshape Mosaic rejects)")
 
         builder = make_rk_step_builder(
             self.tableau, self.u_fn, self.advance_lower,
