@@ -723,6 +723,33 @@ def _parity_kernel_events_norms(model):
                          - np.asarray(s_x.event_t)).max())
     assert dt_ev <= 1e-4, dt_ev
 
+    # multi-crossing (r5, VERDICT #7): K=3 located slots + crossing counter
+    # in-kernel vs the XLA driver. v=0 makes the Hamiltonian a pure Rabi
+    # drive: |c1|^2 = sin^2(delta t / 2) crosses 1/2 five times in
+    # [-20, 20] (spacing ~7.9 s >> max_dt) — 3 located, 5 counted.
+    mod0 = LandauZener(v=0.0, delta=0.4).modulated(jnp.float32)
+    ev3 = EventConfig(
+        events=(Event(QuadraticObservable(q=[0.0, 1.0], c=0.5)),),
+        max_crossings=3, t_tol=1e-4)
+    kw3 = dict(adaptive=True, h0=0.05, time_dtype=jnp.float32, ctl=ctl,
+               events=ev3)
+    m_k = ensemble_solve(mod0, y0, -20.0, 20.0,
+                         stepper=vexp.MagnusModulated4(mod0), **kw3)
+    m_x = ensemble_solve(mod0, y0, -20.0, 20.0,
+                         stepper=vexp.MagnusModulated4(mod0,
+                                                       use_pallas=False),
+                         **kw3)
+    assert m_k.path.endswith("-packed"), m_k.path
+    cnt_k = np.asarray(m_k.event_count)
+    cnt_x = np.asarray(m_x.event_count)
+    assert int(cnt_x.max()) >= 2, "test problem should multi-cross"
+    d_cnt = int(np.abs(cnt_k - cnt_x).max())
+    tk_k, tk_x = np.asarray(m_k.event_t_k), np.asarray(m_x.event_t_k)
+    both = np.isfinite(tk_k) & np.isfinite(tk_x)
+    assert np.array_equal(np.isfinite(tk_k), np.isfinite(tk_x))
+    d_tk = float(np.abs(np.where(both, tk_k - tk_x, 0.0)).max())
+    assert d_cnt == 0 and d_tk <= 1e-4, (d_cnt, d_tk)
+
     wn = vo.WeightedNorm("l2", weights=np.asarray([2.0, 0.5], np.float32))
     n_k = ensemble_solve(mod, y0, -20.0, 20.0,
                          stepper=vexp.MagnusModulated4(mod, norm=wn),

@@ -74,7 +74,10 @@ def solve_ivp(
     ``g(t, y) -> scalar``), a sequence of them, or an ``EventConfig`` — the
     driver locates the first sign change of each g (see events.py) and
     reports it in ``Solution.event_t``/``event_found``/``event_y``;
-    ``Event(terminal=True)`` ends the solve there (status ``DONE_EVENT``).
+    ``Event(terminal=True)`` ends the solve there (status ``DONE_EVENT``),
+    ``terminal=n`` at the n-th crossing. ``EventConfig(max_crossings=K)``
+    locates the first K crossings per event (``Solution.event_t_k``) and
+    counts every further one (``Solution.event_count``).
 
     Backward integration (tf < t0, unsupported by the reference) works via
     time reversal: integrate s in [0, t0-tf] with g(s, y) = -f(t0-s, y); the
@@ -147,6 +150,13 @@ def _reverse_result(sol: Solution, t0_orig) -> Solution:
         # "not found" sentinel stays on the unreachable side
         ev_kw["event_t"] = jnp.where(
             sol.event_found, t0_orig - sol.event_t, -jnp.inf
+        )
+    if sol.event_t_k is not None:
+        # slot s remains the (s+1)-th crossing ALONG THE INTEGRATION
+        # DIRECTION (here: going backward from t0); unreached slots hold
+        # +inf in reversed time -> -inf in user time
+        ev_kw["event_t_k"] = jnp.where(
+            jnp.isfinite(sol.event_t_k), t0_orig - sol.event_t_k, -jnp.inf
         )
     return dc.replace(
         sol,

@@ -514,6 +514,12 @@ class Solution:
     event_t: Optional[jax.Array] = None      # (..., E)
     event_found: Optional[jax.Array] = None  # (..., E) bool
     event_y: Optional[Pytree] = None         # (..., E) + state shape
+    # multi-crossing outputs (EventConfig.max_crossings = K): first-K
+    # located times (slot s = the (s+1)-th crossing; inf when not reached)
+    # and the TOTAL matching-crossing count (includes counted-only
+    # crossings beyond K)
+    event_t_k: Optional[jax.Array] = None    # (..., E, K)
+    event_count: Optional[jax.Array] = None  # (..., E) int32
     path: str = "xla-driver"                 # static execution-path tag
 
     @property
@@ -546,7 +552,7 @@ jax.tree_util.register_pytree_node(
     lambda s: (
         (s.ts, s.ys, s.t_final, s.y_final, s.status, s.n_accept, s.n_reject,
          s.n_iters, s.h_final, s.n_rhs_evals, s.event_t, s.event_found,
-         s.event_y),
+         s.event_y, s.event_t_k, s.event_count),
         s.path,
     ),
     lambda aux, ch: Solution(*ch, path=aux),
@@ -837,9 +843,11 @@ def resume(
         jax.tree_util.tree_leaves(final.ev)
     ) > 0:
         ev_kw = dict(
-            event_t=final.ev.t_ev,
+            event_t=final.ev.t_ev[..., 0],
             event_found=final.ev.found,
             event_y=final.ev.y_ev if event_cfg.record_y else None,
+            event_t_k=final.ev.t_ev,
+            event_count=final.ev.count,
         )
     return Solution(
         ts=final.ts_grid,

@@ -26,10 +26,16 @@ then accepted and the event recorded at ``t + theta*dt``. Consequences:
     ``prev_h`` discipline as the reference's checkpoint_update,
     ode.rs:192-195), so the controller state is undisturbed.
 
-Semantics (per :class:`Event`): the FIRST crossing in the requested
-``direction`` is recorded; ``terminal=True`` additionally ends the
-trajectory with ``status == DONE_EVENT`` at the event. A zero of ``g`` at
-``t0`` does not count as a crossing (sign must actually change).
+Semantics (per :class:`Event`): the first ``EventConfig.max_crossings``
+(K, static, default 1) crossings in the requested ``direction`` are
+LOCATED and their times recorded (``Solution.event_t_k``, shape
+``(..., E, K)``); every further matching crossing is still COUNTED
+(``Solution.event_count`` — a sign change across an accepted step is one
+crossing) but not bracket-searched. ``terminal=True`` ends the trajectory
+with ``status == DONE_EVENT`` at the first located crossing; ``terminal=n``
+(int, scipy>=1.11 convention) ends it at the n-th (requires ``n <=
+max_crossings`` so the terminating crossing is a located one). A zero of
+``g`` at ``t0`` does not count as a crossing (sign must actually change).
 
 **Differentiable event times.** Because the located time is plain masked
 arithmetic in the integrated states (``t + theta*dt`` with regula-falsi
@@ -63,7 +69,10 @@ class Event:
     """One event function g(t, x) -> scalar (per trajectory).
 
     direction: +1 record only rising crossings (g: - -> +), -1 only falling,
-    0 (default) both. terminal: end the trajectory at the event.
+    0 (default) both. terminal: end the trajectory at the event —
+    ``True`` (= 1) at the first crossing, an int ``n >= 1`` at the n-th
+    (scipy>=1.11's integer-``terminal`` convention; needs
+    ``EventConfig.max_crossings >= n``).
 
     ``fn`` may be any callable (runs on the XLA tiers), or a DECLARED
     observable (:class:`LinearObservable` / :class:`QuadraticObservable`)
@@ -76,11 +85,28 @@ class Event:
 
     fn: Callable
     direction: int = 0
-    terminal: bool = False
+    terminal: Any = False   # bool, or int n >= 1 (terminate at n-th crossing)
 
     def __post_init__(self):
         if self.direction not in (-1, 0, 1):
             raise ValueError(f"direction must be -1/0/+1, got {self.direction}")
+        if isinstance(self.terminal, bool):
+            pass
+        elif isinstance(self.terminal, int):
+            if self.terminal < 1:
+                raise ValueError(
+                    f"integer terminal must be >= 1, got {self.terminal}")
+        else:
+            raise TypeError(
+                f"terminal must be bool or int, got "
+                f"{type(self.terminal).__name__}")
+
+    @property
+    def terminal_count(self) -> int:
+        """0 = non-terminal; n >= 1 = terminate at the n-th crossing."""
+        if isinstance(self.terminal, bool):
+            return 1 if self.terminal else 0
+        return int(self.terminal)
 
 
 def _as_f64_vec(w):
@@ -191,11 +217,18 @@ class EventConfig:
     (default ``64*eps(time dtype)*max(1, |t|)`` — near the time dtype's own
     resolution). ``record_y=False`` skips storing the event state (saves the
     (E,)+state buffer in the loop carry for large states).
+
+    ``max_crossings`` (K, static): the first K crossings per event are
+    bracket-located and recorded (``Solution.event_t_k``); all further
+    matching crossings are counted only (``Solution.event_count``).
+    ``record_y`` stores the state at the FIRST crossing only regardless
+    of K (times are cheap scalars; a (E, K)+state buffer is not).
     """
 
     events: tuple
     t_tol: Optional[float] = None
     record_y: bool = True
+    max_crossings: int = 1
 
     def __post_init__(self):
         if not self.events:
@@ -203,6 +236,20 @@ class EventConfig:
         for e in self.events:
             if not isinstance(e, Event):
                 raise TypeError(f"expected Event, got {type(e).__name__}")
+        k = self.max_crossings
+        if not isinstance(k, int) or k < 1:
+            raise ValueError(f"max_crossings must be an int >= 1, got {k!r}")
+        if k > 64:
+            raise ValueError(
+                f"max_crossings={k} > 64: the located-times carry is "
+                "(E, K) live registers; record that many crossings with a "
+                "dense save grid instead")
+        for e in self.events:
+            if e.terminal_count > k:
+                raise ValueError(
+                    f"terminal={e.terminal_count} needs max_crossings >= "
+                    f"{e.terminal_count} (got {k}): the terminating "
+                    "crossing must be a located one")
 
     @property
     def n(self) -> int:
@@ -212,7 +259,12 @@ class EventConfig:
         return jnp.asarray([e.direction for e in self.events], dtype)
 
     def terminal_mask(self):
-        return jnp.asarray([e.terminal for e in self.events], bool)
+        return jnp.asarray(
+            [e.terminal_count > 0 for e in self.events], bool)
+
+    def terminal_counts(self, dtype=jnp.int32):
+        """Per-event terminating crossing number (0 = non-terminal)."""
+        return jnp.asarray([e.terminal_count for e in self.events], dtype)
 
     def time_tol(self, t):
         t = jnp.asarray(t)
@@ -252,11 +304,12 @@ class KernelEvents:
     n: int
     kinds: tuple          # "lin" | "quad" | "traced" per event
     dirs: tuple           # -1 | 0 | +1
-    terminal: tuple       # bool
+    terminal: tuple       # int: 0 = non-terminal, n >= 1 = stop at n-th
     offsets: tuple        # float c per event
     rows: Any             # numpy (E, D) base rows (zeros for traced events)
     t_tol: Optional[float]
     record_y: bool
+    k: int = 1            # located-crossing slots per event (max_crossings)
     # per-event block evaluator g(t_col (TILE,1), y_block (TILE,D)) ->
     # (TILE,1) for "traced" events (the user's jnp callable vmapped over the
     # kernel tile rows), None for declared observables. Traced events run
@@ -351,13 +404,14 @@ def _kernel_spec(cfg: "EventConfig", d_part: int, n_parts: int, dtype=None):
         n=cfg.n,
         kinds=tuple(kinds),
         dirs=tuple(e.direction for e in cfg.events),
-        terminal=tuple(bool(e.terminal) for e in cfg.events),
+        terminal=tuple(e.terminal_count for e in cfg.events),
         offsets=tuple(
             float(getattr(e.fn, "c", 0.0)) for e in cfg.events
         ),
         rows=np.stack(rows),
         t_tol=None if cfg.t_tol is None else float(cfg.t_tol),
         record_y=bool(cfg.record_y),
+        k=int(cfg.max_crossings),
         traced=tuple(traced),
     )
 
@@ -382,11 +436,15 @@ class EventState(NamedTuple):
     """Per-trajectory event bookkeeping threaded through the loop carry."""
 
     g_prev: jax.Array    # (..., E) g at the CURRENT (t, x)
-    t_ev: jax.Array      # (..., E) located event times (inf until found)
-    found: jax.Array     # (..., E) bool
+    t_ev: jax.Array      # (..., E, K) located crossing times (inf until
+    #                      found); slot s holds the (s+1)-th crossing
+    found: jax.Array     # (..., E) bool: any crossing recorded
     searching: jax.Array  # (...,) bool: inside a bracket search
     h_entry: jax.Array   # (...,) pre-search step size (restored on locate)
-    y_ev: Pytree = ()    # optional (..., E) + state.shape located states
+    count: jax.Array     # (..., E) int32: TOTAL matching crossings seen
+    #                      (located for the first K, counted-only beyond)
+    y_ev: Pytree = ()    # optional (..., E) + state.shape FIRST-crossing
+    #                      states
 
 
 def init_event_state(
@@ -407,10 +465,11 @@ def init_event_state(
         )
     return EventState(
         g_prev=g0,
-        t_ev=jnp.full(shape, jnp.inf, tdt),
+        t_ev=jnp.full(shape + (cfg.max_crossings,), jnp.inf, tdt),
         found=jnp.zeros(shape, bool),
         searching=jnp.zeros(batch_shape, bool),
         h_entry=jnp.zeros(batch_shape, tdt),
+        count=jnp.zeros(shape, jnp.int32),
         y_ev=y_ev,
     )
 
@@ -447,7 +506,11 @@ def event_step(
                                                  rising | falling))
 
     live = stepping & accept
-    active = crossed & live[..., None] & ~ev.found
+    # only the first K crossings are bracket-located; exhausted events
+    # (count >= K) are counted-only — a sign change across an accepted
+    # step is one crossing, no search
+    k = cfg.max_crossings
+    active = crossed & live[..., None] & (ev.count < k)
     any_active = jnp.any(active, axis=-1)
 
     # regula-falsi estimate of the crossing position inside (t, t+dt]
@@ -477,19 +540,31 @@ def event_step(
 
     # locate: the (tight) step is accepted; record each active event at its
     # own regula-falsi time and lerped state (bracket <= t_tol, so the lerp
-    # error is O(t_tol^2 * |x''|) — below the integration error).
+    # error is O(t_tol^2 * |x''|) — below the integration error). The time
+    # lands in slot ``count`` (the (count+1)-th crossing) via a one-hot
+    # select over the K static slots (no scatter — CLAUDE.md).
     rec = active & locate[..., None]
-    t_ev = jnp.where(
-        rec,
-        jnp.expand_dims(t, -1) + theta * jnp.expand_dims(dt, -1),
-        ev.t_ev,
-    )
+    t_loc = jnp.expand_dims(t, -1) + theta * jnp.expand_dims(dt, -1)
+    slot = (
+        jax.lax.broadcasted_iota(jnp.int32, ev.count.shape + (k,),
+                                 ev.count.ndim)
+        == ev.count[..., None]
+    ) & rec[..., None]
+    t_ev = jnp.where(slot, t_loc[..., None], ev.t_ev)
     found = ev.found | rec
-    terminal_hit = jnp.any(rec & cfg.terminal_mask(), axis=-1)
+    # terminal=n stops the trajectory at its n-th crossing (rec fires only
+    # while count < K and n <= K is validated, so the n-th is located)
+    terminal_hit = jnp.any(
+        rec & (ev.count + 1 >= cfg.terminal_counts()) & cfg.terminal_mask(),
+        axis=-1,
+    )
 
     y_ev = ev.y_ev
     if cfg.record_y and len(jax.tree_util.tree_leaves(ev.y_ev)) > 0:
         nb = jnp.ndim(t)
+        # the state buffer holds the FIRST crossing only (K slots of times
+        # are cheap; K state copies are not)
+        rec_y = rec & (ev.count == 0)
 
         def record(buf, a, b):
             # buf: (..., E) + s ; a/b: (...,) + s  -> lerp by per-event theta
@@ -498,7 +573,7 @@ def event_step(
             # f32) — cast to the buffer dtype so the lerp doesn't promote
             # the carried event-state buffer
             th = theta.reshape(theta.shape + (1,) * extra).astype(buf.dtype)
-            m = rec.reshape(rec.shape + (1,) * extra)
+            m = rec_y.reshape(rec_y.shape + (1,) * extra)
             ae = jnp.expand_dims(a, nb)
             be = jnp.expand_dims(b, nb)
             return jnp.where(m, ae + th * (be - ae), buf)
@@ -511,10 +586,16 @@ def event_step(
     # (post-veto accept); vetoed/rejected lanes keep the old values.
     adv = stepping & accept
     g_prev = jnp.where(adv[..., None], g_next, ev.g_prev)
+    # crossing counter: one count per matching sign change the state
+    # actually advances across. Search iterations are vetoed (adv False),
+    # so a located crossing counts exactly once — at its locate step; an
+    # exhausted event counts at each accepted step that spans a crossing.
+    counted = crossed & adv[..., None]
+    count = ev.count + counted.astype(jnp.int32)
 
     ev_next = EventState(
         g_prev=g_prev, t_ev=t_ev, found=found, searching=searching,
-        h_entry=h_entry, y_ev=y_ev,
+        h_entry=h_entry, count=count, y_ev=y_ev,
     )
     return EventStepOut(
         accept=accept, search=search, h_override=h_override,

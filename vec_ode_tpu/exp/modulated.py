@@ -455,6 +455,11 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
             return _ineligible(
                 f"{ev_spec.n} events > 8 (found-bits budget of the "
                 "in-kernel event state)")
+        if ev_spec.n * ev_spec.k > 32:
+            return _ineligible(
+                f"{ev_spec.n} events x max_crossings={ev_spec.k} > 32 "
+                "located-time slots (float-carry column budget of the "
+                "in-kernel event state)")
         if ev_spec.any_traced and G > 1:
             return _ineligible(
                 "traced event callables with lane packing (unpacking a "
@@ -484,7 +489,8 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
     n_grid = t_grid.shape[0]
     from ..ops.pallas_loop import N_F, N_I
     n_ev = 0 if ev_spec is None else ev_spec.n
-    n_f_eff = N_F + (2 * n_ev + 1 if n_ev else 0)
+    n_k = ev_spec.k if n_ev else 1
+    n_f_eff = N_F + (n_ev * (n_k + 2) + 1 if n_ev else 0)
     if G > 1:
         # unpack rows -> trajectories (quantity-major carry blocks:
         # trajectory b = row b//G, group column b%G)
@@ -526,12 +532,17 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
         ),
         y0, *interior, x_final,
     )
-    event_t = event_found = event_y = None
+    event_t = event_found = event_y = event_t_k = event_count = None
     if n_ev:
-        # extra float-carry columns: g_prev (N_F..), t_ev, h_entry; found
-        # bits in int column 7 (pallas_loop._make_loop_kernel layout)
-        event_t = jnp.stack(
-            [fs[:, N_F + n_ev + e] for e in range(n_ev)], axis=1)
+        # extra float-carry columns: [g_prev xE | t_ev xE*K | count xE |
+        # h_entry] after N_F; found bits in int column 7
+        # (pallas_loop._make_loop_kernel layout)
+        event_t_k = fs[:, N_F + n_ev:N_F + n_ev * (n_k + 1)].reshape(
+            B, n_ev, n_k)
+        event_t = event_t_k[:, :, 0]
+        event_count = fs[
+            :, N_F + n_ev * (n_k + 1):N_F + n_ev * (n_k + 2)
+        ].astype(jnp.int32)
         bits = ist[:, 7]
         event_found = jnp.stack(
             [((bits >> e) & 1) == 1 for e in range(n_ev)], axis=1)
@@ -555,6 +566,8 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
         event_t=event_t,
         event_found=event_found,
         event_y=event_y,
+        event_t_k=event_t_k,
+        event_count=event_count,
         path=("pallas-loop-persistent"
               if (persistent is None or persistent)
               else "pallas-loop-chunked") + ("-packed" if G > 1 else ""),

@@ -95,11 +95,13 @@ def _make_loop_kernel(
     weighted row-reduction per step; crossings run the exact
     regula-falsi-as-step-control discipline of events.event_step (veto +
     bracket shrink + locate at dt <= t_tol), reusing the kernel's
-    controller columns. Per-event scalars (g_prev, t_ev) and the shared
-    h_entry ride EXTRA float-carry columns after t_lo (so N_F widens to
-    N_F + 2E + 1); found/searching bits pack into int column 7 (spare).
-    Located states (record_y) live in per-event state registers like the
-    interior saves."""
+    controller columns. Per-event scalars (g_prev, the K = events.k
+    located-time slots of EventConfig.max_crossings, a float crossing
+    counter) and the shared h_entry ride EXTRA float-carry columns after
+    t_lo, ordered [g_prev xE | t_ev xE*K | count xE | h_entry] (so N_F
+    widens to N_F + E*(K+2) + 1); found/searching bits pack into int
+    column 7 (spare). Located states (record_y, FIRST crossing only) live
+    in per-event state registers like the interior saves."""
     rtol = float(ctl.rtol)
     alpha = float(ctl.alpha)
     inv_order = 1.0 / float(ctl.order)
@@ -128,9 +130,12 @@ def _make_loop_kernel(
             "(callers must gate group > 1 off to the XLA driver)")
     has_evy = n_ev > 0 and events.record_y
     n_evy = n_ev * n_state if has_evy else 0
-    # float carry widens by per-event g_prev + t_ev columns and the shared
+    # float carry widens by per-event g_prev columns, K located-time slots
+    # per event (EventConfig.max_crossings), a per-event crossing counter
+    # (float — exact integers well past max_steps), and the shared
     # pre-search h_entry column
-    n_f_eff = N_F + (2 * n_ev + 1 if n_ev else 0)
+    n_k = int(getattr(events, "k", 1)) if n_ev else 1
+    n_f_eff = N_F + (n_ev * (n_k + 2) + 1 if n_ev else 0)
 
     def kernel(*refs):
         tg_ref, fs_ref, is_ref = refs[:3]
@@ -226,8 +231,11 @@ def _make_loop_kernel(
             (t, h, prev_h, err_prev, t_lo, xv, tgt, status, event, n_acc,
              n_rej, n_it, streak, saves, evc) = carry
             if n_ev:
-                (g_prev, t_ev, found, searching, h_entry, y_ev) = evc
+                (g_prev, t_ev, count, found, searching, h_entry,
+                 y_ev) = evc
+                # t_ev is FLAT: slot s of event e lives at index e*K + s
                 g_prev, t_ev = list(g_prev), list(t_ev)
+                count = list(count)
                 # found/searching travel the while carry as int32 0/1:
                 # Mosaic cannot relayout i1 (mask) vectors whose vpad
                 # offset differs between the scf.yield and the loop-entry
@@ -299,7 +307,7 @@ def _make_loop_kernel(
             # ---- in-kernel event detection (events.event_step, inlined
             # with declared-observable g evaluation) ----------------------
             if n_ev:
-                g_next, thetas, active = [], [], []
+                g_next, thetas, active, crossed_l = [], [], [], []
                 theta_min = None
                 for e in range(n_ev):
                     if events.kinds[e] == "traced":
@@ -318,7 +326,12 @@ def _make_loop_kernel(
                     de = events.dirs[e]
                     crossed = (rising if de > 0 else
                                (falling if de < 0 else rising | falling))
-                    act = crossed & stepping & accept & ~found[e]
+                    # only the first K crossings are bracket-located;
+                    # beyond that the event is counted-only (count is a
+                    # float column holding exact small integers)
+                    act = (crossed & stepping & accept
+                           & (count[e] < float(n_k)))
+                    crossed_l.append(crossed)
                     denom = gp - gn
                     th = gp / jnp.where(denom == 0.0,
                                         jnp.ones_like(denom), denom)
@@ -352,20 +365,40 @@ def _make_loop_kernel(
                 terminal_hit = None
                 for e in range(n_ev):
                     rec = active[e] & locate
-                    t_ev[e] = jnp.where(rec, t + thetas[e] * dt, t_ev[e])
+                    t_loc = t + thetas[e] * dt
+                    # slot select over the K static slots (events.event_step
+                    # one-hot, unrolled): slot s records the (s+1)-th
+                    # crossing
+                    for s in range(n_k):
+                        t_ev[e * n_k + s] = jnp.where(
+                            rec & (count[e] == float(s)), t_loc,
+                            t_ev[e * n_k + s],
+                        )
                     found[e] = found[e] | rec
-                    if events.terminal[e]:
-                        terminal_hit = (rec if terminal_hit is None
-                                        else terminal_hit | rec)
+                    term_n = events.terminal[e]
+                    if term_n:
+                        # terminal=n stops at the n-th crossing (validated
+                        # n <= K, so the n-th is a located one)
+                        hit = rec & (count[e] + 1.0 >= float(term_n))
+                        terminal_hit = (hit if terminal_hit is None
+                                        else terminal_hit | hit)
                     if has_evy:
+                        # the state register holds the FIRST crossing only
                         y_ev[e] = jnp.where(
-                            wide(rec),
+                            wide(rec & (count[e] == 0.0)),
                             xv + expandv(thetas[e]) * (y - xv),
                             y_ev[e],
                         )
                 adv_ev = stepping & accept
                 for e in range(n_ev):
                     g_prev[e] = jnp.where(adv_ev, g_next[e], g_prev[e])
+                    # one count per matching sign change the state actually
+                    # advances across (search iterations veto adv, so a
+                    # located crossing counts exactly once — at its locate
+                    # step; an exhausted event counts at each accepted step
+                    # spanning a crossing) — events.event_step `counted`
+                    count[e] = count[e] + jnp.where(
+                        crossed_l[e] & adv_ev, 1.0, 0.0)
 
             adv = stepping & accept
             rej = stepping & ~accept
@@ -437,7 +470,7 @@ def _make_loop_kernel(
             n_acc = n_acc + adv.astype(jnp.int32)
             n_rej = n_rej + true_rej.astype(jnp.int32)
             evc_out = (
-                (tuple(g_prev), tuple(t_ev),
+                (tuple(g_prev), tuple(t_ev), tuple(count),
                  tuple(f.astype(jnp.int32) for f in found),
                  searching.astype(jnp.int32),
                  h_entry, tuple(y_ev)) if n_ev else ()
@@ -450,12 +483,16 @@ def _make_loop_kernel(
                 return fs_ref[:, i * gw:(i + 1) * gw]
 
             bits = is_ref[:, (N_I - 1) * gw:N_I * gw]
+            # float-column layout: [g_prev xE | t_ev xE*K | count xE |
+            # h_entry] after the N_F controller columns
             evc0 = (
                 tuple(fcol(N_F + e) for e in range(n_ev)),
-                tuple(fcol(N_F + n_ev + e) for e in range(n_ev)),
+                tuple(fcol(N_F + n_ev + i) for i in range(n_ev * n_k)),
+                tuple(fcol(N_F + n_ev * (n_k + 1) + e)
+                      for e in range(n_ev)),
                 tuple((bits >> e) & 1 for e in range(n_ev)),
                 (bits >> 15) & 1,
-                fcol(N_F + 2 * n_ev),
+                fcol(N_F + n_ev * (n_k + 2)),
                 tuple(
                     (evyin_refs[e][:] if n_state == 1
                      else jnp.concatenate(
@@ -494,8 +531,8 @@ def _make_loop_kernel(
         fcols = [t, h, prev_h, err_prev, t_lo]
         bits_out = jnp.zeros_like(tgt)
         if n_ev:
-            (g_prev, t_ev, found, searching, h_entry, y_ev) = evc
-            fcols += [*g_prev, *t_ev, h_entry]
+            (g_prev, t_ev, count, found, searching, h_entry, y_ev) = evc
+            fcols += [*g_prev, *t_ev, *count, h_entry]
             for e in range(n_ev):
                 bits_out = bits_out | (found[e].astype(jnp.int32) << e)
             bits_out = bits_out | (searching.astype(jnp.int32) << 15)
@@ -920,8 +957,9 @@ def fused_loop_chunk(
     int carry buffers are (B, N_F_eff*G) / (B, N_I*G), quantity-major.
 
     ``events``: events.KernelEvents for IN-KERNEL event detection; the
-    float carry then carries N_F_eff = N_F + 2E + 1 quantities, and
-    ``ev_y`` holds E*n_state located-state buffers (record_y).
+    float carry then carries N_F_eff = N_F + E*(K+2) + 1 quantities
+    (K = events.k located-time slots per event), and ``ev_y`` holds
+    E*n_state located-state buffers (record_y).
 
     Returns (fs, ist, x_parts, saves, ev_y) updated."""
     n_state = len(x_parts)
@@ -935,7 +973,7 @@ def fused_loop_chunk(
     dtype = x_parts[0].dtype
     n_grid = t_grid2.shape[0]
     n_ev = 0 if events is None else int(events.n)
-    n_f_eff = N_F + (2 * n_ev + 1 if n_ev else 0)
+    n_f_eff = N_F + (n_ev * (int(events.k) + 2) + 1 if n_ev else 0)
     kernel = _make_loop_kernel(
         step_builder, n_state, len(const_inputs), chunk, adaptive, ctl,
         n_grid=n_grid, group=group, events=events,
@@ -1057,7 +1095,11 @@ def fused_loop_integrate(
             row = jnp.asarray(rows[e], dtype)
             src = x3 if events.kinds[e] == "lin" else x3 * x3
             evcols.append((src * row).sum(-1) - events.offsets[e])
-        evcols += [jnp.full((B, group), jnp.inf, dtype)] * n_ev  # t_ev
+        # t_ev: K located-time slots per event, inf until reached
+        evcols += ([jnp.full((B, group), jnp.inf, dtype)]
+                   * (n_ev * int(events.k)))
+        # count: per-event crossing counter (float column, exact ints)
+        evcols += [jnp.zeros((B, group), dtype)] * n_ev
         evcols.append(jnp.zeros((B, group), dtype))              # h_entry
         if events.record_y:
             ev_y0 = tuple(
