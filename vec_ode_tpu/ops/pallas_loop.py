@@ -274,9 +274,16 @@ def _make_loop_kernel(
             if adaptive:
                 measure = err
                 f = rtol / measure
-                # f^p via exp(log(f)*p): f >= 0; 0 -> 0, inf -> inf, NaN
-                # handled by bad_f below (same convention as the I-term)
-                fp_i = alpha * jnp.exp(jnp.log(f) * inv_order)
+                # f^p via jnp.power — Mosaic's pow lowering is BITWISE-
+                # identical to XLA's (measured on v5e: 0/8192 bits differ),
+                # while exp(log(f)*p) diverges from XLA's pow in ~50% of
+                # entries by up to ~300 ulp — enough to flip marginal
+                # accepts and shift packed counters by +-1 vs
+                # driver.step_once (VERDICT r4 #6). Expression tree and
+                # multiplication ORDER mirror controller.controller_update
+                # exactly. Edge cases match the old exp/log convention:
+                # pow(0,p)=0, pow(inf,p)=inf, NaN handled by bad_f below.
+                fp_i = alpha * jnp.power(f, inv_order)
                 if pi:
                     # Gustafsson PI (controller.controller_update):
                     # alpha * f^kI * (f/f_prev)^kP, I-term after rejects
@@ -286,12 +293,10 @@ def _make_loop_kernel(
                     )
                     ratio = jnp.clip(f / f_prev, 1e-8, 1e8)
                     ratio = jnp.where(jnp.isnan(ratio), 1.0, ratio)
-                    fp_pi = alpha * jnp.exp(
-                        jnp.log(f) * k_i + jnp.log(ratio) * k_p
-                    )
+                    fp_pi = alpha * jnp.power(f, k_i) * jnp.power(ratio, k_p)
                     # post-reject I-term uses the METHOD exponent
                     # (1/pi_order), matching controller.controller_update
-                    fp_rej = alpha * jnp.exp(jnp.log(f) * inv_pi_order)
+                    fp_rej = alpha * jnp.power(f, inv_pi_order)
                     fp = jnp.where(streak > 0, fp_rej, fp_pi)
                 else:
                     fp = fp_i
@@ -554,6 +559,36 @@ def _make_loop_kernel(
                     )
 
     return kernel
+
+
+def _segment_sum_cols(v, group: int):
+    """(TILE, G*Dg) -> (TILE, G) per-group lane-segment sums via column
+    slices — BITWISE-identical to the XLA tier's ``jnp.sum`` over each
+    trajectory's D components (the same values, same contiguous order,
+    same f32 VPU reduction). The one-hot reduction matmul
+    (``_row_matmul(v, E)``) is NOT: its HIGHEST (3-pass bf16-split) MXU
+    accumulation rounds differently in the last ulp — measured on v5e,
+    ~15% of entries differ by 1 ulp from the f32 sum.
+
+    DIAGNOSTIC ONLY — deliberately NOT wired into the packed error norm.
+    Both packed norm sites were switched to this helper and measured
+    (r5): the ±1 adaptive-counter flips vs driver.step_once did NOT
+    close, because the dominant divergence is upstream — the in-kernel
+    streaming Taylor chain (one (TILE,D)@(D,K*D) contraction per term,
+    tile-max squaring count at `row_scale`) and the XLA tier's
+    Paterson-Stockmeyer expm (ops/expm.py) are *different polynomial
+    evaluation schemes* for the same e^{dt·A}, each chosen for its
+    hardware tier; their ~1e-6-relative f32 disagreement in y AND err
+    flips marginal accepts (f = rtol/err ≈ 1.0) regardless of how the
+    norm reduces. Meanwhile the G-slice concat costs real lanes: the
+    packed LZ (G=64) adaptive row dropped 46.8M → 19.3M steps/s chained
+    with this helper on the hot path. Kept for parity diagnosis; the
+    hot path keeps the matmul reduction. See tests/test_lane_packing.py
+    (bound regression test) and BENCH.md r5."""
+    Dg = v.shape[1] // group
+    return jnp.concatenate(
+        [jnp.sum(v[:, g * Dg:(g + 1) * Dg], axis=1, keepdims=True)
+         for g in range(group)], axis=1)
 
 
 def make_chain_step_builder(C: int, R: int, K: int, m: int, theta: float,
