@@ -46,11 +46,14 @@ NORTH_STAR = 1.0e6  # aggregate adaptive RKF45 steps/sec (BASELINE.json)
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 _PARITY_ARTIFACT = os.path.join(_REPO, "PARITY_DEVICE.json")
+_PROJECTION_ARTIFACT = os.path.join(_REPO, "PROJECTION.json")
 
 TOTAL_BUDGET_S = 570.0   # whole-script self-budget (driver-safe)
 HEADLINE_CAP_S = 320.0   # first headline attempt
 HEADLINE_RETRY_CAP_S = 150.0
 FAMILY_CAP_S = 85.0      # per parity family
+PROJECTION_CAP_S = 110.0  # multi-chip projection: TPU measurement child
+PROJECTION_SCAN_CAP_S = 100.0  # CPU 8-device HLO collective scan child
 WEDGE_WAIT_S = 30.0      # tunnel wedge outlives a killed client (CLAUDE.md)
 
 PARITY_FAMILIES = (
@@ -263,6 +266,82 @@ def main_parent():
     ok = sum(1 for r in parity["families"].values() if r.get("ok"))
     print(f"parity: {ok}/{len(PARITY_FAMILIES)} families ok "
           f"-> {_PARITY_ARTIFACT}", file=sys.stderr)
+
+    # ---- phase 4: multi-chip projection evidence (VERDICT r4 #8) ---------
+    # Two children, merged here into PROJECTION.json:
+    #  (a) --projection-scan: CPU-only (never a TPU client, so no tunnel
+    #      risk) — compiles the SHARDED headline program over an 8-device
+    #      virtual mesh and counts collective ops in the optimized
+    #      post-SPMD HLO. Trajectory parallelism is collective-free by
+    #      construction; this is the machine check.
+    #  (b) --projection: measures the SAME sharded program (shard_map) on
+    #      the one real chip — the exact per-chip program each v5e-8 chip
+    #      would run — and scans ITS compiled HLO too.
+    # The projection = per-chip measured rate x 8, explicitly labeled as a
+    # projection, never folded into the headline number.
+    proj = {
+        "started_unix": time.time(),
+        "label": ("PROJECTION: measured single-chip sharded program x "
+                  "linear scaling; NOT an 8-chip measurement"),
+    }
+    if remaining() >= 40:
+        rc, out, wall, _scan_to = _run_child(
+            ["--projection-scan"],
+            min(PROJECTION_SCAN_CAP_S, remaining() - 10))
+        rec = _last_json_line(out)
+        if rec is None:
+            rec = {"ok": False,
+                   "error": "timeout (killed)" if _scan_to
+                   else f"child exited rc={rc} without JSON"}
+        rec["wall_s"] = round(wall, 1)
+        proj["hlo_scan_8dev_cpu"] = rec
+    else:
+        proj["hlo_scan_8dev_cpu"] = {"skipped": "script budget exhausted"}
+
+    need = PROJECTION_CAP_S + (WEDGE_WAIT_S if prev_timed_out else 0) + 10
+    if remaining() >= need:
+        if prev_timed_out:
+            time.sleep(WEDGE_WAIT_S)
+        rc, out, wall, timed_out = _run_child(
+            ["--projection"], min(PROJECTION_CAP_S, remaining() - 10))
+        rec = _last_json_line(out)
+        if rec is None:
+            rec = {"ok": False,
+                   "error": "timeout (killed)" if timed_out
+                   else f"child exited rc={rc} without JSON"}
+        rec["wall_s"] = round(wall, 1)
+        proj["measured_1chip_sharded"] = rec
+    else:
+        proj["measured_1chip_sharded"] = {"skipped":
+                                          "script budget exhausted"}
+
+    meas = proj["measured_1chip_sharded"]
+    scan = proj["hlo_scan_8dev_cpu"]
+    if meas.get("ok"):
+        rate = meas["per_chip_sharded_steps_per_sec"]
+        proj["projection_v5e8"] = {
+            "chips": 8,
+            "aggregate_steps_per_sec": round(8.0 * rate, 1),
+            "basis": f"{rate:.0f} steps/s measured for the shard_map'd "
+                     "headline program on 1 real chip",
+            "assumptions": [
+                "linear scaling over ICI: trajectory-parallel, no "
+                "cross-shard dataflow",
+                "no collectives in the mapped 8-device program "
+                "(hlo_scan_8dev_cpu) and none on the measured chip "
+                "(collective_counts in measured_1chip_sharded)",
+                "8-device composition executes end-to-end on a virtual "
+                "mesh (MULTICHIP dryrun artifact)",
+            ],
+        }
+    proj["ok"] = bool(meas.get("ok")) and bool(scan.get("ok"))
+    try:
+        with open(_PROJECTION_ARTIFACT, "w") as fh:
+            json.dump(proj, fh, indent=1)
+    except OSError:
+        pass
+    print(f"projection: ok={proj['ok']} -> {_PROJECTION_ARTIFACT}",
+          file=sys.stderr)
 
 
 # --------------------------------------------------------------------------
@@ -798,6 +877,157 @@ def main_parity(name):
     print(json.dumps(rec), flush=True)
 
 
+# --------------------------------------------------------------------------
+# children: multi-chip projection evidence (VERDICT r4 #8)
+# --------------------------------------------------------------------------
+
+_COLLECTIVE_OPS = ("all-reduce", "all-gather", "all-to-all",
+                   "collective-permute", "reduce-scatter",
+                   "collective-broadcast")
+
+
+def _headline_batch(n_traj, dtype):
+    import numpy as np
+
+    from vec_ode_tpu.ops import cplx as cp
+
+    rng = np.random.default_rng(42)
+    psi0 = rng.standard_normal((n_traj, DIM)) + 1j * rng.standard_normal(
+        (n_traj, DIM))
+    psi0 /= np.linalg.norm(psi0, axis=-1, keepdims=True)
+    return cp.from_complex(psi0, dtype)
+
+
+def _sharded_headline_run(mesh, reps):
+    """jitted fn (y0, t0, tf) -> (accepted_steps, y_final) chaining ``reps``
+    full sharded headline solves on-device — the measured unit of both the
+    headline and the projection (same stepper, ctl, chaining discipline)."""
+    import jax
+    import jax.numpy as jnp
+
+    import vec_ode_tpu as vo
+    from vec_ode_tpu.models import DrivenDense
+    from vec_ode_tpu.ops import cplx as cp
+    from vec_ode_tpu.ops.pallas_rk import FusedModulatedLinearRK
+    from vec_ode_tpu.parallel import ensemble_solve
+
+    model = DrivenDense.make(d=DIM, seed=0)
+    stepper = FusedModulatedLinearRK.from_driven_dense(model, jnp.float32)
+    ctl = vo.StepControl(rtol=RTOL, min_dt=1e-6, max_dt=0.25)
+
+    @jax.jit
+    def run(y0, t0, tf):
+        def body(carry, _):
+            y, acc = carry
+            sol = ensemble_solve(
+                None, y, t0, tf, stepper=stepper, ctl=ctl, h0=1e-3,
+                adaptive=True, time_dtype=jnp.float32, mesh=mesh)
+            n = jnp.sqrt(jnp.sum(sol.y_final.re ** 2 + sol.y_final.im ** 2,
+                                 axis=-1, keepdims=True))
+            y2 = cp.Cplx(sol.y_final.re / n, sol.y_final.im / n)
+            return (y2, acc + sol.n_accept), None
+
+        zeros = jnp.zeros((y0.re.shape[0],), jnp.int32)
+        (yf, acc), _ = jax.lax.scan(body, (y0, zeros), None, length=reps)
+        return acc, yf
+
+    return run
+
+
+def _collective_counts(hlo_text):
+    import re as _re
+
+    return {name: len(_re.findall(r"\b" + _re.escape(name), hlo_text))
+            for name in _COLLECTIVE_OPS}
+
+
+def main_projection_scan():
+    """CPU child: compile the sharded headline program over an 8-device
+    VIRTUAL mesh (the v5e-8 layout) and count collective ops in the
+    optimized post-SPMD-partitioning HLO. Never creates a TPU client. The
+    per-shard batch is small (same program graph, fast compile); collective
+    structure is shape-independent for this trajectory-parallel mapping."""
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from vec_ode_tpu.parallel import ensemble_mesh, shard_batch
+
+    n_dev = 8
+    if len(jax.devices()) < n_dev:
+        print(json.dumps({"ok": False,
+                          "error": f"only {len(jax.devices())} cpu devices"}))
+        return
+    mesh = ensemble_mesh(n_dev)
+    y0 = shard_batch(_headline_batch(64 * n_dev, jnp.float32), mesh)
+    run = _sharded_headline_run(mesh, reps=2)
+    hlo = run.lower(y0, jnp.float32(0.0), jnp.float32(TF)).compile().as_text()
+    counts = _collective_counts(hlo)
+    print(json.dumps({
+        "ok": True,
+        "n_devices": n_dev,
+        "platform": "cpu (virtual mesh)",
+        "collective_counts": counts,
+        "collective_free": not any(counts.values()),
+        "hlo_bytes": len(hlo),
+    }), flush=True)
+
+
+def main_projection():
+    """TPU child: measure the SHARDED headline program — shard_map over the
+    one real chip, i.e. exactly the per-chip program each chip of a v5e-8
+    runs under the 1-D trajectory mesh — and scan its compiled HLO. The
+    parent multiplies by 8 and labels the result a projection."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if jax.default_backend() != "tpu":
+        print(json.dumps({"ok": False, "skipped": "not on TPU"}))
+        return
+
+    from vec_ode_tpu.parallel import ensemble_mesh, shard_batch
+
+    mesh = ensemble_mesh()
+    n_dev = int(mesh.devices.size)
+    y0 = shard_batch(_headline_batch(N_TRAJ, jnp.float32), mesh)
+    REPS = 16
+    run = _sharded_headline_run(mesh, reps=REPS)
+    t0 = jnp.float32(0.0)
+
+    hlo = run.lower(y0, t0, jnp.float32(TF)).compile().as_text()
+    counts = _collective_counts(hlo)
+
+    def run_sync(tf):
+        acc, yf = run(y0, t0, jnp.float32(tf))
+        # device->host transfers as the timing barrier (CLAUDE.md)
+        return np.asarray(acc), float(np.asarray(yf.re[0, 0]))
+
+    run_sync(0.02)   # warm/compile at identical shapes (tf is traced)
+    walls, acc = [], None
+    for _ in range(3):
+        t_start = time.perf_counter()
+        acc, _ = run_sync(TF)
+        walls.append(time.perf_counter() - t_start)
+    wall = min(walls)
+    total_steps = int(np.sum(acc))
+    print(json.dumps({
+        "ok": True,
+        "n_devices_measured": n_dev,
+        "per_chip_sharded_steps_per_sec": round(total_steps / wall, 1),
+        "wall_s_best": round(wall, 3),
+        "accepted_steps": total_steps,
+        "n_traj_per_chip": N_TRAJ // n_dev,
+        "chained_solves": REPS,
+        "collective_counts": counts,
+        "collective_free": not any(counts.values()),
+    }), flush=True)
+
+
 def main_probe():
     """Tunnel liveness: device enumeration + one tiny executed program."""
     import jax
@@ -837,5 +1067,10 @@ if __name__ == "__main__":
     elif "--parity" in sys.argv:
         _enable_compile_cache()
         main_parity(sys.argv[sys.argv.index("--parity") + 1])
+    elif "--projection-scan" in sys.argv:
+        main_projection_scan()   # CPU-only; forces its own platform
+    elif "--projection" in sys.argv:
+        _enable_compile_cache()
+        main_projection()
     else:
         main_parent()
