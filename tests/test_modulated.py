@@ -550,15 +550,22 @@ class TestFusedLoop:
         ctl = vo.StepControl(rtol=1e-4)
         # (PI / scaled_error / strict_end_test are now ELIGIBLE — covered
         # by the dedicated tests above)
-        # LARGE interior save grid -> not eligible (in-kernel save bufs;
-        # r3 raised the persistent cap to 32 interior times)
+        # LARGE interior save grids became ELIGIBLE in r5 (windowed
+        # persistent launches, pallas_loop._windowed_persistent); only a
+        # grid beyond the 1026-point windowing cap still falls back
         from vec_ode_tpu.driver import make_grid
 
         g_big = make_grid(
             jnp.float32(0), jnp.float32(0.5),
             save_at=jnp.asarray(np.linspace(0.04, 0.46, 40), jnp.float32),
             dtype=jnp.float32)
-        assert self._run_fused(st, y0, g_big, ctl, True) is None
+        assert self._run_fused(st, y0, g_big, ctl, True) is not None
+        g_huge = make_grid(
+            jnp.float32(0), jnp.float32(0.5),
+            save_at=jnp.asarray(np.linspace(0.04, 0.46, 1060),
+                                jnp.float32),
+            dtype=jnp.float32)
+        assert self._run_fused(st, y0, g_huge, ctl, True) is None
         # scalar (unbatched) state -> not eligible
         y0s = cp.Cplx(y0.re[0], y0.im[0])
         assert self._run_fused(st, y0s, t_grid, ctl, True) is None

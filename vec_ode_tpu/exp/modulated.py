@@ -344,11 +344,13 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
         # in-kernel): the per-STEP fused kernel still engages, so no
         # fallback warning — the path tag records what ran
         return None
-    # interior saves live in in-kernel registers for the (default)
-    # PERSISTENT single-launch mode -> up to 32 interior times; chunked
-    # mode round-trips them as XLA loop-carry buffers every chunk (~90us
-    # per buffer per iteration on this backend) -> keep the tight cap
-    grid_cap = 34 if (persistent is None or persistent) else 10
+    # interior saves live in in-kernel registers; PERSISTENT mode windows
+    # large grids over 32-segment launches (pallas_loop._windowed_
+    # persistent, VERDICT r4 #5) so VMEM stays constant — the cap is now
+    # only a compile-time/scan-length bound. Chunked mode round-trips
+    # saves as XLA loop-carry buffers every chunk (~90us per buffer per
+    # iteration on this backend) -> keep its tight cap.
+    grid_cap = 1026 if (persistent is None or persistent) else 10
     if t_grid.shape[0] > grid_cap:
         return _ineligible(
             f"save grid has {t_grid.shape[0]} points > {grid_cap} "
@@ -449,8 +451,9 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
             return _ineligible(
                 "events= with untraceable callables cannot run in-kernel; "
                 "declare events.LinearObservable / QuadraticObservable "
-                "or pass plain-jnp callables for the fused loop (the XLA "
-                "driver handles arbitrary callables)")
+                "or pass plain-jnp callables for the fused loop (an "
+                "untraceable g(t, x) cannot run under jit on the XLA "
+                "tier either)")
         if ev_spec.n > 8:
             return _ineligible(
                 f"{ev_spec.n} events > 8 (found-bits budget of the "

@@ -1065,6 +1065,116 @@ def fused_loop_chunk(
             tuple(outs[2 + n_state + n_save_bufs:]))
 
 
+_WINDOW_SEGS = 32   # grid segments per persistent launch in windowed mode
+                    # (local grids of 33 points = 31 interior save registers
+                    # + the window-end state, the same VMEM budget as the
+                    # single-launch 34-point cap this mode supersedes)
+
+
+def _splice_window(ist, group):
+    """Carry surgery between windowed persistent launches: re-arm DONE
+    lanes (their DONE marked the WINDOW end, not tf) and point every lane
+    at local grid index 1. Index 0 — the window's start point — was already
+    processed as the previous window's end (one ``is_end`` iteration there
+    replaces the monolithic loop's ``is_chk`` iteration at the same grid
+    time, so n_iters/n_accept/h stay bit-pinned to ``driver.step_once``);
+    re-targeting it would burn a duplicate checkpoint iteration. Error
+    statuses (ERR_*, DONE_EVENT) pass through frozen."""
+    gw = group
+    tgt = jnp.ones((ist.shape[0], gw), jnp.int32)
+    status = ist[:, gw:2 * gw]
+    status = jnp.where(status == _DONE, _RUNNING, status)
+    return jnp.concatenate([tgt, status, ist[:, 2 * gw:]], axis=1)
+
+
+def _windowed_persistent(t_grid, fs, ist, y0_parts, const_inputs,
+                         step_builder, *, adaptive, ctl, tile, interpret,
+                         group, events, ev_y):
+    """Large save grids on the persistent kernel (VERDICT r4 #5): a
+    ``lax.scan`` over ``_WINDOW_SEGS``-segment grid windows, each ONE
+    persistent launch running its tile to the window end, with the float/
+    int/state carries spliced across windows (``_splice_window``). Interior
+    saves stay in-kernel VMEM registers per window — VMEM cost is constant
+    in the grid size — and launch count is ceil(n_seg/32) instead of the
+    XLA driver's ~10 dispatches per ITERATION, so a 256-point grid costs a
+    handful of launches rather than falling off the kernel tier entirely.
+
+    The int carry's grid cursor is LOCAL per window; a global cursor is
+    reconstructed outside the kernel (lanes frozen in an earlier window
+    keep their recorded global cursor) so callers' ``tgt >= n_grid``
+    reached-tf test keeps working. Iteration/counter/step-size sequences
+    are bit-identical to the monolithic single-launch kernel (window-end
+    ``is_end`` iterations stand in one-for-one for the monolithic
+    ``is_chk`` iterations at the same grid times).
+
+    Returns the ``fused_loop_integrate`` contract: (fs, ist, parts,
+    saves, ev_y) with saves ordered grid-major over ALL n_grid-2 interior
+    points."""
+    import numpy as np
+
+    W = _WINDOW_SEGS
+    n_grid = t_grid.shape[0]
+    n_seg = n_grid - 1
+    n_full, rem = divmod(n_seg, W)
+    # the FINAL window runs outside the scan (its output must keep DONE
+    # statuses un-spliced); it takes the remainder segments, or a full
+    # window when the grid divides evenly
+    n_scan = n_full if rem else n_full - 1
+    last_off = n_scan * W
+    gw = group
+    parts = tuple(y0_parts)
+    n_ps = len(parts)
+    saves0_w = tuple(jnp.zeros_like(p) for _ in range(W - 1) for p in parts)
+
+    # (n_scan, W+1) stacked local grids: window w covers global segments
+    # [w*W, (w+1)*W], sharing its end point with window w+1's start
+    idx = np.arange(n_scan)[:, None] * W + np.arange(W + 1)[None, :]
+    grids = t_grid[idx]
+
+    def body(carry, g_local):
+        fs, ist, parts, ev_y, g_tgt, off = carry
+        entry_running = ist[:, gw:2 * gw] == _RUNNING
+        fs, ist, parts, saves, ev_y = fused_loop_chunk(
+            g_local, fs, ist, parts, saves0_w, const_inputs, step_builder,
+            chunk=None, adaptive=adaptive, ctl=ctl, tile=tile,
+            interpret=interpret, group=group, events=events, ev_y=ev_y)
+        # local cursor k <-> global off + k for lanes that ran this window;
+        # lanes frozen in an earlier window keep their recorded cursor
+        g_tgt = jnp.where(entry_running, off + ist[:, :gw], g_tgt)
+        ist = _splice_window(ist, gw)
+        return (fs, ist, parts, ev_y, g_tgt, off + W), (saves, parts)
+
+    carry0 = (fs, ist, parts, ev_y, ist[:, :gw],
+              jnp.zeros((), jnp.int32))
+    (fs, ist, parts, ev_y, g_tgt, _), (saves_st, xend_st) = jax.lax.scan(
+        body, carry0, grids)
+
+    last_pts = n_grid - last_off
+    g_final = jax.lax.slice_in_dim(t_grid, last_off, n_grid)
+    saves0_f = tuple(jnp.zeros_like(p)
+                     for _ in range(last_pts - 2) for p in parts)
+    entry_running = ist[:, gw:2 * gw] == _RUNNING
+    fs, ist, parts, saves_f, ev_y = fused_loop_chunk(
+        g_final, fs, ist, parts, saves0_f, const_inputs, step_builder,
+        chunk=None, adaptive=adaptive, ctl=ctl, tile=tile,
+        interpret=interpret, group=group, events=events, ev_y=ev_y)
+    g_tgt = jnp.where(entry_running, last_off + ist[:, :gw], g_tgt)
+    ist = jnp.concatenate([g_tgt, ist[:, gw:]], axis=1)
+
+    # global interior saves, grid-major: window w's W-1 in-register saves,
+    # then its end state (global grid index (w+1)*W), then the final
+    # window's own interior saves
+    saves_all = []
+    for w in range(n_scan):
+        for g in range(W - 1):
+            for i in range(n_ps):
+                saves_all.append(saves_st[g * n_ps + i][w])
+        for i in range(n_ps):
+            saves_all.append(xend_st[i][w])
+    saves_all.extend(saves_f)
+    return fs, ist, parts, tuple(saves_all), ev_y
+
+
 def fused_loop_integrate(
     t_grid: jax.Array,             # (n_grid,) save grid [t0, ..., tf]
     y0_parts: Sequence[jax.Array],
@@ -1154,6 +1264,15 @@ def fused_loop_integrate(
     )
 
     if persistent:
+        if n_grid > _WINDOW_SEGS + 2:
+            # large grids: windowed persistent launches (constant VMEM,
+            # ceil(n_seg/32) launches) — bit-pinned to the single launch
+            return _windowed_persistent(
+                t_grid, fs, ist, tuple(y0_parts), const_inputs,
+                step_builder, adaptive=adaptive, ctl=ctl, tile=tile,
+                interpret=interpret, group=group, events=events,
+                ev_y=ev_y0,
+            )
         return fused_loop_chunk(
             t_grid, fs, ist, tuple(y0_parts), saves0, const_inputs,
             step_builder, chunk=None, adaptive=adaptive, ctl=ctl,

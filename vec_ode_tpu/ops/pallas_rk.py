@@ -336,9 +336,11 @@ class FusedModulatedLinearRK:
         # stepper? Only the latter deserves a fallback warning.
         step_kernel_ok = (B % self.tile == 0) and ((2 * d) % 128 == 0)
         warn = (lambda r: None) if step_kernel_ok else _ineligible
-        # persistent mode holds interior saves in-kernel (32 interior
-        # times); chunked mode round-trips them as XLA carry buffers
-        grid_cap = 34 if (persistent is None or persistent) else 10
+        # persistent mode holds interior saves in-kernel, windowing large
+        # grids over 32-segment launches (pallas_loop._windowed_persistent)
+        # so VMEM stays constant; chunked mode round-trips saves as XLA
+        # carry buffers and keeps its tight cap
+        grid_cap = 1026 if (persistent is None or persistent) else 10
         if t_grid.shape[0] > grid_cap:
             return warn(
                 f"save grid has {t_grid.shape[0]} points > {grid_cap} "
