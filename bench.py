@@ -65,6 +65,7 @@ PARITY_FAMILIES = (
     "shardmap_fused_loop",
     "lane_packed_loop",
     "kernel_events_norms",
+    "kernel_dense",
 )
 
 
@@ -849,6 +850,71 @@ def _parity_kernel_events_norms(model):
             "norm_max_counter_diff": dn, "path": s_k.path, "ok": True}
 
 
+def _parity_kernel_dense(model):
+    """r5 (VERDICT r4 #4): dense output ON the fused loop — in-kernel
+    endpoint recording + post-hoc Hermite vs the XLA dense tier
+    (dense.integrate_interp), unpacked (DrivenDense d=64) AND lane-packed
+    (Landau-Zener d=2). Counters must MATCH the XLA dense driver (the
+    controller runs free on both tiers; packed allows the documented +-1
+    marginal-accept flips)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import vec_ode_tpu as vo
+    from vec_ode_tpu import exp as vexp
+    from vec_ode_tpu.models import LandauZener
+    from vec_ode_tpu.ops import cplx as cp
+    from vec_ode_tpu.parallel import ensemble_solve
+
+    mod = model.modulated(jnp.float32)
+    B = 128
+    rng = np.random.default_rng(7)
+    psi = rng.standard_normal((B, DIM)) + 1j * rng.standard_normal((B, DIM))
+    psi /= np.linalg.norm(psi, axis=1, keepdims=True)
+    y0 = cp.from_complex(psi.astype(np.complex64), jnp.float32)
+    ctl = vo.StepControl(rtol=1e-5, max_steps=20000, min_dt=1e-5,
+                         max_dt=1.0)
+    save = np.linspace(0.0, 4.0, 10)[1:-1]
+    kw = dict(h0=0.01, ctl=ctl, save_at=save, dense=True,
+              time_dtype=jnp.float32)
+    s_k = ensemble_solve(None, y0, 0.0, 4.0,
+                         stepper=vexp.MagnusModulated4(mod), **kw)
+    s_x = ensemble_solve(None, y0, 0.0, 4.0,
+                         stepper=vexp.MagnusModulated4(mod,
+                                                       use_pallas=False),
+                         **kw)
+    assert s_k.path == "pallas-loop-persistent-dense", s_k.path
+    assert s_x.path == "xla-driver-dense", s_x.path
+    dn = int(np.abs(np.asarray(s_k.n_accept, np.int64)
+                    - np.asarray(s_x.n_accept, np.int64)).max())
+    dy = max(float(jnp.max(jnp.abs(s_k.ys.re - s_x.ys.re))),
+             float(jnp.max(jnp.abs(s_k.ys.im - s_x.ys.im))))
+    assert dn == 0 and dy <= 1e-4, (dn, dy)
+
+    lz = LandauZener(v=2.0, delta=0.4).modulated(jnp.float32)
+    psi0 = np.zeros((256, 2), np.complex64)
+    psi0[:, 0] = 1.0
+    y0p = cp.from_complex(psi0, jnp.float32)
+    savep = np.linspace(-20.0, 20.0, 8)[1:-1]
+    kwp = dict(h0=0.05, ctl=ctl, save_at=savep, dense=True,
+               time_dtype=jnp.float32)
+    p_k = ensemble_solve(None, y0p, -20.0, 20.0,
+                         stepper=vexp.MagnusModulated4(lz), **kwp)
+    p_x = ensemble_solve(None, y0p, -20.0, 20.0,
+                         stepper=vexp.MagnusModulated4(lz,
+                                                       use_pallas=False),
+                         **kwp)
+    assert p_k.path == "pallas-loop-persistent-packed-dense", p_k.path
+    dnp_ = int(np.abs(np.asarray(p_k.n_accept, np.int64)
+                      - np.asarray(p_x.n_accept, np.int64)).max())
+    dyp = max(float(jnp.max(jnp.abs(p_k.ys.re - p_x.ys.re))),
+              float(jnp.max(jnp.abs(p_k.ys.im - p_x.ys.im))))
+    assert dnp_ <= 1 and dyp <= 1e-3, (dnp_, dyp)
+    return {"max_state_diff": dy, "max_counter_diff": dn,
+            "packed_max_state_diff": dyp, "packed_max_counter_diff": dnp_,
+            "path": s_k.path, "packed_path": p_k.path, "ok": True}
+
+
 _PARITY_FNS = {
     "rk_step": _parity_rk_step,
     "chain_exp_step": _parity_chain_exp_step,
@@ -858,6 +924,7 @@ _PARITY_FNS = {
     "shardmap_fused_loop": _parity_shardmap_fused,
     "lane_packed_loop": _parity_lane_packed,
     "kernel_events_norms": _parity_kernel_events_norms,
+    "kernel_dense": _parity_kernel_dense,
 }
 
 

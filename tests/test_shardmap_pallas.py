@@ -54,8 +54,10 @@ def test_fused_loop_kernel_inside_shard_map():
 
 
 def test_fused_step_kernel_inside_shard_map():
-    """The per-STEP fused chain kernel (save_at grid forces the XLA driver,
-    so the step kernel is what runs) also composes with shard_map."""
+    """The per-STEP fused chain kernel also composes with shard_map. A
+    traced opaque error_norm keeps the batched XLA driver (the fused LOOP
+    kernel gates off TracedNorm — windowed launches lifted the old
+    40-point save-grid forcing, r5), so the step kernel is what runs."""
     d, B = 64, 64
     model = DrivenDense.make(d=d, seed=6)
     stepper = vexp.MagnusModulated4(model.modulated(jnp.float32),
@@ -63,12 +65,14 @@ def test_fused_step_kernel_inside_shard_map():
     ctl = vo.StepControl(rtol=1e-4, min_dt=1e-5, max_dt=0.2, max_steps=200)
     y0 = _y0(B, d, seed=1)
     mesh = ensemble_mesh()
-    save_at = np.linspace(0.005, 0.045, 40)  # >32 interior: loop-ineligible
+    save_at = np.linspace(0.005, 0.045, 40)
 
     def solve(y, mesh_):
         return ensemble_solve(
             None, y, 0.0, 0.05, stepper=stepper, adaptive=True, ctl=ctl,
             h0=1e-2, save_at=save_at, time_dtype=jnp.float32, mesh=mesh_,
+            error_norm=lambda e: jnp.sqrt(jnp.sum(e.re**2)
+                                          + jnp.sum(e.im**2)),
         )
 
     sol_sh = solve(shard_batch(y0, mesh), mesh)

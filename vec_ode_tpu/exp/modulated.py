@@ -321,9 +321,50 @@ def _ineligible(reason: str):
     return None
 
 
+def _fused_dense_interp(op, t_grid, td, dtd, dense_xw):
+    """Evaluate the cubic Hermite interpolants from the fused kernel's raw
+    dense recordings (ops/pallas_loop._make_loop_kernel ``dense_n``).
+
+    ``td``/``dtd``: (B, n_dense) crossing-step entry time / dt (+inf / 0
+    when the slot was never crossed); ``dense_xw``: 2*n_dense widened
+    (B, D) endpoint states ordered [x0_j, x1_j]. Endpoint slopes are
+    recomputed HERE as A(t)x — the same math as
+    dense.solve_linear_dense's slope closure — so the kernel carries no
+    derivative registers. Unrecorded slots yield zeros (the XLA dense
+    driver's never-crossed convention)."""
+    from ..dense import _hermite_basis
+
+    basis_w = _real_basis(op.basis)
+    is_cplx = op.is_cplx
+
+    def slope(t, xw):
+        c = jnp.asarray(op.coeff_fn(t))            # (B, K)
+        return jnp.einsum("bk,kij,bj->bi", c, basis_w, xw,
+                          precision=HIGHEST)
+
+    out = []
+    for j in range(td.shape[1]):
+        t0j, dtj = td[:, j], dtd[:, j]
+        rec = jnp.isfinite(t0j)
+        t_safe = jnp.where(rec, t0j, 0.0)
+        dt_safe = jnp.where(rec & (dtj > 0), dtj, 1.0)
+        # endpoint buffers are zero-initialized, but sanitize anyway so a
+        # poisoned (NaN) lane cannot leak through the 0-weight branch
+        x0w = jnp.where(rec[:, None], dense_xw[2 * j], 0.0)
+        x1w = jnp.where(rec[:, None], dense_xw[2 * j + 1], 0.0)
+        th = jnp.clip((t_grid[1 + j] - t_safe) / dt_safe, 0.0, 1.0)
+        f0 = slope(t_safe, x0w)
+        f1 = slope(t_safe + dt_safe, x1w)
+        h00, h10, h01, h11 = _hermite_basis(th)
+        yw = (h00[:, None] * x0w + (h10 * dt_safe)[:, None] * f0
+              + h01[:, None] * x1w + (h11 * dt_safe)[:, None] * f1)
+        out.append(_unwiden(jnp.where(rec[:, None], yw, 0.0), is_cplx))
+    return out
+
+
 def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
                     adaptive, chunk=8, persistent=None, event_cfg=None,
-                    err_cols_fn=None):
+                    err_cols_fn=None, dense=False):
     """Shared fused-integrator-loop harness (ops/pallas_loop.py): runs the
     ENTIRE adaptive loop on-chip — by default as ONE persistent kernel
     launch per solve (in-kernel while loop; ``persistent=False`` falls back
@@ -351,7 +392,29 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
     # saves as XLA loop-carry buffers every chunk (~90us per buffer per
     # iteration on this backend) -> keep its tight cap.
     grid_cap = 1026 if (persistent is None or persistent) else 10
-    if t_grid.shape[0] > grid_cap:
+    n_dense = 0
+    if dense:
+        # IN-KERNEL DENSE OUTPUT (dense.py semantics): the kernel
+        # integrates the bare [t0, tf] FREE-RUNNING (interior times never
+        # truncate dt) and the step CROSSING each interior time records
+        # its raw interpolation data (entry/exit state + (t, dt)); the
+        # cubic Hermite is evaluated HERE in XLA afterwards — the endpoint
+        # slopes A(t)x are recomputable post-hoc, so no VPU interpolation
+        # runs in the hot loop. The reference perturbs h at every save
+        # (ode.rs:165-176); this path perturbs neither h nor throughput.
+        if not (persistent is None or persistent):
+            return _ineligible(
+                "dense output rides the persistent single-launch fused "
+                "mode only (chunked launches would round-trip the "
+                "endpoint registers every chunk)")
+        n_dense = int(t_grid.shape[0]) - 2
+        if n_dense > 16:
+            return _ineligible(
+                f"{n_dense} dense save times > 16 (each slot keeps two "
+                "live (tile, D) endpoint registers in VMEM)")
+        if n_dense <= 0:
+            dense = False   # bare [t0, tf]: plain solve, nothing to fill
+    if not dense and t_grid.shape[0] > grid_cap:
         return _ineligible(
             f"save grid has {t_grid.shape[0]} points > {grid_cap} "
             "(interior saves live in kernel carry buffers)")
@@ -394,10 +457,11 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
     t_eff = _pick_tile(Bp)
     if t_eff == 256 and Bp // 256 >= 64:
         t_eff = _pick_tile(Bp, cap=128)
-    # >8 interior saves at tile=256 is an untested VMEM regime (each save
-    # is a live (tile, D) register through the whole in-kernel loop):
+    # >8 live (tile, D) state registers at tile=256 is an untested VMEM
+    # regime (each interior save is one register through the whole
+    # in-kernel loop; each dense slot is TWO — its step endpoints):
     # cap the tile to bound the footprint
-    if t_grid.shape[0] > 10:
+    if (t_grid.shape[0] > 10 if not dense else 2 * n_dense > 8):
         t_eff = min(t_eff, 128)
         while t_eff > 0 and Bp % t_eff != 0:
             t_eff //= 2
@@ -480,20 +544,26 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
         # declared per-component weights ride as a (1, G*D) const input
         # (Pallas rejects captured non-scalar constants)
         consts.append(jnp.asarray(wnorm[0], parts[0].dtype))
-    fs, ist, xparts, saves, ev_y = fused_loop_integrate(
+    k_grid = jnp.stack([t_grid[0], t_grid[-1]]) if dense else t_grid
+    out = fused_loop_integrate(
         # the chain builder takes the basis stacked row-wise (K*D, D):
         # one (TILE, D) @ (D, K*D) MXU contraction per Taylor term
-        t_grid, kparts, h0, consts,
+        k_grid, kparts, h0, consts,
         builder,
         adaptive=adaptive, ctl=ctl, chunk=chunk,
         persistent=(persistent is None or persistent), tile=t_eff,
         interpret=stepper.interpret, group=G, events=ev_spec,
+        dense_times=(t_grid[1:-1] if dense else None),
     )
+    fs, ist, xparts, saves, ev_y = out[:5]
+    dense_x = out[5] if dense else ()
     n_grid = t_grid.shape[0]
+    n_grid_k = k_grid.shape[0]
     from ..ops.pallas_loop import N_F, N_I
     n_ev = 0 if ev_spec is None else ev_spec.n
     n_k = ev_spec.k if n_ev else 1
-    n_f_eff = N_F + (n_ev * (n_k + 2) + 1 if n_ev else 0)
+    base_d = N_F + (n_ev * (n_k + 2) + 1 if n_ev else 0)
+    n_f_eff = base_d + 2 * n_dense
     if G > 1:
         # unpack rows -> trajectories (quantity-major carry blocks:
         # trajectory b = row b//G, group column b%G)
@@ -506,24 +576,37 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
             return (xw,)
 
         xparts = unpack(xparts[0])
-        saves = tuple(p for g in range(n_grid - 2)
+        saves = tuple(p for g in range(n_grid_k - 2)
                       for p in unpack(saves[g]))
         ev_y = tuple(p for e in range(len(ev_y))
                      for p in unpack(ev_y[e]))
+        dense_xw = tuple(b.reshape(B, D) for b in dense_x)
         fs = jnp.stack(
             [fs[:, q * G:(q + 1) * G].reshape(B) for q in range(n_f_eff)],
             axis=1)
         ist = jnp.stack(
             [ist[:, q * G:(q + 1) * G].reshape(B) for q in range(N_I)],
             axis=1)
+    else:
+        n_ps0 = len(parts)
+        dense_xw = tuple(
+            jnp.concatenate(dense_x[b * n_ps0:(b + 1) * n_ps0], axis=-1)
+            if n_ps0 > 1 else dense_x[b]
+            for b in range(2 * n_dense)
+        )
     x_final = Cplx(*xparts) if op.is_cplx else xparts[0]
     n_ps = len(parts)
-    interior = [
-        Cplx(*saves[g * n_ps:(g + 1) * n_ps]) if op.is_cplx
-        else saves[g]
-        for g in range(n_grid - 2)
-    ]
-    reached = ist[:, 0] >= n_grid
+    if dense:
+        interior = _fused_dense_interp(
+            op, t_grid, fs[:, base_d:base_d + n_dense],
+            fs[:, base_d + n_dense:base_d + 2 * n_dense], dense_xw)
+    else:
+        interior = [
+            Cplx(*saves[g * n_ps:(g + 1) * n_ps]) if op.is_cplx
+            else saves[g]
+            for g in range(n_grid - 2)
+        ]
+    reached = ist[:, 0] >= n_grid_k
 
     def sel_end(xf, x0z):
         m_ = reached.reshape(reached.shape + (1,) * (xf.ndim - 1))
@@ -573,7 +656,8 @@ def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,
         event_count=event_count,
         path=("pallas-loop-persistent"
               if (persistent is None or persistent)
-              else "pallas-loop-chunked") + ("-packed" if G > 1 else ""),
+              else "pallas-loop-chunked") + ("-packed" if G > 1 else "")
+        + ("-dense" if dense else ""),
     )
 
 
@@ -663,16 +747,19 @@ class MidpointModulated:
         return step_cols
 
     def fused_loop_solve(self, y0, t_grid, h0, *, ctl, adaptive,
-                         chunk: int = 8, persistent=None, events=None):
+                         chunk: int = 8, persistent=None, events=None,
+                         dense: bool = False):
         """Whole-loop on-chip integration (ops/pallas_loop.py); None if the
         config is not kernel-eligible. Midpoint has no error estimate, so
-        adaptive requests fall back (the driver raises the proper error)."""
+        adaptive requests fall back (the driver raises the proper error).
+        ``dense``: interior grid times become free-running interpolated
+        saves recorded in-kernel (dense.py semantics)."""
         if adaptive:
             return None
         return _fused_loop_run(
             self, self._step_cols_fn(), 1, 1, y0, t_grid, h0, ctl,
             adaptive=False, chunk=chunk, persistent=persistent,
-            event_cfg=events,
+            event_cfg=events, dense=dense,
         )
 
 
@@ -866,10 +953,13 @@ class MagnusModulated4:
         return err_cols
 
     def fused_loop_solve(self, y0, t_grid, h0, *, ctl, adaptive,
-                         chunk: int = 8, persistent=None, events=None):
+                         chunk: int = 8, persistent=None, events=None,
+                         dense: bool = False):
         """Whole-loop on-chip integration (ops/pallas_loop.py); None if the
         config is not kernel-eligible. ``events``: an EventConfig of
-        declared observables runs IN-KERNEL (events.py)."""
+        declared observables runs IN-KERNEL (events.py). ``dense``:
+        interior grid times become free-running interpolated saves
+        recorded in-kernel (dense.py semantics)."""
         if adaptive != self.adaptive:
             return None
         fast_err = self.adaptive and self.fast_error
@@ -879,6 +969,7 @@ class MagnusModulated4:
             y0, t_grid, h0, ctl, adaptive=adaptive, chunk=chunk,
             persistent=persistent, event_cfg=events,
             err_cols_fn=self._err_cols_fn() if fast_err else None,
+            dense=dense,
         )
 
 
@@ -1056,15 +1147,17 @@ class MagnusModulated6:
         return step_cols
 
     def fused_loop_solve(self, y0, t_grid, h0, *, ctl, adaptive,
-                         chunk: int = 8, persistent=None, events=None):
+                         chunk: int = 8, persistent=None, events=None,
+                         dense: bool = False):
         """Whole-loop on-chip integration (ops/pallas_loop.py); None if the
-        config is not kernel-eligible. ``events``: see MagnusModulated4."""
+        config is not kernel-eligible. ``events``/``dense``: see
+        MagnusModulated4."""
         if adaptive != self.adaptive:
             return None
         return _fused_loop_run(
             self, self._step_cols_fn(), 2 if self.adaptive else 1, 3,
             y0, t_grid, h0, ctl, adaptive=adaptive, chunk=chunk,
-            persistent=persistent, event_cfg=events,
+            persistent=persistent, event_cfg=events, dense=dense,
         )
 
 
@@ -1248,9 +1341,11 @@ class CFMModulated:
         return step_cols
 
     def fused_loop_solve(self, y0, t_grid, h0, *, ctl, adaptive,
-                         chunk: int = 8, persistent=None, events=None):
+                         chunk: int = 8, persistent=None, events=None,
+                         dense: bool = False):
         """Whole-loop on-chip integration (ops/pallas_loop.py); None if the
-        config is not kernel-eligible. ``events``: see MagnusModulated4."""
+        config is not kernel-eligible. ``events``/``dense``: see
+        MagnusModulated4."""
         has_err = self.alpha_err is not None
         if adaptive != has_err:
             return None
@@ -1258,7 +1353,7 @@ class CFMModulated:
             self, self._step_cols_fn(), 2 if has_err else 1,
             np.asarray(self.alpha).shape[0],
             y0, t_grid, h0, ctl, adaptive=adaptive, chunk=chunk,
-            persistent=persistent, event_cfg=events,
+            persistent=persistent, event_cfg=events, dense=dense,
         )
 
 

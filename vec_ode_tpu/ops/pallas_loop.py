@@ -72,6 +72,7 @@ def _make_loop_kernel(
     n_grid: int = 2,
     group: int = 1,
     events=None,
+    dense_n: int = 0,
 ):
     """chunk: int -> advance every lane by ``chunk`` iterations (the caller
     loops over chunks in XLA); None -> PERSISTENT kernel: an in-kernel
@@ -101,7 +102,20 @@ def _make_loop_kernel(
     t_lo, ordered [g_prev xE | t_ev xE*K | count xE | h_entry] (so N_F
     widens to N_F + E*(K+2) + 1); found/searching bits pack into int
     column 7 (spare). Located states (record_y, FIRST crossing only) live
-    in per-event state registers like the interior saves."""
+    in per-event state registers like the interior saves.
+
+    ``dense_n``: IN-KERNEL DENSE OUTPUT (dense.py semantics, VERDICT r4
+    #4): n interior save TIMES that never truncate dt — the controller
+    runs free (requires n_grid == 2) and the step that CROSSES each time
+    records its raw interpolation data: entry state / exit state into 2
+    per-slot state registers and (t_entry, dt) into 2*dense_n extra
+    float-carry columns (appended AFTER the event block). The caller
+    evaluates the cubic Hermite from the recorded endpoints in XLA after
+    the kernel returns (the endpoint slopes A(t)x are recomputable there,
+    so no VPU interpolation runs in the hot loop). Crossing test matches
+    dense._dense_step exactly: adv & (t_g > t + tol) & (t_g <= t_new +
+    tol), tol = 4 eps max(1, |t_g|). Unrecorded slots keep t_entry =
+    +inf."""
     rtol = float(ctl.rtol)
     alpha = float(ctl.alpha)
     inv_order = 1.0 / float(ctl.order)
@@ -135,7 +149,12 @@ def _make_loop_kernel(
     # (float — exact integers well past max_steps), and the shared
     # pre-search h_entry column
     n_k = int(getattr(events, "k", 1)) if n_ev else 1
-    n_f_eff = N_F + (n_ev * (n_k + 2) + 1 if n_ev else 0)
+    base_d = N_F + (n_ev * (n_k + 2) + 1 if n_ev else 0)
+    n_f_eff = base_d + 2 * dense_n
+    if dense_n and n_grid != 2:
+        raise ValueError(
+            "in-kernel dense output is free-running: the kernel grid must "
+            f"be [t0, tf] (got {n_grid} points)")
 
     def kernel(*refs):
         tg_ref, fs_ref, is_ref = refs[:3]
@@ -144,16 +163,22 @@ def _make_loop_kernel(
         base = 3 + n_state + n_save * n_state
         evyin_refs = refs[base:base + n_evy]
         base += n_evy
+        xdin_refs = refs[base:base + 2 * dense_n * n_state]
+        base += 2 * dense_n * n_state
         const_refs = refs[base:base + n_const]
         base += n_const
         evrows_ref = refs[base] if n_ev else None
         base += int(n_ev > 0)
+        dts_ref = refs[base] if dense_n else None
+        base += int(dense_n > 0)
         ofs_ref = refs[base]
         ois_ref = refs[base + 1]
         oy_refs = refs[base + 2:base + 2 + n_state]
         oys_refs = refs[base + 2 + n_state:
                         base + 2 + n_state + n_save * n_state]
-        oevy_refs = refs[base + 2 + n_state + n_save * n_state:]
+        base_o = base + 2 + n_state + n_save * n_state
+        oevy_refs = refs[base_o:base_o + n_evy]
+        oxd_refs = refs[base_o + n_evy:]
 
         dtype = fs_ref.dtype
         eps = float(jnp.finfo(dtype).eps)
@@ -176,6 +201,19 @@ def _make_loop_kernel(
             )
             for g in range(n_save)
         ]
+
+        def _dpart(g):
+            return (
+                xdin_refs[g * n_state][:]
+                if n_state == 1
+                else jnp.concatenate(
+                    [xdin_refs[g * n_state + i][:] for i in range(n_state)],
+                    axis=1,
+                )
+            )
+
+        dx0_init = [_dpart(2 * j) for j in range(dense_n)]
+        dx1_init = [_dpart(2 * j + 1) for j in range(dense_n)]
 
         step = step_builder(const_refs)
 
@@ -229,7 +267,11 @@ def _make_loop_kernel(
 
         def iteration(carry):
             (t, h, prev_h, err_prev, t_lo, xv, tgt, status, event, n_acc,
-             n_rej, n_it, streak, saves, evc) = carry
+             n_rej, n_it, streak, saves, evc, dnc) = carry
+            if dense_n:
+                td, dtd, dx0, dx1 = dnc
+                td, dtd = list(td), list(dtd)
+                dx0, dx1 = list(dx0), list(dx1)
             if n_ev:
                 (g_prev, t_ev, count, found, searching, h_entry,
                  y_ev) = evc
@@ -410,6 +452,27 @@ def _make_loop_kernel(
             # event-search iterations are NOT numerical rejections
             true_rej = rej & ~search if n_ev else rej
 
+            if dense_n:
+                # free-running dense saves (dense._dense_step crossing
+                # test): t_new is the POST-advance time — the compensated
+                # hi word when ctl.time_compensated (hi_ = s_ + lo_; the
+                # later renormalization changes only the residual word)
+                if comp:
+                    s_ = t + dt
+                    bp = s_ - t
+                    e_lo = (t - (s_ - bp)) + (dt - bp)
+                    t_new = s_ + (t_lo + e_lo)
+                else:
+                    t_new = t + dt
+                for j in range(dense_n):
+                    tgj = dts_ref[0, j]
+                    tolj = 4.0 * eps * jnp.maximum(1.0, jnp.abs(tgj))
+                    crossed = adv & (tgj > t + tolj) & (tgj <= t_new + tolj)
+                    dx0[j] = jnp.where(wide(crossed), xv, dx0[j])
+                    dx1[j] = jnp.where(wide(crossed), y, dx1[j])
+                    td[j] = jnp.where(crossed, t, td[j])
+                    dtd[j] = jnp.where(crossed, dt, dtd[j])
+
             # record interior save slots at their grid-hit iterations
             # (state.x at the Chkpt emission point, as in driver.step_once)
             saves = [
@@ -480,13 +543,26 @@ def _make_loop_kernel(
                  searching.astype(jnp.int32),
                  h_entry, tuple(y_ev)) if n_ev else ()
             )
+            dnc_out = (
+                (tuple(td), tuple(dtd), tuple(dx0), tuple(dx1))
+                if dense_n else ()
+            )
             return (t, h, prev_h, err_prev, t_lo, xv, tgt, status, event,
-                    n_acc, n_rej, n_it, streak, saves, evc_out)
+                    n_acc, n_rej, n_it, streak, saves, evc_out, dnc_out)
 
+        def fcol(i):
+            return fs_ref[:, i * gw:(i + 1) * gw]
+
+        if dense_n:
+            dnc0 = (
+                tuple(fcol(base_d + j) for j in range(dense_n)),
+                tuple(fcol(base_d + dense_n + j) for j in range(dense_n)),
+                tuple(dx0_init),
+                tuple(dx1_init),
+            )
+        else:
+            dnc0 = ()
         if n_ev:
-            def fcol(i):
-                return fs_ref[:, i * gw:(i + 1) * gw]
-
             bits = is_ref[:, (N_I - 1) * gw:N_I * gw]
             # float-column layout: [g_prev xE | t_ev xE*K | count xE |
             # h_entry] after the N_F controller columns
@@ -514,6 +590,7 @@ def _make_loop_kernel(
             *[is_ref[:, i * gw:(i + 1) * gw] for i in range(N_I - 1)],
             saves,
             evc0,
+            dnc0,
         )
         if chunk is None:
             # persistent: loop in-kernel until the tile's last lane leaves
@@ -531,7 +608,7 @@ def _make_loop_kernel(
                 0, chunk, lambda _, c: iteration(c), carry
             )
         (t, h, prev_h, err_prev, t_lo, xv, tgt, status, event, n_acc,
-         n_rej, n_it, streak, saves, evc) = carry
+         n_rej, n_it, streak, saves, evc, dnc) = carry
 
         fcols = [t, h, prev_h, err_prev, t_lo]
         bits_out = jnp.zeros_like(tgt)
@@ -541,6 +618,9 @@ def _make_loop_kernel(
             for e in range(n_ev):
                 bits_out = bits_out | (found[e].astype(jnp.int32) << e)
             bits_out = bits_out | (searching.astype(jnp.int32) << 15)
+        if dense_n:
+            td, dtd, dx0, dx1 = dnc
+            fcols += [*td, *dtd]
         ofs_ref[:] = jnp.concatenate(fcols, axis=1)
         ois_ref[:] = jnp.concatenate(
             [tgt, status, event, n_acc, n_rej, n_it, streak, bits_out],
@@ -557,6 +637,12 @@ def _make_loop_kernel(
                     oevy_refs[e * n_state + i][:] = (
                         y_ev[e][:, i * d:(i + 1) * d]
                     )
+        for j in range(dense_n):
+            for i in range(n_state):
+                oxd_refs[(2 * j) * n_state + i][:] = (
+                    dx0[j][:, i * d:(i + 1) * d])
+                oxd_refs[(2 * j + 1) * n_state + i][:] = (
+                    dx1[j][:, i * d:(i + 1) * d])
 
     return kernel
 
@@ -983,6 +1069,8 @@ def fused_loop_chunk(
     group: int = 1,
     events=None,
     ev_y: Sequence[jax.Array] = (),
+    dense_times=None,
+    dense_x: Sequence[jax.Array] = (),
 ):
     """Advance every trajectory by ``chunk`` driver iterations in ONE kernel
     (``chunk=None``: to COMPLETION — persistent kernel, see
@@ -996,7 +1084,13 @@ def fused_loop_chunk(
     (K = events.k located-time slots per event), and ``ev_y`` holds
     E*n_state located-state buffers (record_y).
 
-    Returns (fs, ist, x_parts, saves, ev_y) updated."""
+    ``dense_times``: (n_dense,) interior DENSE-output times (free-running,
+    never truncating dt; see ``_make_loop_kernel``); the float carry then
+    appends 2*n_dense (t_entry, dt) columns and ``dense_x`` holds the
+    2*n_dense*n_state crossing-endpoint state buffers, ordered per slot
+    [x0 parts | x1 parts].
+
+    Returns (fs, ist, x_parts, saves, ev_y, dense_x) updated."""
     n_state = len(x_parts)
     B, d = x_parts[0].shape
     if tile <= 0 or B % tile != 0:
@@ -1008,10 +1102,12 @@ def fused_loop_chunk(
     dtype = x_parts[0].dtype
     n_grid = t_grid2.shape[0]
     n_ev = 0 if events is None else int(events.n)
-    n_f_eff = N_F + (n_ev * (int(events.k) + 2) + 1 if n_ev else 0)
+    n_dense = 0 if dense_times is None else int(dense_times.shape[0])
+    n_f_eff = (N_F + (n_ev * (int(events.k) + 2) + 1 if n_ev else 0)
+               + 2 * n_dense)
     kernel = _make_loop_kernel(
         step_builder, n_state, len(const_inputs), chunk, adaptive, ctl,
-        n_grid=n_grid, group=group, events=events,
+        n_grid=n_grid, group=group, events=events, dense_n=n_dense,
     )
 
     def vec_spec(w):
@@ -1025,6 +1121,12 @@ def fused_loop_chunk(
 
     n_save_bufs = len(saves)
     n_evy = len(ev_y)
+    n_dense_bufs = len(dense_x)
+    if n_dense_bufs != 2 * n_dense * n_state:
+        raise ValueError(
+            f"dense_x holds {n_dense_bufs} buffers, expected "
+            f"{2 * n_dense * n_state} (2 endpoints x {n_dense} slots x "
+            f"{n_state} state parts)")
     ev_inputs = []
     if n_ev:
         ev_inputs.append(
@@ -1038,31 +1140,37 @@ def fused_loop_chunk(
                          memory_space=pltpu.SMEM),
             vec_spec(n_f_eff * group),
             vec_spec(N_I * group),
-            *[vec_spec(d)] * (n_state + n_save_bufs + n_evy),
+            *[vec_spec(d)] * (n_state + n_save_bufs + n_evy + n_dense_bufs),
             *[const_spec(a) for a in const_inputs],
             *[const_spec(a) for a in ev_inputs],
+            *([pl.BlockSpec((1, n_dense), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)] if n_dense else []),
         ],
         out_specs=[
             vec_spec(n_f_eff * group),
             vec_spec(N_I * group),
-            *[vec_spec(d)] * (n_state + n_save_bufs + n_evy),
+            *[vec_spec(d)] * (n_state + n_save_bufs + n_evy + n_dense_bufs),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, n_f_eff * group), dtype),
             jax.ShapeDtypeStruct((B, N_I * group), jnp.int32),
             *[jax.ShapeDtypeStruct((B, d), dtype)
-              for _ in range(n_state + n_save_bufs + n_evy)],
+              for _ in range(n_state + n_save_bufs + n_evy + n_dense_bufs)],
         ],
         interpret=interpret,
     )(
         t_grid2.reshape(1, n_grid).astype(dtype),
-        fs, ist, *x_parts, *saves, *ev_y,
+        fs, ist, *x_parts, *saves, *ev_y, *dense_x,
         *[a.astype(dtype) for a in const_inputs],
         *ev_inputs,
+        *([dense_times.reshape(1, n_dense).astype(dtype)]
+          if n_dense else []),
     )
+    base = 2 + n_state + n_save_bufs
     return (outs[0], outs[1], tuple(outs[2:2 + n_state]),
-            tuple(outs[2 + n_state:2 + n_state + n_save_bufs]),
-            tuple(outs[2 + n_state + n_save_bufs:]))
+            tuple(outs[2 + n_state:base]),
+            tuple(outs[base:base + n_evy]),
+            tuple(outs[base + n_evy:]))
 
 
 _WINDOW_SEGS = 32   # grid segments per persistent launch in windowed mode
@@ -1134,7 +1242,7 @@ def _windowed_persistent(t_grid, fs, ist, y0_parts, const_inputs,
     def body(carry, g_local):
         fs, ist, parts, ev_y, g_tgt, off = carry
         entry_running = ist[:, gw:2 * gw] == _RUNNING
-        fs, ist, parts, saves, ev_y = fused_loop_chunk(
+        fs, ist, parts, saves, ev_y, _ = fused_loop_chunk(
             g_local, fs, ist, parts, saves0_w, const_inputs, step_builder,
             chunk=None, adaptive=adaptive, ctl=ctl, tile=tile,
             interpret=interpret, group=group, events=events, ev_y=ev_y)
@@ -1154,7 +1262,7 @@ def _windowed_persistent(t_grid, fs, ist, y0_parts, const_inputs,
     saves0_f = tuple(jnp.zeros_like(p)
                      for _ in range(last_pts - 2) for p in parts)
     entry_running = ist[:, gw:2 * gw] == _RUNNING
-    fs, ist, parts, saves_f, ev_y = fused_loop_chunk(
+    fs, ist, parts, saves_f, ev_y, _ = fused_loop_chunk(
         g_final, fs, ist, parts, saves0_f, const_inputs, step_builder,
         chunk=None, adaptive=adaptive, ctl=ctl, tile=tile,
         interpret=interpret, group=group, events=events, ev_y=ev_y)
@@ -1190,6 +1298,7 @@ def fused_loop_integrate(
     interpret: bool = False,
     group: int = 1,
     events=None,
+    dense_times=None,
 ):
     """Full integration over [t_grid[0], t_grid[-1]]: an XLA while loop of
     fused chunks, or — with ``persistent=True`` — ONE kernel launch whose
@@ -1205,8 +1314,14 @@ def fused_loop_integrate(
     initializes host-side (one cheap XLA reduction), located times/states
     come back in the extra float-carry columns / ``ev_y`` buffers.
 
-    Returns (fs, ist, x_parts, saves, ev_y) final carries; the caller
-    builds the Solution (ys = [x0, *saves, x_final]) — see
+    ``dense_times``: (n_dense,) interior DENSE-output times (persistent
+    single-launch only; ``t_grid`` must be the bare [t0, tf]): the
+    controller runs free and each slot records its crossing step's raw
+    interpolation data (see ``_make_loop_kernel``); the return grows a
+    6th element with the 2*n_dense*n_state endpoint buffers.
+
+    Returns (fs, ist, x_parts, saves, ev_y[, dense_x]) final carries; the
+    caller builds the Solution (ys = [x0, *saves, x_final]) — see
     exp/modulated.py."""
     B = y0_parts[0].shape[0]
     dtype = y0_parts[0].dtype
@@ -1251,14 +1366,36 @@ def fused_loop_integrate(
                 jnp.zeros_like(p) for _ in range(n_ev) for p in y0_parts
             )
 
+    n_dense = 0 if dense_times is None else int(dense_times.shape[0])
+    dcols = []
+    dense_x0 = ()
+    if n_dense:
+        if not persistent or n_grid != 2:
+            raise ValueError(
+                "dense_times needs the persistent single-launch mode with "
+                f"a bare [t0, tf] grid (persistent={persistent}, "
+                f"n_grid={n_grid})")
+        # t_entry = +inf marks an unrecorded slot; dt = 0
+        dcols = ([jnp.full((B, group), jnp.inf, dtype)] * n_dense
+                 + [jnp.zeros((B, group), dtype)] * n_dense)
+        dense_x0 = tuple(
+            jnp.zeros_like(p) for _ in range(2 * n_dense) for p in y0_parts
+        )
+
     fs = jnp.concatenate(
         [col_block(t0), col_block(h0), col_block(h0),
          jnp.zeros((B, group), dtype),          # err_norm
          jnp.zeros((B, group), dtype),          # t_lo (compensated time)
-         *evcols],
+         *evcols, *dcols],
         axis=1,
     )
     ist = jnp.zeros((B, N_I * group), jnp.int32)
+    if n_dense:
+        # dense mode is pinned to dense._dense_step, which has NO t0
+        # bookkeeping iteration: start the grid cursor past t0 so the
+        # kernel doesn't burn its first iteration consuming the t0 grid
+        # point (n_iters/max_steps accounting would differ by one)
+        ist = ist.at[:, :group].set(1)
     saves0 = tuple(
         jnp.zeros_like(p) for _ in range(n_grid - 2) for p in y0_parts
     )
@@ -1273,12 +1410,14 @@ def fused_loop_integrate(
                 interpret=interpret, group=group, events=events,
                 ev_y=ev_y0,
             )
-        return fused_loop_chunk(
+        out = fused_loop_chunk(
             t_grid, fs, ist, tuple(y0_parts), saves0, const_inputs,
             step_builder, chunk=None, adaptive=adaptive, ctl=ctl,
             tile=tile, interpret=interpret, group=group,
             events=events, ev_y=ev_y0,
+            dense_times=dense_times, dense_x=dense_x0,
         )
+        return out if n_dense else out[:5]
 
     def cond(carry):
         ist = carry[1]
@@ -1292,7 +1431,7 @@ def fused_loop_integrate(
             t_grid, fs, ist, parts, saves, const_inputs, step_builder,
             chunk=chunk, adaptive=adaptive, ctl=ctl, tile=tile,
             interpret=interpret, group=group, events=events, ev_y=ev_y,
-        )
+        )[:5]
 
     fs, ist, parts, saves, ev_y = jax.lax.while_loop(
         cond, body, (fs, ist, tuple(y0_parts), saves0, ev_y0)

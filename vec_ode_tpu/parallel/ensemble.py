@@ -55,6 +55,7 @@ def ensemble_solve(
     method: str = "while",
     params: Optional[Pytree] = None,
     events=None,
+    dense: bool = False,
 ) -> Solution:
     """Integrate a batch of independent trajectories (leading axis of every
     leaf of ``y0_batch``).
@@ -72,6 +73,16 @@ def ensemble_solve(
 
     ``h0`` may be a (B,)-shaped array for per-trajectory warm starts (e.g.
     the ``h_final`` of a previous chained solve).
+
+    ``dense=True`` switches the save semantics from grid-HITTING to
+    dense.py's free-running interpolation: interior ``save_at`` times never
+    perturb the controller's step sequence; each is filled by the cubic
+    Hermite of the step that crossed it. On fused-loop-eligible configs
+    the recording happens IN-KERNEL (the persistent Pallas loop keeps its
+    throughput; ``Solution.path`` gains a ``-dense`` suffix); otherwise
+    the XLA dense driver (dense.integrate_interp) runs. ``dense`` +
+    ``events`` requires the fused kernel (the XLA dense driver carries no
+    event state).
     """
     from ..events import as_event_config
 
@@ -218,10 +229,10 @@ def ensemble_solve(
                 # back to the XLA driver below.
                 import inspect
 
+                fused_params = inspect.signature(fused_solve).parameters
                 kw = {}
                 if event_cfg is not None:
-                    if ("events" not in
-                            inspect.signature(fused_solve).parameters):
+                    if "events" not in fused_params:
                         from .. import config as _config
 
                         _config._warn_fallback(
@@ -231,7 +242,19 @@ def ensemble_solve(
                         )
                     else:
                         kw["events"] = event_cfg
-                if event_cfg is None or "events" in kw:
+                if dense:
+                    if "dense" not in fused_params:
+                        from .. import config as _config
+
+                        _config._warn_fallback(
+                            "dense=True: this stepper's fused loop records "
+                            "no interpolation endpoints; the XLA dense "
+                            "driver runs instead"
+                        )
+                    else:
+                        kw["dense"] = True
+                if ((event_cfg is None or "events" in kw)
+                        and (not dense or "dense" in kw)):
                     sol = fused_solve(y0, t_grid, h, ctl=ctl,
                                       adaptive=adaptive, **kw)
             if sol is not None:
@@ -247,21 +270,37 @@ def ensemble_solve(
                     "dense-split exp steppers accept batched=False for "
                     "the vmapped path)"
                 )
-            sol = integrate(
-                fn, y0, t_grid, h,
-                adaptive=adaptive, ctl=ctl,
-                error_norm=enorm, method=method,
-                batch_shape=(b,),
-                pack_carry=getattr(stepper, "prefers_packed_carry", False),
-                init_carry_fn=(
-                    # batched steppers with a carry (e.g. the compensated
-                    # tier's lo word) seed it over the whole batch — their
-                    # make_init_carry is shape-polymorphic (zeros_like)
-                    stepper.make_init_carry(rhs_or_op)
-                    if getattr(stepper, "has_carry", False) else None
-                ),
-                event_cfg=event_cfg,
+            init_cf = (
+                # batched steppers with a carry (e.g. the compensated
+                # tier's lo word) seed it over the whole batch — their
+                # make_init_carry is shape-polymorphic (zeros_like)
+                stepper.make_init_carry(rhs_or_op)
+                if getattr(stepper, "has_carry", False) else None
             )
+            if dense:
+                if event_cfg is not None:
+                    raise ValueError(
+                        "dense=True with events= needs the fused loop "
+                        "kernel, which did not engage for this "
+                        "configuration (the XLA dense driver carries no "
+                        "event state; see fused_loop_solve eligibility)"
+                    )
+                return _batched_dense_fallback(
+                    stepper, fn, y0, t_grid, h, adaptive=adaptive, ctl=ctl,
+                    error_norm=enorm, method=method, batch_shape=(b,),
+                    init_carry_fn=init_cf,
+                )
+            else:
+                sol = integrate(
+                    fn, y0, t_grid, h,
+                    adaptive=adaptive, ctl=ctl,
+                    error_norm=enorm, method=method,
+                    batch_shape=(b,),
+                    pack_carry=getattr(stepper, "prefers_packed_carry",
+                                       False),
+                    init_carry_fn=init_cf,
+                    event_cfg=event_cfg,
+                )
             step_path = getattr(stepper, "step_path", None)
             if step_path is not None:
                 sol = dc.replace(sol, path=step_path(y0))
@@ -270,6 +309,50 @@ def ensemble_solve(
             return dc.replace(
                 sol, ts=jnp.broadcast_to(sol.ts, (b,) + sol.ts.shape)
             )
+    elif dense:
+        # vmapped dense tier: per-trajectory free-running interpolation via
+        # the dense.py solvers (RK: stage-slope / Hermite; exp: operator-
+        # slope Hermite), mapped over the batch like the hit driver below
+        if event_cfg is not None:
+            raise ValueError(
+                "dense=True with events= needs the fused loop kernel "
+                "(batched modulated steppers); the vmapped dense driver "
+                "carries no event state"
+            )
+        from ..dense import solve_ivp_dense, solve_linear_dense
+
+        def single(y0, p, h):
+            if getattr(stepper, "takes_state", False):
+                if not isinstance(stepper, RungeKutta):
+                    raise ValueError(
+                        "dense=True supports RungeKutta and exp steppers "
+                        "on the vmapped tier"
+                    )
+                if stepper.compensated:
+                    raise ValueError(
+                        "dense=True has no compensated-RK variant (the "
+                        "dense driver carries no lo word); use "
+                        "compensated=False"
+                    )
+                f = (rhs_or_op if p is None
+                     else (lambda t, y: rhs_or_op(t, y, p)))
+                return solve_ivp_dense(
+                    f, t0, tf, y0, tableau=stepper.tableau, h0=h,
+                    adaptive=adaptive, ctl=ctl, save_at=save_at,
+                    error_norm=error_norm, time_dtype=time_dtype,
+                    advance_lower=stepper.advance_lower, method=method,
+                )
+            op_fn = rhs_or_op if p is None else (lambda t: rhs_or_op(t, p))
+            return solve_linear_dense(
+                op_fn, t0, tf, y0, stepper=stepper, h0=h,
+                adaptive=adaptive, ctl=ctl, save_at=save_at,
+                error_norm=error_norm, time_dtype=time_dtype,
+                method=method,
+            )
+
+        in_axes = (0, 0 if params is not None else None,
+                   0 if h_batched else None)
+        batched = jax.vmap(single, in_axes=in_axes)
     else:
         def single(y0, p, h):
             if params is None:
@@ -343,6 +426,65 @@ def ensemble_solve(
         check_vma=False,
     )
     return sharded(*args)
+
+
+def _batched_dense_fallback(stepper, fn, y0, t_grid, h, *, adaptive, ctl,
+                            error_norm, method, batch_shape, init_carry_fn):
+    """XLA dense tier for natively-batched steppers: free-running
+    integrate_interp with cubic-Hermite saves whose endpoint slopes are the
+    operator action A(t)x of the stepper's ModulatedOperator (the same
+    slope dense.solve_linear_dense computes from a split)."""
+    import dataclasses as dc
+
+    from ..dense import integrate_interp
+    from ..utils.prec import HIGHEST
+
+    op = getattr(stepper, "op", None)
+    if op is None or not hasattr(op, "coeff_fn"):
+        raise ValueError(
+            "dense=True on a natively-batched stepper needs its "
+            "ModulatedOperator for the Hermite endpoint slopes; for "
+            "generic exp steppers pass batched=False (the vmapped dense "
+            "driver computes slopes from the split)"
+        )
+    from ..exp.modulated import _real_basis, _unwiden, _widen
+
+    basis_w = _real_basis(op.basis)
+    is_cplx = op.is_cplx
+
+    def slope(t, x):
+        xw = _widen(x, is_cplx)
+        c = jnp.asarray(op.coeff_fn(t))                 # (B, K)
+        fw = jnp.einsum("bk,kij,bj->bi", c, basis_w, xw,
+                        precision=HIGHEST)
+        return _unwiden(fw, is_cplx)
+
+    has_carry = getattr(stepper, "has_carry", False)
+    if has_carry:
+        def sfd(t, x, dt, carry):
+            xn, err, c2 = fn(t, x, dt, carry)
+            return xn, err, (slope(t, x), slope(t + dt, xn)), c2
+    else:
+        def sfd(t, x, dt):
+            xn, err = fn(t, x, dt)
+            return xn, err, (slope(t, x), slope(t + dt, xn))
+
+    sol = integrate_interp(
+        sfd, y0, t_grid, h, adaptive=adaptive, ctl=ctl,
+        error_norm=error_norm, interp_kind="hermite", tab=None,
+        method=method, batch_shape=batch_shape,
+        init_carry_fn=init_carry_fn,
+    )
+    step_path = getattr(stepper, "step_path", None)
+    sol = dc.replace(
+        sol,
+        path=(step_path(y0) if step_path is not None else "xla-driver")
+        + "-dense",
+    )
+    if sol.ts.ndim == 1:   # uniform (B, n_grid) save grid like the hit path
+        sol = dc.replace(
+            sol, ts=jnp.broadcast_to(sol.ts, batch_shape + sol.ts.shape))
+    return sol
 
 
 def ensemble_mesh(n_devices: Optional[int] = None, axis: str = "traj") -> Mesh:
