@@ -228,6 +228,84 @@ def test_ensemble_dense_events_requires_kernel():
                        time_dtype=jnp.float32)
 
 
+def test_fused_dense_rk_loop_matches_xla_dense_tier(monkeypatch):
+    """The headline RK stepper (ops/pallas_rk.FusedModulatedLinearRK)
+    records dense endpoints through its loop path too; Hermite slopes are
+    f = (M0 + u(t) M1) x (hermite_slope)."""
+    from vec_ode_tpu.dense import integrate_interp
+    from vec_ode_tpu.ops import pallas_loop
+    from vec_ode_tpu.ops.pallas_rk import FusedModulatedLinearRK
+
+    model = DrivenDense.make(d=64, seed=0)
+    rng = np.random.default_rng(41)
+    B = 16
+    z = rng.standard_normal((B, 64)) + 1j * rng.standard_normal((B, 64))
+    z /= np.linalg.norm(z, axis=-1, keepdims=True)
+    y0 = cp.from_complex(z, jnp.float32)
+    ctl = dataclasses.replace(CTL, rtol=1e-4)
+    t_grid = jnp.linspace(0.0, 0.5, 7).astype(jnp.float32)
+    st = FusedModulatedLinearRK.from_driven_dense(model, jnp.float32)
+    orig_chunk = pallas_loop.fused_loop_chunk
+
+    def chunk_interp(*args, **kw):
+        kw["interpret"] = True
+        kw["tile"] = 8
+        return orig_chunk(*args, **kw)
+
+    monkeypatch.setattr(pallas_loop, "fused_loop_chunk", chunk_interp)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    sol = st.fused_loop_solve(y0, t_grid, 1e-2, ctl=ctl, adaptive=True,
+                              dense=True)
+    assert sol is not None, "fused RK loop did not engage with dense="
+    assert sol.path == "pallas-loop-persistent-dense"
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    fn = st.make_step_fn()
+
+    def sfd(t, x, dt):
+        xn, err = fn(t, x, dt)
+        return xn, err, (st.hermite_slope(t, x),
+                         st.hermite_slope(t + dt, xn))
+
+    ref = integrate_interp(
+        sfd, y0, t_grid, 1e-2, adaptive=True, ctl=ctl,
+        error_norm=st.error_norm, interp_kind="hermite", tab=None,
+        batch_shape=(B,),
+    )
+    _assert_sol_close(sol, ref)
+
+
+def test_ensemble_dense_rk_fallback_uses_hermite_slope():
+    """ensemble_solve(dense=True) with the batched RK stepper off-kernel
+    lands on the XLA dense tier through hermite_slope (no ModulatedOperator
+    needed) and matches the per-trajectory dense.py driver."""
+    from vec_ode_tpu.ops.pallas_rk import FusedModulatedLinearRK
+
+    model = DrivenDense.make(d=64, seed=0)
+    rng = np.random.default_rng(5)
+    B = 4
+    z = rng.standard_normal((B, 64)) + 1j * rng.standard_normal((B, 64))
+    z /= np.linalg.norm(z, axis=-1, keepdims=True)
+    y0 = cp.from_complex(z, jnp.float32)
+    st = FusedModulatedLinearRK.from_driven_dense(model, jnp.float32)
+    save = np.linspace(0.0, 0.5, 5)[1:-1]
+    sol = ensemble_solve(None, y0, 0.0, 0.5, stepper=st, h0=1e-2, ctl=CTL,
+                         save_at=save, dense=True, time_dtype=jnp.float32)
+    assert sol.path == "xla-driver-dense"
+    # per-trajectory twin through the generic linear dense driver
+    mod = model.modulated(jnp.float32)
+    ref = ensemble_solve(None, y0, 0.0, 0.5,
+                         stepper=vexp.MagnusModulated4(mod,
+                                                       use_pallas=False),
+                         h0=1e-2, ctl=CTL, save_at=save, dense=True,
+                         time_dtype=jnp.float32)
+    # different steppers (RKF45 vs Magnus-4): compare at solve accuracy
+    for part in ("re", "im"):
+        a = np.asarray(getattr(sol.ys, part))
+        b = np.asarray(getattr(ref.ys, part))
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
+
+
 def test_fused_dense_unreached_slots_are_zero():
     """Lanes that die (max_steps) leave later dense slots zeroed — the XLA
     dense driver's never-crossed convention, both tiers."""

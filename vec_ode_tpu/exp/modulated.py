@@ -331,35 +331,31 @@ def _fused_dense_interp(op, t_grid, td, dtd, dense_xw):
     recomputed HERE as A(t)x — the same math as
     dense.solve_linear_dense's slope closure — so the kernel carries no
     derivative registers. Unrecorded slots yield zeros (the XLA dense
-    driver's never-crossed convention)."""
-    from ..dense import _hermite_basis
+    driver's never-crossed convention).
+
+    All n_dense slots evaluate in ONE fused batch
+    (dense.hermite_from_endpoints): on this backend every XLA op costs
+    ~90 us to dispatch, so a per-slot Python loop (~20 ops x n slots)
+    would eat the kernel's dense-output win in post-processing (measured:
+    parity with the XLA dense driver instead of the expected multiple)."""
+    from ..dense import hermite_from_endpoints
 
     basis_w = _real_basis(op.basis)
     is_cplx = op.is_cplx
+    n = td.shape[1]
 
     def slope(t, xw):
-        c = jnp.asarray(op.coeff_fn(t))            # (B, K)
+        # coeff_fn contract: (M,) times -> (M, K) rows (the same shape
+        # polymorphism _batched_dense_fallback's slope relies on)
+        c = jnp.asarray(op.coeff_fn(t))
         return jnp.einsum("bk,kij,bj->bi", c, basis_w, xw,
                           precision=HIGHEST)
 
-    out = []
-    for j in range(td.shape[1]):
-        t0j, dtj = td[:, j], dtd[:, j]
-        rec = jnp.isfinite(t0j)
-        t_safe = jnp.where(rec, t0j, 0.0)
-        dt_safe = jnp.where(rec & (dtj > 0), dtj, 1.0)
-        # endpoint buffers are zero-initialized, but sanitize anyway so a
-        # poisoned (NaN) lane cannot leak through the 0-weight branch
-        x0w = jnp.where(rec[:, None], dense_xw[2 * j], 0.0)
-        x1w = jnp.where(rec[:, None], dense_xw[2 * j + 1], 0.0)
-        th = jnp.clip((t_grid[1 + j] - t_safe) / dt_safe, 0.0, 1.0)
-        f0 = slope(t_safe, x0w)
-        f1 = slope(t_safe + dt_safe, x1w)
-        h00, h10, h01, h11 = _hermite_basis(th)
-        yw = (h00[:, None] * x0w + (h10 * dt_safe)[:, None] * f0
-              + h01[:, None] * x1w + (h11 * dt_safe)[:, None] * f1)
-        out.append(_unwiden(jnp.where(rec[:, None], yw, 0.0), is_cplx))
-    return out
+    yw = hermite_from_endpoints(
+        t_grid[1:1 + n], td, dtd,
+        jnp.stack(dense_xw[0::2], axis=0),          # (n, B, D)
+        jnp.stack(dense_xw[1::2], axis=0), slope)
+    return [_unwiden(yw[j], is_cplx) for j in range(n)]
 
 
 def _fused_loop_run(stepper, step_cols_fn, C, R, y0, t_grid, h0, ctl,

@@ -308,7 +308,8 @@ class FusedModulatedLinearRK:
         )
 
     def fused_loop_solve(self, y0, t_grid, h0, *, ctl, adaptive,
-                         chunk: int = 8, persistent=None, events=None):
+                         chunk: int = 8, persistent=None, events=None,
+                         dense: bool = False):
         """Whole-loop on-chip integration (ops/pallas_loop.py): the entire
         adaptive RK driver — stages, embedded error, controller, counters —
         runs on-chip, by default as ONE persistent kernel launch per solve
@@ -317,7 +318,10 @@ class FusedModulatedLinearRK:
         controller, opt-in PI, scaled_error, strict_end_test). Returns None
         when the config is not kernel-eligible (large interior grids,
         lane-misaligned shapes, B above the loop/per-step crossover) so the
-        caller falls back to the XLA driver + per-step kernel."""
+        caller falls back to the XLA driver + per-step kernel. ``dense``:
+        interior grid times become free-running interpolated saves recorded
+        in-kernel (dense.py semantics; see exp/modulated._fused_loop_run)
+        with Hermite endpoint slopes f = (M0 + u(t) M1) x."""
         from ..driver import Solution
         from ..ops.cplx import Cplx
         from .pallas_loop import fused_loop_integrate, make_rk_step_builder
@@ -341,7 +345,24 @@ class FusedModulatedLinearRK:
         # so VMEM stays constant; chunked mode round-trips saves as XLA
         # carry buffers and keeps its tight cap
         grid_cap = 1026 if (persistent is None or persistent) else 10
-        if t_grid.shape[0] > grid_cap:
+        n_dense = 0
+        if dense:
+            # in-kernel dense output (exp/modulated._fused_loop_run has
+            # the discipline writeup): free-running controller, crossing
+            # steps record endpoints in-kernel, Hermite evaluated after
+            if not (persistent is None or persistent):
+                return warn(
+                    "dense output rides the persistent single-launch "
+                    "fused mode only (chunked launches would round-trip "
+                    "the endpoint registers every chunk)")
+            n_dense = int(t_grid.shape[0]) - 2
+            if n_dense > 16:
+                return warn(
+                    f"{n_dense} dense save times > 16 (each slot keeps "
+                    "two live (tile, D) endpoint registers in VMEM)")
+            if n_dense <= 0:
+                dense = False   # bare [t0, tf]: plain solve
+        if not dense and t_grid.shape[0] > grid_cap:
             return warn(
                 f"save grid has {t_grid.shape[0]} points > {grid_cap} "
                 "(interior saves live in kernel carry buffers)")
@@ -425,37 +446,74 @@ class FusedModulatedLinearRK:
         consts = [M0, M1]
         if wnorm is not None and wnorm[0] is not None:
             consts.append(jnp.asarray(wnorm[0], y0.re.dtype))
-        fs, ist, parts, saves, ev_y = fused_loop_integrate(
-            t_grid, kparts, h0, consts, builder,
+        k_grid = jnp.stack([t_grid[0], t_grid[-1]]) if dense else t_grid
+        out = fused_loop_integrate(
+            k_grid, kparts, h0, consts, builder,
             adaptive=True, ctl=ctl, chunk=chunk,
             persistent=(persistent is None or persistent), tile=loop_tile,
             group=G, events=ev_spec,
+            dense_times=(t_grid[1:-1] if dense else None),
         )
+        fs, ist, parts, saves, ev_y = out[:5]
+        dense_x = out[5] if dense else ()
         n_grid = t_grid.shape[0]
+        n_grid_k = k_grid.shape[0]
         from .pallas_loop import N_F, N_I
         n_ev = 0 if ev_spec is None else ev_spec.n
         n_k = ev_spec.k if n_ev else 1
-        n_f_eff = N_F + (n_ev * (n_k + 2) + 1 if n_ev else 0)
+        base_d = N_F + (n_ev * (n_k + 2) + 1 if n_ev else 0)
+        n_f_eff = base_d + 2 * n_dense
         if G > 1:
             def unpack(buf):
                 xw = buf.reshape(B, Dw)
                 return (xw[:, :d], xw[:, d:])
 
             parts = unpack(parts[0])
-            saves = tuple(p for g in range(n_grid - 2)
+            saves = tuple(p for g in range(n_grid_k - 2)
                           for p in unpack(saves[g]))
             ev_y = tuple(p for e in range(len(ev_y))
                          for p in unpack(ev_y[e]))
+            dense_xw = tuple(b.reshape(B, Dw) for b in dense_x)
             fs = jnp.stack(
                 [fs[:, q * G:(q + 1) * G].reshape(B)
                  for q in range(n_f_eff)], axis=1)
             ist = jnp.stack(
                 [ist[:, q * G:(q + 1) * G].reshape(B)
                  for q in range(N_I)], axis=1)
+        else:
+            # G==1 state parts are (re, im): concat each endpoint buffer
+            # pair back to the widened row ([x0 | x1] per slot order)
+            dense_xw = tuple(
+                jnp.concatenate(dense_x[b * 2:(b + 1) * 2], axis=1)
+                for b in range(2 * n_dense)
+            )
         x_final = Cplx(*parts)
-        interior = [Cplx(saves[2 * g], saves[2 * g + 1])
-                    for g in range(n_grid - 2)]
-        reached = ist[:, 0] >= n_grid
+        if dense:
+            from ..dense import hermite_from_endpoints
+
+            M0w = jnp.asarray(self.M0, y0.re.dtype)
+            M1w = jnp.asarray(self.M1, y0.re.dtype)
+            u_fn = self.u_fn
+
+            def slope(t, xw):
+                u = jnp.asarray(u_fn(t)).reshape(-1, 1)
+                return (
+                    jnp.einsum("bj,ij->bi", xw, M0w, precision=HIGHEST)
+                    + u * jnp.einsum("bj,ij->bi", xw, M1w,
+                                     precision=HIGHEST)
+                )
+
+            yw = hermite_from_endpoints(
+                t_grid[1:-1], fs[:, base_d:base_d + n_dense],
+                fs[:, base_d + n_dense:base_d + 2 * n_dense],
+                jnp.stack(dense_xw[0::2], axis=0),
+                jnp.stack(dense_xw[1::2], axis=0), slope)
+            interior = [Cplx(yw[j][:, :d], yw[j][:, d:])
+                        for j in range(n_dense)]
+        else:
+            interior = [Cplx(saves[2 * g], saves[2 * g + 1])
+                        for g in range(n_grid - 2)]
+        reached = ist[:, 0] >= n_grid_k
 
         def sel_end(xf):
             m_ = reached.reshape(reached.shape + (1,) * (xf.ndim - 1))
@@ -504,8 +562,26 @@ class FusedModulatedLinearRK:
             path=("pallas-loop-persistent"
                   if (persistent is None or persistent)
                   else "pallas-loop-chunked") + ("-packed" if G > 1
-                                                 else ""),
+                                                 else "")
+            + ("-dense" if dense else ""),
         )
+
+    def hermite_slope(self, t, x):
+        """Endpoint slope f(t, x) = (M0 + u(t) M1) x for dense-output
+        Hermite interpolation (parallel.ensemble._batched_dense_fallback
+        uses this when the fused loop is not eligible); Cplx in/out over
+        the widened real embed."""
+        from ..ops.cplx import Cplx
+
+        xw = jnp.concatenate([x.re, x.im], axis=-1)
+        M0w = jnp.asarray(self.M0, xw.dtype)
+        M1w = jnp.asarray(self.M1, xw.dtype)
+        u = jnp.asarray(self.u_fn(t))[..., None]
+        fw = (jnp.einsum("...j,ij->...i", xw, M0w, precision=HIGHEST)
+              + u * jnp.einsum("...j,ij->...i", xw, M1w,
+                               precision=HIGHEST))
+        d = x.re.shape[-1]
+        return Cplx(fw[..., :d], fw[..., d:])
 
     def step_path(self, y0) -> str:
         """Static execution-path tag of the per-STEP stepper under the XLA

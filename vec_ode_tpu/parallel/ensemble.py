@@ -80,9 +80,13 @@ def ensemble_solve(
     Hermite of the step that crossed it. On fused-loop-eligible configs
     the recording happens IN-KERNEL (the persistent Pallas loop keeps its
     throughput; ``Solution.path`` gains a ``-dense`` suffix); otherwise
-    the XLA dense driver (dense.integrate_interp) runs. ``dense`` +
-    ``events`` requires the fused kernel (the XLA dense driver carries no
-    event state).
+    the XLA dense driver (dense.integrate_interp) runs, with endpoint
+    slopes from the stepper's ``hermite_slope`` method or its
+    ModulatedOperator. Supported across the batched families (modulated
+    exp steppers AND ops/pallas_rk.FusedModulatedLinearRK) and the
+    vmapped tier (RungeKutta stage-slope/Hermite, exp-split Hermite).
+    ``dense`` + ``events`` requires the fused kernel (the XLA dense
+    driver carries no event state).
     """
     from ..events import as_event_config
 
@@ -439,25 +443,28 @@ def _batched_dense_fallback(stepper, fn, y0, t_grid, h, *, adaptive, ctl,
     from ..dense import integrate_interp
     from ..utils.prec import HIGHEST
 
-    op = getattr(stepper, "op", None)
-    if op is None or not hasattr(op, "coeff_fn"):
-        raise ValueError(
-            "dense=True on a natively-batched stepper needs its "
-            "ModulatedOperator for the Hermite endpoint slopes; for "
-            "generic exp steppers pass batched=False (the vmapped dense "
-            "driver computes slopes from the split)"
-        )
-    from ..exp.modulated import _real_basis, _unwiden, _widen
+    slope = getattr(stepper, "hermite_slope", None)
+    if slope is None:
+        op = getattr(stepper, "op", None)
+        if op is None or not hasattr(op, "coeff_fn"):
+            raise ValueError(
+                "dense=True on a natively-batched stepper needs its "
+                "ModulatedOperator (or a hermite_slope method) for the "
+                "Hermite endpoint slopes; for generic exp steppers pass "
+                "batched=False (the vmapped dense driver computes slopes "
+                "from the split)"
+            )
+        from ..exp.modulated import _real_basis, _unwiden, _widen
 
-    basis_w = _real_basis(op.basis)
-    is_cplx = op.is_cplx
+        basis_w = _real_basis(op.basis)
+        is_cplx = op.is_cplx
 
-    def slope(t, x):
-        xw = _widen(x, is_cplx)
-        c = jnp.asarray(op.coeff_fn(t))                 # (B, K)
-        fw = jnp.einsum("bk,kij,bj->bi", c, basis_w, xw,
-                        precision=HIGHEST)
-        return _unwiden(fw, is_cplx)
+        def slope(t, x):
+            xw = _widen(x, is_cplx)
+            c = jnp.asarray(op.coeff_fn(t))             # (B, K)
+            fw = jnp.einsum("bk,kij,bj->bi", c, basis_w, xw,
+                            precision=HIGHEST)
+            return _unwiden(fw, is_cplx)
 
     has_carry = getattr(stepper, "has_carry", False)
     if has_carry:
